@@ -1,0 +1,137 @@
+"""Vectorized block reducers — the heart of the engine (SURVEY.md §2.3).
+
+Re-implements the semantics of the reference's ``aggregate_by_factor``
+(/root/reference/src/PyramidScheme.jl:165-185): factor-``fac`` block
+reduction where ragged edge blocks are *clipped* (a 1x2 edge block's mean
+divides by 2, not 4 — src/PyramidScheme.jl:177-182), plus the reducer set:
+
+- mean  == ``mean ∘ skipmissing`` default (src/PyramidScheme.jl:42) -> NaN-aware
+- sum   (test/runtests.jl:157,162-163)
+- min / max (generic ``resampling_method``, src/PyramidScheme.jl:42,353)
+- mode  == ``ESALCMode`` 256-bin categorical mode with lowest-value tie-break
+          (``findmax`` returns the first maximum — src/PyramidScheme.jl:256-274)
+
+All reducers are whole-array numpy (no Python loops over pixels) so they run
+inside Arrow-batched pandas UDFs at full vector speed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import warnings
+
+import numpy as np
+
+REDUCERS = ("mean", "min", "max", "sum", "mode")
+
+
+def reducer_hash(reducer: str, factor: int = 2) -> str:
+    """Stable hash of the reducer config, stored in lineage rows (north rule)."""
+    return hashlib.sha256(f"{reducer}|factor={factor}|v1".encode()).hexdigest()[:16]
+
+
+def _pad_to_multiple(a: np.ndarray, fac: int, fill) -> np.ndarray:
+    """Pad the two leading (spatial) dims up to a multiple of ``fac``."""
+    h, w = a.shape[0], a.shape[1]
+    ph = (-h) % fac
+    pw = (-w) % fac
+    if ph == 0 and pw == 0:
+        return a
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (a.ndim - 2)
+    return np.pad(a, pad, mode="constant", constant_values=fill)
+
+
+def _blocks(a: np.ndarray, fac: int) -> np.ndarray:
+    """(H, W, ...) -> (H//fac, W//fac, fac*fac, ...) block view (H,W multiples)."""
+    h, w = a.shape[0], a.shape[1]
+    rest = a.shape[2:]
+    b = a.reshape(h // fac, fac, w // fac, fac, *rest)
+    b = np.moveaxis(b, 2, 1)  # (h', w', fac, fac, ...)
+    return b.reshape(h // fac, w // fac, fac * fac, *rest)
+
+
+def block_reduce(a: np.ndarray, reducer: str, fac: int = 2) -> np.ndarray:
+    """Reduce spatial blocks of ``fac x fac`` over the first two dims.
+
+    Output shape ``(ceil(h/fac), ceil(w/fac), *rest)`` — ceil semantics with
+    clipped (not padded-with-values) edge blocks, matching
+    ``aggregate_by_factor``'s ``min(size, i*fac)`` clipping (ref :180-181).
+    Extra trailing dims (bands) pass through unaggregated (ref
+    test/runtests.jl:145-166).
+
+    NaN handling: float inputs treat NaN as missing (``skipmissing``); an
+    all-NaN block yields NaN for mean/min/max and 0 for sum.
+    """
+    if reducer not in REDUCERS:
+        raise KeyError(f"unknown reducer {reducer!r}")
+    if a.ndim < 2:
+        raise ValueError("block_reduce needs >= 2 spatial dims")
+    if reducer == "mode":
+        return _block_mode(a, fac)
+
+    is_float = np.issubdtype(a.dtype, np.floating)
+    if reducer == "mean":
+        work = _pad_to_multiple(a.astype(np.float64, copy=False), fac, np.nan)
+        b = _blocks(work, fac)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN block -> NaN
+            return np.nanmean(b, axis=2)
+    if reducer == "sum":
+        out_dtype = np.float64 if is_float else np.int64
+        work = a.astype(out_dtype, copy=False)
+        if is_float:
+            work = np.where(np.isnan(work), 0.0, work)
+        work = _pad_to_multiple(work, fac, 0)
+        return _blocks(work, fac).sum(axis=2)
+    # min / max: pad with identity element so clipped blocks are unaffected
+    if is_float:
+        work = _pad_to_multiple(a, fac, np.nan)
+        b = _blocks(work, fac)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN block -> NaN
+            return (np.nanmin if reducer == "min" else np.nanmax)(b, axis=2)
+    info = np.iinfo(a.dtype)
+    fill = info.max if reducer == "min" else info.min
+    work = _pad_to_multiple(a, fac, fill)
+    b = _blocks(work, fac)
+    return (np.min if reducer == "min" else np.max)(b, axis=2)
+
+
+def _block_mode(a: np.ndarray, fac: int) -> np.ndarray:
+    """256-bin categorical block mode, ties -> lowest value (ESALCMode parity).
+
+    Vectorized via one ``bincount`` over (block_index * nbins + value); pad
+    entries use bin 256 which is sliced away before the argmax, so clipped
+    edge blocks count only their real pixels. ``argmax`` returns the first
+    (lowest-value) maximum, matching Julia ``findmax``
+    (src/PyramidScheme.jl:272).
+    """
+    if not np.issubdtype(a.dtype, np.integer):
+        raise TypeError("mode reducer requires an integer (categorical) dtype")
+    if a.min(initial=0) < 0 or a.max(initial=0) > 255:
+        raise ValueError("mode reducer supports the 0..255 categorical range")
+    squeeze = False
+    if a.ndim == 2:
+        a = a[:, :, None]
+        squeeze = True
+    h, w, c = a.shape[0], a.shape[1], int(np.prod(a.shape[2:]))
+    a3 = a.reshape(h, w, c).astype(np.int64, copy=False)
+    work = _pad_to_multiple(a3, fac, 256)  # 256 = excluded pad bin
+    b = _blocks(work, fac)  # (h', w', fac*fac, c)
+    hh, ww = b.shape[0], b.shape[1]
+    # -> (nblocks, fac*fac) per channel, one bincount for everything
+    vals = np.moveaxis(b, 3, 2).reshape(-1, fac * fac)  # (h'*w'*c, fac*fac)
+    nb = vals.shape[0]
+    flat = (np.arange(nb, dtype=np.int64)[:, None] * 257 + vals).ravel()
+    counts = np.bincount(flat, minlength=nb * 257).reshape(nb, 257)[:, :256]
+    out = counts.argmax(axis=1).astype(np.uint8).reshape(hh, ww, *a.shape[2:])
+    return out[:, :, 0] if squeeze else out
+
+
+def reduce_direct(a: np.ndarray, reducer: str, z: int) -> np.ndarray:
+    """Direct (non-recursive) reduction: one ``2^z x 2^z`` block per output px.
+
+    The reference's ``recursive=false`` path (src/PyramidScheme.jl:189-203),
+    required for non-decomposable reducers (mode/median caveat, ref :192-193).
+    """
+    return block_reduce(a, reducer, fac=1 << z)
