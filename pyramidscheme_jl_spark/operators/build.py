@@ -1,0 +1,303 @@
+"""Pyramid build — per-level Spark jobs (SURVEY.md §2.3 A1-A11, §3.1).
+
+The reference's flagship entry points (``buildpyramids`` / ``Pyramid(data)``,
+/root/reference/src/PyramidScheme.jl:347-392,428-445) become a driver loop of
+per-level DataFrame jobs:
+
+    level z-1 tiles
+      --mapInPandas--> 2x2-downsampled *quarter* tiles (narrow, no shuffle)
+      --groupBy(parent tx,ty).applyInPandas--> assembled level-z tiles
+      --write parquet partition z + manifest lineage rows (checkpoint)
+
+Scale notes (why this shape at 100 TB):
+
+- **Downsample before shuffling**: the heavy pixel math happens map-side on
+  the child tiles, so only quarter-size blocks (1/4 of the level's bytes)
+  cross the wire; the shuffle per level moves level_{z}/1 bytes instead of
+  level_{z-1} (4x). Total shuffle across the build is a geometric series
+  ~1/3 of the base bytes.
+- **Recursive by default** (level z from z-1): total pixel work is
+  O(4/3 * N) like the reference's ``recursive=true``
+  (src/PyramidScheme.jl:192-203); ``recursive=False`` rebuilds each level
+  straight from the base for non-decomposable reducers (mode/median caveat,
+  src/PyramidScheme.jl:192-193).
+- **Each level is read back from its checkpoint** before building the next:
+  truncates lineage, makes resume trivial (manifest row == committed level),
+  and the reread is sequential columnar I/O.
+- All pixel math is whole-array numpy inside Arrow-batched UDFs; rows are
+  tiles, never pixels.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.cells import xy_to_cell
+from ..functions.codec import decode_tile, encode_tile, reducer_dtype
+from ..functions.reducers import block_reduce, reducer_hash
+from ..plans.grid import compute_nlevels, tile_count, tile_extent
+from ..sources.catalog import (
+    TILE_SCHEMA,
+    append_manifest,
+    committed_levels,
+    manifest_lineage,
+    read_level,
+    write_level,
+)
+
+QUARTER_SCHEMA = T.StructType(
+    [
+        T.StructField("ptx", T.IntegerType()),
+        T.StructField("pty", T.IntegerType()),
+        T.StructField("qx", T.IntegerType()),
+        T.StructField("qy", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class PyramidSpec:
+    """Driver-side plan constants for one pyramid (all closed-form)."""
+
+    base_w: int
+    base_h: int
+    tilesize: int = 256
+
+    @property
+    def nlevels(self) -> int:
+        return compute_nlevels((self.base_w, self.base_h), self.tilesize)
+
+    @property
+    def res0(self) -> int:
+        """Cell resolution of base tiles: tile grid == cell grid at z=0."""
+        nx, ny = tile_count((self.base_w, self.base_h), 0, self.tilesize)
+        return max(self.nlevels, math.ceil(math.log2(max(nx, ny))) if max(nx, ny) > 1 else 0)
+
+    @property
+    def world(self) -> float:
+        """Padded power-of-two world extent (px) shared by the cell index."""
+        return float(self.tilesize << self.res0)
+
+    def cell_res(self, z: int) -> int:
+        return max(0, self.res0 - z)
+
+
+def _tile_stats(a: np.ndarray) -> tuple[float, float, float]:
+    af = a.astype(np.float64, copy=False)
+    if np.isnan(af).any():
+        return (float(np.nanmin(af)), float(np.nanmax(af)), float(np.nanmean(af)))
+    return (float(af.min()), float(af.max()), float(af.mean()))
+
+
+def _tile_row(spec: PyramidSpec, z: int, tx: int, ty: int, arr: np.ndarray) -> dict:
+    vmin, vmax, vmean = _tile_stats(arr)
+    xmin, ymin, xmax, ymax = tile_extent((spec.base_w, spec.base_h), z, tx, ty, spec.tilesize)
+    c = int(arr.shape[2]) if arr.ndim == 3 else 1
+    return {
+        "z": z,
+        "tx": tx,
+        "ty": ty,
+        "bytes": encode_tile(arr),
+        "w": int(arr.shape[1]),
+        "h": int(arr.shape[0]),
+        "c": c,
+        "dtype": str(arr.dtype.name),
+        "vmin": vmin,
+        "vmax": vmax,
+        "vmean": vmean,
+        "cell": int(xy_to_cell(tx, ty, spec.cell_res(z))),
+        "xmin": xmin,
+        "ymin": ymin,
+        "xmax": xmax,
+        "ymax": ymax,
+    }
+
+
+def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+    for col in ("z", "tx", "ty", "w", "h", "c"):
+        pdf[col] = pdf[col].astype("int32")
+    pdf["cell"] = pdf["cell"].astype("int64")
+    return pdf
+
+
+def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> DataFrame:
+    """images (input_hint schema) -> level-0 tile rows.
+
+    Grid slot is derived from ``image_id`` (``img-{i:08d}``, FIXTURES.md §1)
+    JVM-side; decoding + per-tile stats run in one narrow mapInPandas pass.
+    """
+    idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
+    src = (
+        images.where(F.col("fmt") == F.lit("raw"))
+        .where(idx.isNotNull())
+        .select(
+            (idx % G).cast("int").alias("tx"),
+            (idx / G).cast("int").alias("ty"),
+            "bytes",
+            "w",
+            "h",
+        )
+        .where(F.col("tx").isNotNull())
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, buf, w, h in zip(pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]):
+                arr = decode_tile(buf, int(h), int(w), "uint8")
+                rows.append(_tile_row(spec, 0, int(tx), int(ty), arr))
+            if rows:
+                yield _rows_to_pdf(rows)
+
+    return src.mapInPandas(gen, TILE_SCHEMA)
+
+
+def _downsample_quarters(spec: PyramidSpec, reducer: str):
+    """Narrow stage: child tile -> 2x2-reduced quarter keyed by parent."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("ptx", "pty", "qx", "qy", "bytes", "w", "h", "c", "dtype")}
+            for tx, ty, buf, w, h, c, dt in zip(
+                pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"], pdf["c"], pdf["dtype"]
+            ):
+                arr = decode_tile(buf, int(h), int(w), dt, int(c))
+                red = block_reduce(arr, reducer)
+                out["ptx"].append(int(tx) >> 1)
+                out["pty"].append(int(ty) >> 1)
+                out["qx"].append(int(tx) & 1)
+                out["qy"].append(int(ty) & 1)
+                out["bytes"].append(encode_tile(red))
+                out["w"].append(red.shape[1])
+                out["h"].append(red.shape[0])
+                out["c"].append(int(c))
+                out["dtype"].append(str(red.dtype.name))
+            pdf_out = pd.DataFrame(out)
+            for col in ("ptx", "pty", "qx", "qy", "w", "h", "c"):
+                pdf_out[col] = pdf_out[col].astype("int32")
+            yield pdf_out
+
+    return gen
+
+
+def _assemble_parent(spec: PyramidSpec, z: int):
+    """Grouped stage: up to 4 quarters -> one level-z tile (exact coverage)."""
+    half = spec.tilesize // 2
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        c = int(pdf["c"].iloc[0])
+        dt = pdf["dtype"].iloc[0]
+        W = int((pdf["qx"] * half + pdf["w"]).max())
+        H = int((pdf["qy"] * half + pdf["h"]).max())
+        shape = (H, W, c) if c > 1 else (H, W)
+        arr = np.zeros(shape, dtype=np.dtype(dt))
+        for _, r in pdf.iterrows():
+            q = decode_tile(r["bytes"], int(r["h"]), int(r["w"]), dt, c)
+            x0, y0 = int(r["qx"]) * half, int(r["qy"]) * half
+            arr[y0 : y0 + int(r["h"]), x0 : x0 + int(r["w"])] = q
+        return _rows_to_pdf([_tile_row(spec, z, ptx, pty, arr)])
+
+    return assemble
+
+
+def build_level(prev: DataFrame, z: int, spec: PyramidSpec, reducer: str) -> DataFrame:
+    """One recursive build step: level z from level z-1."""
+    quarters = prev.mapInPandas(_downsample_quarters(spec, reducer), QUARTER_SCHEMA)
+    return quarters.groupBy("ptx", "pty").applyInPandas(_assemble_parent(spec, z), TILE_SCHEMA)
+
+
+def build_level_direct(base: DataFrame, z: int, spec: PyramidSpec, reducer: str) -> DataFrame:
+    """Direct (non-recursive) build: level z straight from the base.
+
+    Groups the up-to-``4^z`` base tiles under each level-z tile and reduces
+    the assembled block by ``2^z`` in one shot — required for reducers where
+    reduce-of-reduce != reduce (mode; reference median caveat :192-193).
+    Costlier at scale (O(levels*N) total) — that trade is the reference's own.
+    """
+    fac = 1 << z
+    T_ = spec.tilesize
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        c = int(pdf["c"].iloc[0])
+        dt = pdf["dtype"].iloc[0]
+        x0, y0 = ptx * T_ * fac, pty * T_ * fac  # base-pixel origin
+        W = int((pdf["tx"] * T_ + pdf["w"]).max()) - x0
+        H = int((pdf["ty"] * T_ + pdf["h"]).max()) - y0
+        shape = (H, W, c) if c > 1 else (H, W)
+        arr = np.zeros(shape, dtype=np.dtype(dt))
+        for _, r in pdf.iterrows():
+            a = decode_tile(r["bytes"], int(r["h"]), int(r["w"]), dt, c)
+            ox, oy = int(r["tx"]) * T_ - x0, int(r["ty"]) * T_ - y0
+            arr[oy : oy + int(r["h"]), ox : ox + int(r["w"])] = a
+        red = block_reduce(arr, reducer, fac=fac)
+        return _rows_to_pdf([_tile_row(spec, z, ptx, pty, red)])
+
+    grouped = base.withColumn("ptx", F.shiftright("tx", z)).withColumn(
+        "pty", F.shiftright("ty", z)
+    )
+    return grouped.groupBy("ptx", "pty").applyInPandas(assemble, TILE_SCHEMA)
+
+
+def build_pyramid(
+    spark: SparkSession,
+    images: DataFrame,
+    path: str,
+    G: int,
+    reducer: str = "mean",
+    recursive: bool = True,
+    run_id: str = "run-0",
+    tilesize: int = 256,
+    resume: bool = False,
+) -> PyramidSpec:
+    """Full build: base ingest + one checkpointed Spark job per level.
+
+    Checkpoint protocol (north rule): parquet partition first, then manifest
+    lineage rows — a level is committed iff its manifest rows exist, so
+    ``resume=True`` skips committed levels and restarts mid-build safely.
+    """
+    from ..functions.reducers import REDUCERS
+
+    if reducer not in REDUCERS:  # fail fast at plan time, not inside a job
+        raise KeyError(f"unknown reducer {reducer!r}; supported: {REDUCERS}")
+    spec = PyramidSpec(G * tilesize, G * tilesize, tilesize)
+    rhash = reducer_hash(reducer)
+    done = set(committed_levels(spark, path, run_id)) if resume else set()
+    ordinal = 0
+
+    def commit(df: DataFrame, z: int) -> None:
+        nonlocal ordinal
+        write_level(df, path, z)
+        written = read_level(spark, path, z)
+        append_manifest(
+            spark, path, manifest_lineage(written, run_id, z, reducer, rhash, ordinal)
+        )
+        ordinal += 1
+
+    if 0 not in done:
+        commit(base_tiles_from_images(images, G, spec), 0)
+    for z in range(1, spec.nlevels + 1):
+        if z in done:
+            ordinal += 1
+            continue
+        if recursive:
+            prev = read_level(spark, path, z - 1)
+            commit(build_level(prev, z, spec, reducer), z)
+        else:
+            base = read_level(spark, path, 0)
+            commit(build_level_direct(base, z, spec, reducer), z)
+    return spec

@@ -1,0 +1,75 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Tuning rationale (SURVEY.md §4 physical-execution notes):
+
+- Arrow transfer on; small ``maxRecordsPerBatch`` because tile rows are fat
+  (a 256x256 float64 tile is 512 KB) — 32 rows/batch keeps UDF peak memory
+  ~16 MB/task instead of the 10k-row default's multi-GB.
+- AQE on (coalesce + skew-join) — replaces the reference's
+  ``optimize_loopranges`` memory-budget loop tiling (src/PyramidScheme.jl:250)
+  with runtime re-planning.
+- ``shuffle.partitions`` defaults to 2x cores locally; at cluster scale this
+  is expected to be overridden (AQE coalesces down anyway).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors (``--py-files`` equivalent).
+
+    Local mode only *appears* to work without this when the driver's cwd is
+    the repo root; any other launch dir — or a real cluster — needs the
+    package on every worker's ``sys.path``. ``get_spark`` ships it
+    automatically; ``spark-submit --py-files $(python -c 'from
+    pyramidscheme_jl_spark.session import package_zip; print(package_zip())')``
+    does the same for external submission (north rule).
+    """
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    out = os.path.join(
+        tempfile.gettempdir(), f"pyramidscheme_jl_spark-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(out, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, p.relative_to(pkg_dir.parent))
+    return out
+
+
+def get_spark(
+    app: str = "pyramidscheme-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = 32
+    if master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(32, 2 * cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    if not getattr(spark, "_pyramid_pkg_shipped", False):
+        spark.sparkContext.addPyFile(package_zip())
+        spark._pyramid_pkg_shipped = True
+    return spark

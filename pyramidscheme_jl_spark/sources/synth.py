@@ -20,6 +20,13 @@ from ..functions.reducers import block_reduce
 
 TILE = 256
 
+#: BASELINE.json input_hint schema, exactly (DDL — usable with createDataFrame)
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+POLYGONS_DDL = "polygon_id string, ring array<array<double>>"
+POINTS_DDL = "point_id string, x double, y double"
+
 
 def image_pixels(gx: int, gy: int, size: int = TILE) -> np.ndarray:
     """Closed-form uint8 pixels for grid slot (gx, gy): (h, w) C-order."""

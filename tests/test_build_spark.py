@@ -1,0 +1,161 @@
+"""End-to-end pyramid build vs the numpy mosaic oracle (SURVEY.md §5c)."""
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.functions.codec import decode_tile
+from pyramidscheme_jl_spark.functions.reducers import block_reduce, reduce_direct
+from pyramidscheme_jl_spark.operators.build import PyramidSpec, build_pyramid
+from pyramidscheme_jl_spark.sources.catalog import (
+    committed_levels,
+    read_level,
+    read_manifest,
+    read_tiles,
+)
+from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, mosaic_pixels, synth_images
+
+
+def assemble_level(spark, path, z, spec):
+    """Stitch a stored level back into one numpy array (test helper)."""
+    rows = read_level(spark, path, z).collect()
+    assert rows, f"level {z} empty"
+    dt = rows[0]["dtype"]
+    W = max(r["tx"] * spec.tilesize + r["w"] for r in rows)
+    H = max(r["ty"] * spec.tilesize + r["h"] for r in rows)
+    out = np.zeros((H, W), dtype=np.dtype(dt))
+    seen = np.zeros((H, W), dtype=bool)
+    for r in rows:
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+        y0, x0 = r["ty"] * spec.tilesize, r["tx"] * spec.tilesize
+        out[y0 : y0 + r["h"], x0 : x0 + r["w"]] = a
+        seen[y0 : y0 + r["h"], x0 : x0 + r["w"]] = True
+    assert seen.all(), f"level {z} has uncovered pixels"
+    return out
+
+
+def oracle_levels(base, reducer, nlevels, recursive=True):
+    levels = [base.astype(np.float64) if reducer == "mean" else base]
+    cur = levels[0]
+    for z in range(1, nlevels + 1):
+        if recursive:
+            cur = block_reduce(cur, reducer)
+        else:
+            cur = reduce_direct(levels[0], reducer, z)
+        levels.append(cur)
+    return levels
+
+
+@pytest.fixture(scope="module")
+def images_g4(spark):
+    return spark.createDataFrame(synth_images(G=4), IMAGES_DDL).cache()
+
+
+def test_build_mean_matches_oracle(spark, images_g4, tmp_path):
+    path = str(tmp_path / "pyr")
+    spec = build_pyramid(spark, images_g4, path, G=4, reducer="mean", run_id="t1")
+    assert spec.nlevels == 2  # 1024 px, tilesize 256 -> 2 levels
+    base = mosaic_pixels(G=4)
+    oracle = oracle_levels(base, "mean", spec.nlevels)
+    for z in range(spec.nlevels + 1):
+        got = assemble_level(spark, path, z, spec)
+        np.testing.assert_allclose(got, oracle[z], rtol=1e-12)
+    # level shapes: ceil(base / 2^z)
+    assert assemble_level(spark, path, 2, spec).shape == (256, 256)
+
+
+@pytest.mark.parametrize("reducer", ["min", "max", "sum"])
+def test_build_other_reducers(spark, images_g4, tmp_path, reducer):
+    path = str(tmp_path / f"pyr-{reducer}")
+    spec = build_pyramid(spark, images_g4, path, G=4, reducer=reducer, run_id="t2")
+    base = mosaic_pixels(G=4)
+    oracle = oracle_levels(base, reducer, spec.nlevels)
+    top = assemble_level(spark, path, spec.nlevels, spec)
+    np.testing.assert_allclose(top, oracle[-1])
+    # min/max consistency across levels (north-star correctness check)
+    if reducer == "min":
+        rows = read_tiles(spark, path).groupBy("z").min("vmin").collect()
+        mins = {r["z"]: r["min(vmin)"] for r in rows}
+        assert mins[spec.nlevels] == float(base.min())
+        assert all(mins[z] >= float(base.min()) for z in mins)
+    if reducer == "max":
+        rows = read_tiles(spark, path).groupBy("z").max("vmax").collect()
+        maxs = {r["z"]: r["max(vmax)"] for r in rows}
+        assert maxs[spec.nlevels] == float(base.max())
+        assert all(maxs[z] <= float(base.max()) for z in maxs)
+
+
+def test_build_mode_direct(spark, images_g4, tmp_path):
+    path = str(tmp_path / "pyr-mode")
+    spec = build_pyramid(
+        spark, images_g4, path, G=4, reducer="mode", recursive=False, run_id="t3"
+    )
+    base = mosaic_pixels(G=4)
+    for z in range(1, spec.nlevels + 1):
+        got = assemble_level(spark, path, z, spec)
+        np.testing.assert_array_equal(got, reduce_direct(base, "mode", z))
+        assert got.dtype == np.uint8
+
+
+def test_ragged_grid_g3(spark, tmp_path):
+    # G=3 -> 768 px base, level 1 = 384 px (2x2 tiles, ragged 128-px edges),
+    # level 2 = 192 px single ragged tile — ceil semantics end to end
+    images = spark.createDataFrame(synth_images(G=3), IMAGES_DDL)
+    path = str(tmp_path / "pyr3")
+    spec = build_pyramid(spark, images, path, G=3, reducer="mean", run_id="t4")
+    assert spec.nlevels == 2
+    base = mosaic_pixels(G=3)
+    oracle = oracle_levels(base, "mean", 2)
+    for z in (1, 2):
+        got = assemble_level(spark, path, z, spec)
+        assert got.shape == oracle[z].shape
+        np.testing.assert_allclose(got, oracle[z], rtol=1e-12)
+    l1 = read_level(spark, path, 1).collect()
+    widths = {(r["tx"], r["ty"]): (r["w"], r["h"]) for r in l1}
+    assert widths[(1, 1)] == (128, 128)  # ragged corner tile
+
+
+def test_manifest_lineage_and_resume(spark, images_g4, tmp_path):
+    path = str(tmp_path / "pyr-resume")
+    spec = build_pyramid(spark, images_g4, path, G=4, reducer="mean", run_id="r1")
+    m = read_manifest(spark, path)
+    rows = m.collect()
+    assert {r["z"] for r in rows} == {0, 1, 2}
+    assert all(r["reducer"] == "mean" and len(r["reducer_hash"]) == 16 for r in rows)
+    by_z = {z: sum(r["tile_count"] for r in rows if r["z"] == z) for z in (0, 1, 2)}
+    assert by_z == {0: 16, 1: 4, 2: 1}
+    assert committed_levels(spark, path, "r1") == [0, 1, 2]
+    # simulate a crash after level 1: drop level-2 data + its manifest rows
+    import shutil
+
+    shutil.rmtree(f"{path}/tiles/z=2")
+    m_keep = m.where("z < 2").collect()
+    shutil.rmtree(f"{path}/_manifest")
+    from pyramidscheme_jl_spark.sources.catalog import append_manifest
+
+    append_manifest(spark, path, [r.asDict() for r in m_keep])
+    assert committed_levels(spark, path, "r1") == [0, 1]
+    # resume completes only the missing level and the result is correct
+    build_pyramid(spark, images_g4, path, G=4, reducer="mean", run_id="r1", resume=True)
+    base = mosaic_pixels(G=4)
+    np.testing.assert_allclose(
+        assemble_level(spark, path, 2, spec), oracle_levels(base, "mean", 2)[2], rtol=1e-12
+    )
+    assert committed_levels(spark, path, "r1") == [0, 1, 2]
+
+
+def test_tile_columns_cell_extent(spark, images_g4, tmp_path):
+    path = str(tmp_path / "pyr-cols")
+    spec = build_pyramid(spark, images_g4, path, G=4, reducer="mean", run_id="t5")
+    rows = {(r["z"], r["tx"], r["ty"]): r for r in read_tiles(spark, path).collect()}
+    r = rows[(1, 1, 0)]
+    assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == (512.0, 0.0, 1024.0, 512.0)
+    from pyramidscheme_jl_spark.functions.cells import cell_to_xy
+
+    ix, iy, res = cell_to_xy(r["cell"])
+    assert (int(ix), int(iy), int(res)) == (1, 0, spec.cell_res(1))
+    # per-tile stats are exact
+    base = mosaic_pixels(G=4)
+    l1 = oracle_levels(base, "mean", 1)[1]
+    blk = l1[0:256, 256:512]
+    assert r["vmin"] == blk.min() and r["vmax"] == blk.max()
+    np.testing.assert_allclose(r["vmean"], blk.mean())
