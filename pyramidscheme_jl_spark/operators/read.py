@@ -1,0 +1,343 @@
+"""Read-side operators (SURVEY.md §2.4-§2.7): windowed reads, subsetting,
+elementwise maps, zip-joins (broadcast), equality, concatenation.
+
+Design: every read is a *pruned scan* — ``z`` is a partition column
+(partition pruning) and ``tx``/``ty`` are top-level int columns (parquet
+min/max row-group skipping), so the viewport query touches exactly one
+level and only intersecting tiles, the Spark analogue of the reference's
+``selectlevel`` chunk-pruned read (src/PyramidScheme.jl:447-467).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import decode_tile, encode_tile
+from ..plans.grid import agg_axis, extents_intersect, plan_window
+from ..sources.catalog import TILE_SCHEMA, read_level
+from .build import PyramidSpec, _rows_to_pdf, _tile_row
+
+# ---------------------------------------------------------------------------
+# L1-L3 + F1-F3: windowed viewport read
+# ---------------------------------------------------------------------------
+
+
+def read_window(
+    spark: SparkSession,
+    path: str,
+    spec: PyramidSpec,
+    extent: tuple[float, float, float, float],
+    target_imsize: tuple[int, int] = (1024, 512),
+):
+    """The signature read query (reference ``plot``/``selectlevel`` loop,
+    ext/PyramidSchemeMakieExt.jl:55-106): pick the level for the viewport,
+    scan only intersecting tiles of that level, crop, assemble.
+
+    Returns ``(array, x_axis, y_axis, z)``; array is ``<= target_imsize``
+    by construction so the driver-side assembly is small. Non-intersecting
+    extent short-circuits to an empty array (reference :456).
+    """
+    base_ext = (0.0, 0.0, float(spec.base_w), float(spec.base_h))
+    if not extents_intersect(extent, base_ext):
+        return np.zeros((0, 0)), np.zeros(0), np.zeros(0), 0
+    p = plan_window((spec.base_w, spec.base_h), spec.nlevels, extent, target_imsize, spec.tilesize)
+    rows = (
+        read_level(spark, path, p.z)
+        .where(F.col("tx").between(p.tx0, p.tx1) & F.col("ty").between(p.ty0, p.ty1))
+        .collect()
+    )
+    if not rows:
+        return np.zeros((0, 0)), np.zeros(0), np.zeros(0), p.z
+    dt = rows[0]["dtype"]
+    c = rows[0]["c"]
+    shape = (p.py1 - p.py0, p.px1 - p.px0) + ((c,) if c > 1 else ())
+    out = np.zeros(shape, dtype=np.dtype(dt))
+    T_ = spec.tilesize
+    for r in rows:
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+        gx0, gy0 = r["tx"] * T_, r["ty"] * T_  # level-pixel origin of the tile
+        sx0, sy0 = max(p.px0, gx0), max(p.py0, gy0)
+        sx1, sy1 = min(p.px1, gx0 + r["w"]), min(p.py1, gy0 + r["h"])
+        if sx1 <= sx0 or sy1 <= sy0:
+            continue
+        out[sy0 - p.py0 : sy1 - p.py0, sx0 - p.px0 : sx1 - p.px0] = a[
+            sy0 - gy0 : sy1 - gy0, sx0 - gx0 : sx1 - gx0
+        ]
+    # midpoint axes (agg_axis semantics, ref src/PyramidScheme.jl:297-304)
+    base_x = np.arange(spec.base_w, dtype=np.float64) + 0.5
+    base_y = np.arange(spec.base_h, dtype=np.float64) + 0.5
+    ax = agg_axis(base_x, 1 << p.z)[p.px0 : p.px1]
+    ay = agg_axis(base_y, 1 << p.z)[p.py0 : p.py1]
+    return out, ax, ay, p.z
+
+
+def subset_tiles(tiles: DataFrame, x0: int, x1: int, y0: int, y1: int, tilesize: int = 256) -> DataFrame:
+    """F1 ``rebuildsliced``: base-pixel range -> per-level tile predicates.
+
+    The level-z range is the bit-shifted base range (``levelindex``,
+    reference src/PyramidScheme.jl:128-136,161-164); all predicates are
+    JVM-side column expressions so Catalyst pushes them into the scan.
+    ``x1``/``y1`` are exclusive.
+    """
+    lo_tx = F.expr(f"shiftright({x0}, z)") / tilesize
+    hi_tx = F.expr(f"shiftright({x1 - 1}, z)") / tilesize
+    lo_ty = F.expr(f"shiftright({y0}, z)") / tilesize
+    hi_ty = F.expr(f"shiftright({y1 - 1}, z)") / tilesize
+    return tiles.where(
+        (F.col("tx") >= F.floor(lo_tx))
+        & (F.col("tx") <= F.floor(hi_tx))
+        & (F.col("ty") >= F.floor(lo_ty))
+        & (F.col("ty") <= F.floor(hi_ty))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P4 + J1: elementwise maps and zip-joins over whole pyramids
+# ---------------------------------------------------------------------------
+
+#: named elementwise kernels (deterministic, picklable — the "bring your own
+#: function" surface of the reference's broadcast, src/broadcast.jl:34-52)
+UNARY_OPS = {
+    "abs": np.abs,
+    "neg": np.negative,
+    "sqrt": np.sqrt,
+    "log2": lambda a: np.log2(a, out=np.full_like(a, np.nan, dtype=np.float64), where=a > 0),
+}
+BINARY_OPS = {
+    "add": np.add,
+    "sub": np.subtract,
+    "mul": np.multiply,
+    "lt": lambda a, b: (a < b).astype(np.uint8),
+    "gt": lambda a, b: (a > b).astype(np.uint8),
+}
+
+
+def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFrame:
+    """Apply a named elementwise op to every tile of every level at once
+    (embarrassingly parallel — one narrow mapInPandas, no shuffle).
+
+    ``scalar`` turns a binary op into `tile <op> scalar` (e.g. threshold
+    queries ``pyramid .< v``, docs/plotting_example.jl:16-18), and
+    ``replacenan``-style masking composes from (lt/gt, mul).
+    """
+    if op in UNARY_OPS:
+        fn = UNARY_OPS[op]
+        if scalar is not None:
+            raise ValueError(f"unary op {op!r} takes no scalar")
+    elif op in BINARY_OPS:
+        if scalar is None:
+            raise ValueError(f"binary op {op!r} over one pyramid needs a scalar")
+        base_fn = BINARY_OPS[op]
+        s = float(scalar)
+        fn = lambda a: base_fn(a, s)  # noqa: E731
+    else:
+        raise KeyError(f"unknown op {op!r}; unary={sorted(UNARY_OPS)} binary={sorted(BINARY_OPS)}")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+                out = fn(a)
+                d = r.to_dict()
+                af = out.astype(np.float64, copy=False)
+                d.update(
+                    bytes=encode_tile(out),
+                    dtype=str(out.dtype.name),
+                    vmin=float(np.nanmin(af)),
+                    vmax=float(np.nanmax(af)),
+                    vmean=float(np.nanmean(af)),
+                )
+                rows.append(d)
+            if rows:
+                yield _rows_to_pdf(rows)
+
+    return tiles.mapInPandas(gen, TILE_SCHEMA)
+
+
+def check_level_compat(a: DataFrame, b: DataFrame) -> int:
+    """Broadcast level-compat check (reference ``checklevelcompat``,
+    src/broadcast.jl:59-67): equal level counts or raise."""
+    na = a.agg(F.max("z")).collect()[0][0]
+    nb = b.agg(F.max("z")).collect()[0][0]
+    if na != nb:
+        raise ValueError(
+            f"pyramids have different level counts ({na} vs {nb}); "
+            "convert your input to a matching pyramid first"
+        )
+    return int(na)
+
+
+def zip_tiles(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
+    """Binary broadcast `A .op B` (reference src/broadcast.jl:34-52):
+    equi-join on (z, tx, ty) + vectorized kernel on the decoded pair.
+
+    The join is 1:1 on the tile key; Catalyst picks sort-merge or broadcast
+    (small upper levels broadcast automatically under AQE).
+    """
+    if op not in BINARY_OPS:
+        raise KeyError(f"unknown binary op {op!r}")
+    fn = BINARY_OPS[op]
+    check_level_compat(a, b)
+    rb = b.select(
+        F.col("z").alias("z2"),
+        F.col("tx").alias("tx2"),
+        F.col("ty").alias("ty2"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("dtype").alias("dtype_b"),
+    )
+    joined = a.join(
+        rb,
+        (F.col("z") == F.col("z2")) & (F.col("tx") == F.col("tx2")) & (F.col("ty") == F.col("ty2")),
+        "inner",
+    ).drop("z2", "tx2", "ty2")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+                y = decode_tile(r["bytes_b"], r["h"], r["w"], r["dtype_b"], r["c"])
+                out = fn(x, y)
+                d = {k: r[k] for k in (f.name for f in TILE_SCHEMA.fields)}
+                af = out.astype(np.float64, copy=False)
+                d.update(
+                    bytes=encode_tile(out),
+                    dtype=str(out.dtype.name),
+                    vmin=float(np.nanmin(af)),
+                    vmax=float(np.nanmax(af)),
+                    vmean=float(np.nanmean(af)),
+                )
+                rows.append(d)
+            if rows:
+                yield _rows_to_pdf(rows)
+
+    return joined.mapInPandas(gen, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# C1/C2: concatenation and structural equality
+# ---------------------------------------------------------------------------
+
+
+def pyramids_equal(a: DataFrame, b: DataFrame, rtol: float = 0.0) -> bool:
+    """C2 ``isequal`` (reference src/PyramidScheme.jl:92-100): equal level
+    counts, every level's tiles equal. Distributed: full outer join on the
+    tile key; any unmatched row or byte mismatch -> unequal.
+
+    ``rtol > 0`` decodes and compares allclose (the PSNR>=40dB hook for
+    future lossy codecs); default is exact byte equality (fmt='raw').
+    """
+    na = a.agg(F.max("z")).collect()[0][0]
+    nb = b.agg(F.max("z")).collect()[0][0]
+    if na != nb:
+        return False
+    kb = b.select(
+        F.col("z").alias("z2"),
+        F.col("tx").alias("tx2"),
+        F.col("ty").alias("ty2"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("dtype").alias("dtype_b"),
+        F.col("w").alias("w2"),
+        F.col("h").alias("h2"),
+        F.col("c").alias("c2"),
+    )
+    j = a.join(
+        kb,
+        (F.col("z") == F.col("z2")) & (F.col("tx") == F.col("tx2")) & (F.col("ty") == F.col("ty2")),
+        "full_outer",
+    )
+    if rtol == 0.0:
+        bad = j.where(
+            F.col("bytes").isNull()
+            | F.col("bytes_b").isNull()
+            | (F.col("bytes") != F.col("bytes_b"))
+        ).limit(1)
+        return bad.count() == 0
+    # allclose path: decode pairs in a UDF, count mismatching tiles
+    import pyspark.sql.types as T
+
+    def close(batches):
+        for pdf in batches:
+            bad = 0
+            for _, r in pdf.iterrows():
+                if r["bytes"] is None or r["bytes_b"] is None:
+                    bad += 1
+                    continue
+                x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+                y = decode_tile(r["bytes_b"], r["h2"], r["w2"], r["dtype_b"], r["c2"])
+                if x.shape != y.shape or not np.allclose(
+                    x.astype(np.float64), y.astype(np.float64), rtol=rtol, equal_nan=True
+                ):
+                    bad += 1
+            yield pd.DataFrame({"bad": [bad]})
+
+    tot = j.mapInPandas(close, T.StructType([T.StructField("bad", T.LongType())]))
+    return tot.agg(F.sum("bad")).collect()[0][0] == 0
+
+
+def cat_tiles_x(a: DataFrame, b: DataFrame, a_spec: PyramidSpec) -> DataFrame:
+    """C1 ``cat`` along X (reference src/PyramidScheme.jl:528-534,
+    test/runtests.jl:130-143): union of tile tables with B's tx shifted by
+    A's per-level tile count. Requires A's width to tile evenly at every
+    level (checked) so the grids align.
+    """
+    T_ = a_spec.tilesize
+    for z in range(a_spec.nlevels + 1):
+        lw = -(-a_spec.base_w // (1 << z))
+        if lw % T_ != 0:
+            raise ValueError(f"cat_x: left pyramid level {z} width {lw} not tile-aligned")
+    shift = F.expr(f"shiftright(cast({a_spec.base_w // T_} as int), z)")
+    shifted = b.withColumn("tx", (F.col("tx") + shift).cast("int")).withColumn(
+        "xmin", F.col("xmin") + a_spec.base_w
+    ).withColumn("xmax", F.col("xmax") + a_spec.base_w)
+    return a.unionByName(shifted)
+
+
+def stack_bands(a: DataFrame, b: DataFrame) -> DataFrame:
+    """C1 ``cat`` along a *new* dim: zip-join on the tile key, dstack the
+    decoded blocks into the channel axis (bands pass through aggregation
+    untouched, reference test/runtests.jl:145-166)."""
+    check_level_compat(a, b)
+    rb = b.select(
+        F.col("z").alias("z2"),
+        F.col("tx").alias("tx2"),
+        F.col("ty").alias("ty2"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("dtype").alias("dtype_b"),
+        F.col("c").alias("c2"),
+    )
+    joined = a.join(
+        rb,
+        (F.col("z") == F.col("z2")) & (F.col("tx") == F.col("tx2")) & (F.col("ty") == F.col("ty2")),
+        "inner",
+    ).drop("z2", "tx2", "ty2")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+                y = decode_tile(r["bytes_b"], r["h"], r["w"], r["dtype_b"], r["c2"])
+                if x.ndim == 2:
+                    x = x[:, :, None]
+                if y.ndim == 2:
+                    y = y[:, :, None]
+                out = np.concatenate([x, y.astype(x.dtype)], axis=2)
+                d = {k: r[k] for k in (f.name for f in TILE_SCHEMA.fields)}
+                af = out.astype(np.float64, copy=False)
+                d.update(
+                    bytes=encode_tile(out),
+                    c=out.shape[2],
+                    vmin=float(np.nanmin(af)),
+                    vmax=float(np.nanmax(af)),
+                    vmean=float(np.nanmean(af)),
+                )
+                rows.append(d)
+            if rows:
+                yield _rows_to_pdf(rows)
+
+    return joined.mapInPandas(gen, TILE_SCHEMA)
