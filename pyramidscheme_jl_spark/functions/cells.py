@@ -220,6 +220,36 @@ def _segments_intersect_rect(ring: np.ndarray, rx0, ry0, rx1, ry1) -> bool:
     return False
 
 
+def polygon_to_cells_classified(
+    ring: np.ndarray, res: int, world: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compact cover split into (cells, is_full) where ``is_full`` marks cells
+    entirely inside the polygon.
+
+    The distinction drives the filter+refine join (J3): points in *full*
+    cells are inside with no ray-cast at all — at scale that's the vast
+    majority, so the exact test runs only on the boundary shell.
+    """
+    cover = polygon_to_cells(ring, res, world, compact=True)
+    ring = np.asarray(ring, dtype=np.float64)
+    is_full = np.zeros(len(cover), dtype=bool)
+    ix, iy, r = cell_to_xy(cover)
+    for i in range(len(cover)):
+        size = world / (1 << int(r[i]))
+        x0, y0 = ix[i] * size, iy[i] * size
+        x1, y1 = x0 + size, y0 + size
+        corners = points_in_polygon(
+            np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]), ring
+        )
+        vert_in = (
+            (ring[:, 0] >= x0) & (ring[:, 0] <= x1) & (ring[:, 1] >= y0) & (ring[:, 1] <= y1)
+        ).any()
+        is_full[i] = bool(
+            corners.all() and not vert_in and not _segments_intersect_rect(ring, x0, y0, x1, y1)
+        )
+    return cover, is_full
+
+
 def polygon_to_cells(ring: np.ndarray, res: int, world: float, compact: bool = True) -> np.ndarray:
     """Compact cover of a polygon: recursive quadtree descent.
 

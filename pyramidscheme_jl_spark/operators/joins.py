@@ -1,0 +1,287 @@
+"""Spatial joins over the cell index (SURVEY.md §2.8, north rule J2-J6).
+
+The reference has no relational joins (its only binary op is the positional
+zip of broadcast, src/broadcast.jl:34-52); these operators are graft-mandated
+and designed Spark-first:
+
+- **Point-in-polygon (J3)** — filter+refine. Polygon *compact covers*
+  (driver-side planning over the dims-sized polygon table) split into
+  fully-interior and boundary cells; candidates come from one broadcast
+  equi-join on ancestor cells (zero shuffle of the fact side), and the
+  exact vectorized ray cast runs only on boundary-cell candidates in a
+  narrow mapInPandas stage. At 10^12 rows the fact table is never shuffled.
+- **kNN (J4)** — k-ring expansion: candidates = equi-join on the exploded
+  grid disk of each query cell, distance + ``row_number`` window for top-k,
+  driver loop doubles the ring until every query's k-th distance is covered
+  by the searched disk (exactness guarantee).
+- **Zonal aggregates (J5)** — PIP join then hash aggregate (Spark partial
+  aggregation handles most skew; ``salted_repartition`` is the explicit
+  escape hatch the north rule requires for dense-cell hotspots).
+- **bbox range join (J6)** — made equi by cover cells, refined by the exact
+  interval predicate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.cells import (
+    _RES_SHIFT,
+    cell_res,
+    grid_disk,
+    point_to_cell,
+    points_in_polygon,
+    polygon_to_cells_classified,
+)
+
+_MORTON_MASK = (1 << _RES_SHIFT) - 1
+
+
+def with_point_cells(points: DataFrame, res: int, world: float) -> DataFrame:
+    """Batched cell encoding (north rule J2): one vectorized pandas UDF."""
+
+    @F.pandas_udf("long")
+    def enc(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(point_to_cell(x.to_numpy(), y.to_numpy(), res, world))
+
+    return points.withColumn("cell", enc("x", "y"))
+
+
+def parent_cell_expr(cell_col: str, from_res: int, to_res: int):
+    """JVM-side ancestor arithmetic — no UDF in the join key path."""
+    if to_res > from_res:
+        raise ValueError("to_res must be <= from_res")
+    shift = 2 * (from_res - to_res)
+    return (
+        F.lit(to_res << _RES_SHIFT)
+        + F.shiftright(F.col(cell_col).bitwiseAND(F.lit(_MORTON_MASK)), shift)
+    ).cast("long")
+
+
+def salted_repartition(df: DataFrame, key_cols: list[str], buckets: int) -> DataFrame:
+    """Explicit skew salting (north rule O11): spread each hot key over
+    ``buckets`` partitions. Use before per-key heavy stages
+    (applyInPandas over skewed groups); plain algebraic aggs don't need it
+    (map-side partial aggregation already absorbs skew)."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in key_cols], F.monotonically_increasing_id()), F.lit(buckets))
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # explicit numPartitions marks the shuffle user-specified so AQE keeps it
+    return (
+        df.withColumn("_salt", salt)
+        .repartition(n, *[F.col(c) for c in key_cols], F.col("_salt"))
+        .drop("_salt")
+    )
+
+
+def _covers_df(
+    spark: SparkSession, polygons: list[dict], res: int, world: float
+) -> tuple[DataFrame, dict[str, np.ndarray], list[int]]:
+    """Driver-side planning: compact covers for each polygon (dims-sized)."""
+    rows = []
+    rings: dict[str, np.ndarray] = {}
+    for p in polygons:
+        ring = np.asarray(p["ring"], dtype=np.float64)
+        rings[p["polygon_id"]] = ring
+        cells, is_full = polygon_to_cells_classified(ring, res, world)
+        for c, f in zip(cells.tolist(), is_full.tolist()):
+            rows.append((p["polygon_id"], int(c), int(cell_res(np.int64(c))), bool(f)))
+    schema = "polygon_id string, cover_cell long, cover_res int, is_full boolean"
+    covers = spark.createDataFrame(rows, schema)
+    ress = sorted({r[2] for r in rows})
+    return covers, rings, ress
+
+
+def point_in_polygon_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: list[dict],
+    res: int,
+    world: float,
+) -> DataFrame:
+    """J3: (point_id, x, y, polygon_id) pairs — exact even-odd semantics.
+
+    points must carry ``cell`` at resolution ``res`` (``with_point_cells``).
+    Plan shape: broadcast-join fact rows against the tiny cover table on
+    each cover resolution's ancestor key (union over the 1-4 distinct
+    resolutions), then a *narrow* vectorized ray-cast refine for boundary
+    cells only. The fact table is never shuffled and never ray-casts
+    interior hits.
+    """
+    covers, rings, ress = _covers_df(spark, polygons, res, world)
+    cand = None
+    for r in ress:
+        c_r = covers.where(F.col("cover_res") == r)
+        p_r = points.withColumn("jcell", parent_cell_expr("cell", res, r))
+        j = p_r.join(
+            F.broadcast(c_r), p_r["jcell"] == c_r["cover_cell"], "inner"
+        ).select("point_id", "x", "y", "polygon_id", "is_full")
+        cand = j if cand is None else cand.unionByName(j)
+
+    ring_items = sorted(rings.items())  # deterministic closure
+    out_schema = T.StructType(
+        [
+            T.StructField("point_id", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("polygon_id", T.StringType()),
+        ]
+    )
+
+    def refine(batches):
+        ringmap = dict(ring_items)
+        for pdf in batches:
+            keep_full = pdf[pdf["is_full"]]
+            parts = [keep_full[["point_id", "x", "y", "polygon_id"]]]
+            border = pdf[~pdf["is_full"]]
+            for pid, grp in border.groupby("polygon_id", sort=False):
+                inside = points_in_polygon(
+                    grp["x"].to_numpy(), grp["y"].to_numpy(), ringmap[pid]
+                )
+                parts.append(grp.loc[inside, ["point_id", "x", "y", "polygon_id"]])
+            yield pd.concat(parts, ignore_index=True)
+
+    return cand.mapInPandas(refine, out_schema)
+
+
+def zonal_stats(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: list[dict],
+    res: int,
+    world: float,
+    value_col: str = "value",
+) -> DataFrame:
+    """J5: per-polygon aggregates of a point attribute (count/mean/min/max/sum).
+
+    PIP join -> hash aggregate. Partial (map-side) aggregation makes the
+    shuffle carry one row per (partition, polygon) — skew-proof for
+    algebraic aggs regardless of hotspot density.
+    """
+    src = points.select("point_id", "x", "y", "cell", value_col)
+    pairs = point_in_polygon_join(spark, src, polygons, res, world)
+    joined = pairs.join(src.select("point_id", value_col), "point_id")
+    return joined.groupBy("polygon_id").agg(
+        F.count("*").alias("n"),
+        F.avg(value_col).alias("mean_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.sum(value_col).alias("sum_value"),
+    )
+
+
+def knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    res: int,
+    world: float,
+    start_ring: int = 1,
+    max_ring: int | None = None,
+) -> DataFrame:
+    """J4: exact k nearest data points per query via k-ring expansion.
+
+    Driver loop: candidates = equi-join on the exploded grid disk of each
+    unresolved query's cell; a query is *settled* once it has >= k
+    candidates and its k-th distance is covered by the searched disk
+    (``dist_k <= ring * cell_size`` — anything outside the disk is farther).
+    Unsettled queries double the ring. Ties broken by (dist, point_id) for
+    determinism.
+
+    Both sides carry ``cell`` at resolution ``res``. Data-side join key is
+    the plain cell; query side explodes its disk (fan = (2r+1)^2, bounded by
+    the loop), so the big fact side is hash-partitioned once per round and
+    the skew lands on the small exploded side where AQE splits it.
+    """
+    cell_size = world / (1 << res)
+    max_ring = max_ring or (1 << res)
+    remaining = queries.select("point_id", "x", "y", "cell").withColumnRenamed(
+        "point_id", "query_id"
+    )
+    d = data.select(
+        F.col("point_id").alias("n_id"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.col("cell").alias("ncell"),
+    )
+    results = None
+    ring = start_ring
+    while True:
+        disk_sz = 2 * ring + 1
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def disk_udf(cells: pd.Series) -> pd.Series:
+            disks = grid_disk(cells.to_numpy(), ring)
+            return pd.Series([np.unique(row).tolist() for row in disks])
+
+        cand = (
+            remaining.withColumn("jcell", F.explode(disk_udf("cell")))
+            .join(d, F.col("jcell") == F.col("ncell"), "inner")
+            .withColumn(
+                "dist",
+                F.sqrt(
+                    (F.col("x") - F.col("nx")) ** 2 + (F.col("y") - F.col("ny")) ** 2
+                ),
+            )
+        )
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "n_id", "dist", "rank")
+        )
+        # settled: k-th neighbor within the guaranteed-covered radius
+        # (or the disk already spans the whole world -> exact by exhaustion)
+        counts = topk.groupBy("query_id").agg(
+            F.count("*").alias("nc"), F.max("dist").alias("dk")
+        )
+        guaranteed = float(ring) * cell_size
+        if ring >= (1 << res):
+            settled_ids = counts.select("query_id")
+        else:
+            settled_ids = counts.where(
+                (F.col("nc") >= k) & (F.col("dk") <= guaranteed)
+            ).select("query_id")
+        settled = topk.join(settled_ids, "query_id", "left_semi")
+        results = settled if results is None else results.unionByName(settled)
+        remaining = remaining.join(
+            settled_ids.withColumnRenamed("query_id", "point_id"),
+            remaining["query_id"] == F.col("point_id"),
+            "left_anti",
+        )
+        results = results.localCheckpoint(eager=True)  # truncate the loop's lineage
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.isEmpty() or ring >= (1 << res) or ring >= max_ring:
+            break
+        ring = min(ring * 2, 1 << res)
+    return results
+
+
+def bbox_join(
+    tiles: DataFrame, boxes: DataFrame, res0: int
+) -> DataFrame:
+    """J6: tile-bbox x query-bbox overlap join.
+
+    Equi part: same-resolution cell prefix (tiles carry ``cell``; boxes carry
+    an exploded ``cover_cell`` list at matching resolutions). Here we take
+    the simpler exact form usable on dims-sized box sets: broadcast the
+    boxes and evaluate the interval predicate JVM-side — Catalyst turns it
+    into a BroadcastNestedLoopJoin with a pushed predicate, which is the
+    right plan when boxes are small; for large box sets use the cover-cell
+    equi path (point_in_polygon_join with rect rings).
+    """
+    b = F.broadcast(boxes)
+    return tiles.join(
+        b,
+        (tiles["xmin"] < b["qxmax"])
+        & (tiles["xmax"] > b["qxmin"])
+        & (tiles["ymin"] < b["qymax"])
+        & (tiles["ymax"] > b["qymin"]),
+        "inner",
+    )

@@ -1,0 +1,147 @@
+"""Spatial joins vs brute-force oracles (north rule J2-J6)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyramidscheme_jl_spark.functions.cells import points_in_polygon
+from pyramidscheme_jl_spark.operators.joins import (
+    knn_join,
+    parent_cell_expr,
+    point_in_polygon_join,
+    salted_repartition,
+    with_point_cells,
+    zonal_stats,
+)
+from pyramidscheme_jl_spark.sources.synth import POINTS_DDL, synth_points, synth_polygons
+
+WORLD = 1024.0
+RES = 5  # 32x32 cells over the world
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = synth_points(WORLD, n_side=32)
+    df = spark.createDataFrame([(r["point_id"], r["x"], r["y"]) for r in rows], POINTS_DDL)
+    return with_point_cells(df, RES, WORLD).cache()
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    return synth_polygons(WORLD)
+
+
+def oracle_pip(rows, polygons):
+    out = set()
+    for p in polygons:
+        ring = np.asarray(p["ring"])
+        for r in rows:
+            if points_in_polygon(np.array([r["x"]]), np.array([r["y"]]), ring)[0]:
+                out.add((r["point_id"], p["polygon_id"]))
+    return out
+
+
+def test_pip_join_exact(spark, points, polygons):
+    got = {
+        (r["point_id"], r["polygon_id"])
+        for r in point_in_polygon_join(spark, points, polygons, RES, WORLD).collect()
+    }
+    want = oracle_pip(points.collect(), polygons)
+    assert got == want
+    assert len(got) > 100  # non-trivial fixture
+
+
+def test_pip_boundary_points(spark, points, polygons):
+    # the synthetic boundary probes pin the half-open rule end to end
+    pairs = {
+        (r["point_id"], r["polygon_id"])
+        for r in point_in_polygon_join(spark, points, polygons, RES, WORLD).collect()
+    }
+    rows = {r["point_id"]: r for r in points.collect()}
+    probes = [p for p in rows if int(p.split("-")[1]) >= 32 * 32]
+    for pid in probes:
+        r = rows[pid]
+        for poly in polygons:
+            ring = np.asarray(poly["ring"])
+            want = bool(points_in_polygon(np.array([r["x"]]), np.array([r["y"]]), ring)[0])
+            assert ((pid, poly["polygon_id"]) in pairs) == want
+
+
+def test_parent_cell_expr_matches_numpy(spark, points):
+    from pyramidscheme_jl_spark.functions.cells import cell_to_parent
+
+    pdf = points.withColumn("p3", parent_cell_expr("cell", RES, 3)).toPandas()
+    np.testing.assert_array_equal(
+        pdf["p3"].to_numpy(), cell_to_parent(pdf["cell"].to_numpy(), 3)
+    )
+
+
+def test_zonal_stats(spark, points, polygons):
+    pts = points.withColumn("value", F.col("x") + F.col("y"))
+    z = {r["polygon_id"]: r for r in zonal_stats(spark, pts, polygons, RES, WORLD).collect()}
+    # oracle for rect-a: points strictly inside by the half-open rule
+    rows = pts.collect()
+    want = [r for r in rows if (r["point_id"], "rect-a") in oracle_pip(rows, polygons)]
+    assert z["rect-a"]["n"] == len(want)
+    assert z["rect-a"]["sum_value"] == pytest.approx(sum(r["value"] for r in want))
+    assert z["rect-a"]["mean_value"] == pytest.approx(
+        sum(r["value"] for r in want) / len(want)
+    )
+
+
+def oracle_knn(queries, data, k):
+    out = {}
+    for q in queries:
+        ds = sorted(
+            ((np.hypot(q["x"] - d["x"], q["y"] - d["y"]), d["point_id"]) for d in data
+             if d["point_id"] != q["point_id"]),
+        )
+        out[q["point_id"]] = [pid for _, pid in ds[:k]]
+    return out
+
+
+def test_knn_exact_vs_bruteforce(spark, points):
+    # queries: a small deterministic subset; data: everyone else
+    all_rows = points.collect()
+    qids = {f"pt-{i:06d}" for i in (0, 17, 500, 1023, 333)}
+    queries = points.where(F.col("point_id").isin(list(qids)))
+    data = points.where(~F.col("point_id").isin(list(qids)))
+    got = knn_join(spark, queries, data, k=3, res=RES, world=WORLD).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["n_id"], r["dist"]))
+    want = oracle_knn(
+        [r for r in all_rows if r["point_id"] in qids],
+        [r for r in all_rows if r["point_id"] not in qids],
+        3,
+    )
+    assert set(by_q) == qids
+    for q in qids:
+        ids = [nid for _, nid, _ in sorted(by_q[q])]
+        assert ids == want[q], f"knn mismatch for {q}"
+        assert len(by_q[q]) == 3
+
+
+def test_knn_needs_expansion(spark):
+    # sparse data forces the ring loop to expand at least once
+    import pandas as pd
+
+    qs = spark.createDataFrame([("q0", 10.0, 10.0)], POINTS_DDL)
+    ds = spark.createDataFrame(
+        [("d0", 900.0, 900.0), ("d1", 800.0, 100.0), ("d2", 100.0, 820.0)], POINTS_DDL
+    )
+    q = with_point_cells(qs, RES, WORLD)
+    d = with_point_cells(ds, RES, WORLD)
+    got = sorted(
+        (r["rank"], r["n_id"]) for r in knn_join(spark, q, d, k=2, res=RES, world=WORLD).collect()
+    )
+    # brute force: d1 dist ~ hypot(790,90)=795.1, d2 ~ hypot(90,810)=815, d0 ~ 1258.7
+    assert got == [(1, "d1"), (2, "d2")]
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(0, 10000).withColumn("key", F.lit("hot"))
+    out = salted_repartition(df, ["key"], 8)
+    parts = out.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().collect()
+    assert len(parts) >= 4  # one hot key now spans several partitions
+    assert out.count() == 10000
