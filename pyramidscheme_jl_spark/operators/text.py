@@ -1,0 +1,111 @@
+"""Text analysis operators (language ID, quality, tokens, fingerprints).
+
+Everything is built-in ``pyspark.sql.functions`` column expressions — the
+whole module stays inside whole-stage codegen, no Python in the hot path,
+and every operator has an exact DuckDB SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword profiles for the n-gram/stopword language
+#: heuristic (language-ID at pipeline scale is a lookup-scored UDF-free scan)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "data": ["table", "row", "column", "join", "query"],
+    "stream": ["stream", "window", "batch", "event", "watermark"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting + quality raw features per document:
+    token count (whitespace), distinct tokens, char count, max token length,
+    and a BPE-ish subword count (4-char chunks of each token, rounded up —
+    a deterministic stand-in for byte-pair merges)."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(text_col).alias("n_chars"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")
+        ).alias("n_subwords"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: F.greatest(acc, F.length(t))
+        ).alias("max_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: integer millis-scaled composite of
+    type-token ratio, mean token length band, and length band — monotone
+    features a filter stage thresholds on. Integer output keeps the oracle
+    hash-exact."""
+    s = token_stats(df, text_col, id_col)
+    # F.floor (not cast) everywhere: DuckDB's double->bigint cast *rounds*
+    # while Spark's truncates — floor is the only portable integerization
+    ttr_m = F.floor(F.col("n_distinct") * 1000 / F.col("n_tokens")).cast("long")
+    len_ok = F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 512), 1000).otherwise(0)
+    tok_len_m = F.floor(
+        F.col("n_chars") * 1000 / F.greatest(F.col("n_tokens"), F.lit(1))
+    ).cast("long")
+    return s.select(
+        "id",
+        "n_tokens",
+        ttr_m.alias("ttr_milli"),
+        tok_len_m.alias("mean_tok_len_milli"),
+        F.floor((ttr_m + len_ok) / 2).cast("long").alias("quality_milli"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language/domain ID: score each profile by counting
+    profile tokens, predict the argmax (ties -> lexicographically first
+    profile, deterministic)."""
+    toks = F.split(F.col(text_col), " ")
+    scores = {
+        name: F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(t.isin(words), 1).otherwise(0),
+        )
+        for name, words in STOPWORDS.items()
+    }
+    cols = [F.col(id_col).alias("id")] + [s.alias(f"score_{n}") for n, s in scores.items()]
+    scored = df.select(*cols)
+    names = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{n}") for n in names])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{n}") == best, F.lit(n)) for n in names]
+    )
+    return scored.select("id", *[f"score_{n}" for n in names], pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Document fingerprinting: 60-bit hash of the first-k-token prefix plus
+    a rolling polynomial hash over all tokens — order-sensitive, exact.
+
+    Rolling modulus is 2^31-1 with 28-bit token hashes so every intermediate
+    (acc*1000003 + h < 2^52) stays exactly representable in int64 in any
+    engine — the portability constraint that makes the DuckDB twin
+    bit-identical.
+    """
+    P = (1 << 31) - 1
+    toks = F.split(F.col(text_col), " ")
+    prefix = F.concat_ws(" ", F.slice(toks, 1, k))
+    prefix_fp = F.conv(F.substring(F.md5(prefix), 1, 15), 16, 10).cast("long")
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * 1000003 + F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+        ) % P,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        prefix_fp.alias("prefix_fp"),
+        rolling.alias("rolling_fp"),
+    )
