@@ -1,0 +1,155 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the two
+north-rule throughput numbers (pyramid-build tiles/sec, point-in-polygon
+join rows/sec) on deterministic synthetic data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "tiles_per_sec": ..., "pip_rows_per_sec": ..., "cpus": ...}
+
+Scaling evidence (local[8] vs local[32]) lives in tools/scaling_bench.py ->
+BENCH/BASELINE.md; this script is the single-config per-round loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "block_agg_mean",
+    "block_agg_mode",
+    "rollup_multilevel",
+    "bbox_join",
+    "zonal_agg",
+    "knn",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_lsh",
+    "simhash",
+    "text_quality",
+    "fingerprint",
+    "embedding_topk",
+    "embedding_lsh_buckets",
+]
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_g = int(os.environ.get("SPARK_GRAFT_BENCH_G", "64"))
+    pip_side = int(os.environ.get("SPARK_GRAFT_BENCH_PIP_SIDE", "512"))
+
+    import __spark_entry__ as E
+    from pyramidscheme_jl_spark.operators.build import build_pyramid
+    from pyramidscheme_jl_spark.operators.joins import (
+        point_in_polygon_join,
+        with_point_cells,
+    )
+    from pyramidscheme_jl_spark.session import get_spark
+    from pyramidscheme_jl_spark.sources.synth import (
+        IMAGES_DDL,
+        POINTS_DDL,
+        synth_images,
+        synth_points,
+        synth_polygons,
+    )
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Python-worker pool with a package-touching UDF so timings
+    # measure steady-state throughput, not the one-time fork+import storm
+    import pandas as pd
+
+    def _warm(batches):
+        from pyramidscheme_jl_spark.functions.codec import decode_tile  # noqa: F401
+
+        for pdf in batches:
+            yield pd.DataFrame({"x": [len(pdf)]})
+
+    spark.range(0, cpus * 2, 1, cpus).mapInPandas(_warm, "x long").count()
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _noop_write(qs[name](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # pyramid build throughput: G x G mosaic of 256^2 tiles (+25% skew shard)
+    tmp = tempfile.mkdtemp(prefix="bench_pyr_")
+    try:
+        rows = synth_images(G=bench_g)
+        images = spark.createDataFrame(rows, IMAGES_DDL).repartition(cpus).cache()
+        n_base = images.count()
+        t0 = time.perf_counter()
+        # materialize_base=False == reference buildpyramids semantics (levels
+        # only, base never copied) — the honest 100 TB configuration
+        spec = build_pyramid(
+            spark, images, f"{tmp}/pyr", G=bench_g, reducer="mean",
+            run_id="bench", materialize_base=False,
+        )
+        dt_build = time.perf_counter() - t0
+        # tiles *written* (levels 1..n; base stays the input table)
+        n_tiles = sum(
+            ((bench_g + (1 << z) - 1) // (1 << z)) ** 2 for z in range(1, spec.nlevels + 1)
+        )
+        timings["pyramid_build"] = round(dt_build, 3)
+        total += dt_build
+        tiles_per_sec = n_tiles / dt_build
+        base_px_per_sec = n_base * 256 * 256 / dt_build
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # spatial-join throughput: PIP over a dense lattice + skew hotspot corner
+    world = 1024.0
+    pts_rows = synth_points(world, n_side=pip_side)
+    pts = spark.createDataFrame(
+        [(r["point_id"], r["x"], r["y"]) for r in pts_rows], POINTS_DDL
+    )
+    pts = with_point_cells(pts.repartition(cpus), 6, world).cache()
+    n_pts = pts.count()
+    polys = synth_polygons(world)
+    t0 = time.perf_counter()
+    n_pairs = point_in_polygon_join(spark, pts, polys, 6, world).count()
+    dt_pip = time.perf_counter() - t0
+    timings["pip_join"] = round(dt_pip, 3)
+    total += dt_pip
+
+    print(
+        json.dumps(
+            {
+                "metric": "pyramid-build tiles/sec + spatial-join rows/sec + headline query latencies",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "tiles_per_sec": round(tiles_per_sec, 1),
+                "base_px_per_sec": round(base_px_per_sec, 1),
+                "pip_points": n_pts,
+                "pip_pairs": n_pairs,
+                "pip_rows_per_sec": round(n_pts / dt_pip, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

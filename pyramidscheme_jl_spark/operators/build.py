@@ -50,6 +50,7 @@ from ..sources.catalog import (
     manifest_lineage,
     read_level,
     write_level,
+    write_level_driver,
 )
 
 QUARTER_SCHEMA = T.StructType(
@@ -220,6 +221,37 @@ def build_level(prev: DataFrame, z: int, spec: PyramidSpec, reducer: str) -> Dat
     return quarters.groupBy("ptx", "pty").applyInPandas(_assemble_parent(spec, z), TILE_SCHEMA)
 
 
+def build_tail_driver(prev_rows: list, z_start: int, spec: PyramidSpec, reducer: str) -> dict[int, list[dict]]:
+    """Tail fusion: finish the (tiny) top levels driver-side in pure numpy.
+
+    Once a level fits in a handful of tiles, the remaining log4 levels are
+    kilobytes — any distributed stage is pure fixed overhead (the reference
+    runs its whole build in one windowed kernel for the same reason,
+    src/PyramidScheme.jl:216-253). One collect of the <=threshold tiles,
+    numpy reduce chain, direct parquet writes. Returns {z: tile_rows}.
+    """
+    T_ = spec.tilesize
+    c = int(prev_rows[0]["c"])
+    dt = prev_rows[0]["dtype"]
+    W = max(r["tx"] * T_ + r["w"] for r in prev_rows)
+    H = max(r["ty"] * T_ + r["h"] for r in prev_rows)
+    shape = (H, W, c) if c > 1 else (H, W)
+    plane = np.zeros(shape, dtype=np.dtype(dt))
+    for r in prev_rows:
+        a = decode_tile(r["bytes"], int(r["h"]), int(r["w"]), dt, c)
+        plane[r["ty"] * T_ : r["ty"] * T_ + r["h"], r["tx"] * T_ : r["tx"] * T_ + r["w"]] = a
+    out: dict[int, list[dict]] = {}
+    for z in range(z_start, spec.nlevels + 1):
+        plane = block_reduce(plane, reducer)
+        rows = []
+        for ty in range(-(-plane.shape[0] // T_)):
+            for tx in range(-(-plane.shape[1] // T_)):
+                blk = plane[ty * T_ : (ty + 1) * T_, tx * T_ : (tx + 1) * T_]
+                rows.append(_tile_row(spec, z, tx, ty, blk))
+        out[z] = rows
+    return out
+
+
 def build_level_direct(base: DataFrame, z: int, spec: PyramidSpec, reducer: str) -> DataFrame:
     """Direct (non-recursive) build: level z straight from the base.
 
@@ -263,6 +295,8 @@ def build_pyramid(
     run_id: str = "run-0",
     tilesize: int = 256,
     resume: bool = False,
+    fuse_threshold: int = 64,
+    materialize_base: bool = True,
 ) -> PyramidSpec:
     """Full build: base ingest + one checkpointed Spark job per level.
 
@@ -274,6 +308,10 @@ def build_pyramid(
 
     if reducer not in REDUCERS:  # fail fast at plan time, not inside a job
         raise KeyError(f"unknown reducer {reducer!r}; supported: {REDUCERS}")
+    import os
+    import time
+
+    verbose = os.environ.get("PYRAMID_BUILD_VERBOSE", "") not in ("", "0")
     spec = PyramidSpec(G * tilesize, G * tilesize, tilesize)
     rhash = reducer_hash(reducer)
     done = set(committed_levels(spark, path, run_id)) if resume else set()
@@ -281,23 +319,80 @@ def build_pyramid(
 
     def commit(df: DataFrame, z: int) -> None:
         nonlocal ordinal
+        t0 = time.perf_counter()
         write_level(df, path, z)
-        written = read_level(spark, path, z)
         append_manifest(
-            spark, path, manifest_lineage(written, run_id, z, reducer, rhash, ordinal)
+            spark, path, manifest_lineage(path, z, run_id, reducer, rhash, ordinal)
         )
+        if verbose:
+            print(f"[build] level {z} committed in {time.perf_counter() - t0:.2f}s", flush=True)
         ordinal += 1
 
+    def base_view() -> DataFrame:
+        return base_tiles_from_images(images, G, spec)
+
+    def prev_level(z: int) -> DataFrame:
+        if z == 0 and not materialize_base:
+            return base_view()
+        return read_level(spark, path, z)
+
     if 0 not in done:
-        commit(base_tiles_from_images(images, G, spec), 0)
-    for z in range(1, spec.nlevels + 1):
+        if materialize_base:
+            commit(base_view(), 0)
+        else:
+            # base stays the images table (reference parity: buildpyramids
+            # writes only levels 1..n, never copies the base — at 10^12
+            # images a z=0 copy would double storage and I/O); the manifest
+            # still records the commit for resume bookkeeping.
+            append_manifest(
+                spark,
+                path,
+                [
+                    {
+                        "run_id": run_id,
+                        "z": 0,
+                        "partition_id": -1,
+                        "tile_count": -1,
+                        "bytes": -1,
+                        "reducer": reducer,
+                        "reducer_hash": rhash,
+                        "committed_at_ordinal": 0,
+                    }
+                ],
+            )
+            ordinal += 1
+    z = 1
+    while z <= spec.nlevels:
         if z in done:
             ordinal += 1
+            z += 1
             continue
+        ntx, nty = tile_count((spec.base_w, spec.base_h), z - 1, tilesize)
+        remaining = spec.nlevels - z + 1
+        if recursive and remaining >= 2 and ntx * nty <= fuse_threshold and (z > 1 or materialize_base):
+            # tail fusion: collect the tiny level, finish driver-side
+            prev_rows = [r.asDict() for r in prev_level(z - 1).collect()]
+            t0 = time.perf_counter()
+            tail = build_tail_driver(prev_rows, z, spec, reducer)
+            for zz in range(z, spec.nlevels + 1):
+                if zz in done:
+                    ordinal += 1
+                    continue
+                write_level_driver(tail[zz], path, zz)
+                append_manifest(
+                    spark, path, manifest_lineage(path, zz, run_id, reducer, rhash, ordinal)
+                )
+                ordinal += 1
+            if verbose:
+                print(
+                    f"[build] tail levels {z}..{spec.nlevels} fused driver-side "
+                    f"in {time.perf_counter() - t0:.2f}s",
+                    flush=True,
+                )
+            break
         if recursive:
-            prev = read_level(spark, path, z - 1)
-            commit(build_level(prev, z, spec, reducer), z)
+            commit(build_level(prev_level(z - 1), z, spec, reducer), z)
         else:
-            base = read_level(spark, path, 0)
-            commit(build_level_direct(base, z, spec, reducer), z)
+            commit(build_level_direct(prev_level(0), z, spec, reducer), z)
+        z += 1
     return spec

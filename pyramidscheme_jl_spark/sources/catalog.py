@@ -69,6 +69,42 @@ def level_path(path: str, z: int) -> str:
     return f"{path}/tiles/z={z}"
 
 
+def write_level_driver(rows: list[dict], path: str, z: int) -> None:
+    """Write a (small) level directly with pyarrow — used by tail fusion for
+    the pyramid tip, where a Spark job is pure overhead. Produces the same
+    layout/schema as ``write_level`` so readers can't tell the difference."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = level_path(path, z)
+    shutil.rmtree(d, ignore_errors=True)  # idempotent like mode=overwrite
+    os.makedirs(d, exist_ok=True)
+    arrow_types = {
+        "tx": pa.int32(),
+        "ty": pa.int32(),
+        "bytes": pa.binary(),
+        "w": pa.int32(),
+        "h": pa.int32(),
+        "c": pa.int32(),
+        "dtype": pa.string(),
+        "vmin": pa.float64(),
+        "vmax": pa.float64(),
+        "vmean": pa.float64(),
+        "cell": pa.int64(),
+        "xmin": pa.float64(),
+        "ymin": pa.float64(),
+        "xmax": pa.float64(),
+        "ymax": pa.float64(),
+    }
+    table = pa.table(
+        {c: pa.array([r[c] for r in rows], t) for c, t in arrow_types.items()}
+    )
+    pq.write_table(table, os.path.join(d, "part-00000-driver.parquet"), compression="zstd")
+
+
 def write_level(df: DataFrame, path: str, z: int) -> None:
     """Checkpoint one pyramid level (idempotent: overwrite its partition)."""
     df.select(*TILE_DATA_COLS).write.mode("overwrite").parquet(level_path(path, z))
@@ -85,9 +121,30 @@ def read_tiles(spark: SparkSession, path: str) -> DataFrame:
 
 
 def append_manifest(spark: SparkSession, path: str, rows: list[dict]) -> None:
-    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
-        f"{path}/_manifest"
+    """Manifest rows are driver-side metadata (a handful per level commit) —
+    written directly with pyarrow, not a Spark job. A job here would add
+    seconds of fixed overhead per level for kilobytes of data."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{path}/_manifest", exist_ok=True)
+    cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA.fields}
+    table = pa.table(
+        {
+            "run_id": pa.array(cols["run_id"], pa.string()),
+            "z": pa.array(cols["z"], pa.int32()),
+            "partition_id": pa.array(cols["partition_id"], pa.int32()),
+            "tile_count": pa.array(cols["tile_count"], pa.int64()),
+            "bytes": pa.array(cols["bytes"], pa.int64()),
+            "reducer": pa.array(cols["reducer"], pa.string()),
+            "reducer_hash": pa.array(cols["reducer_hash"], pa.string()),
+            "committed_at_ordinal": pa.array(cols["committed_at_ordinal"], pa.int64()),
+        }
     )
+    pq.write_table(table, f"{path}/_manifest/commit-{uuid.uuid4().hex}.parquet")
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -105,27 +162,34 @@ def committed_levels(spark: SparkSession, path: str, run_id: str | None = None) 
     return sorted(r[0] for r in m.select("z").distinct().collect())
 
 
-def manifest_lineage(df: DataFrame, run_id: str, z: int, reducer: str, rhash: str, ordinal: int) -> list[dict]:
-    """Per-(Spark-)partition lineage rows for a level about to be committed."""
-    agg = (
-        df.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("tile_count"),
-            F.sum(F.length("bytes")).alias("bytes"),
-        )
-        .collect()
+def manifest_lineage(
+    path: str, z: int, run_id: str, reducer: str, rhash: str, ordinal: int
+) -> list[dict]:
+    """Per-partition lineage rows for a just-written level, from parquet
+    FOOTER metadata only (row counts + file sizes) — no data pages are read
+    and no Spark job runs. partition_id == output file index."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = level_path(path, z)
+    files = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith("_")
     )
-    return [
-        {
-            "run_id": run_id,
-            "z": int(z),
-            "partition_id": int(r["partition_id"]),
-            "tile_count": int(r["tile_count"]),
-            "bytes": int(r["bytes"]),
-            "reducer": reducer,
-            "reducer_hash": rhash,
-            "committed_at_ordinal": int(ordinal),
-        }
-        for r in agg
-    ]
+    rows = []
+    for i, f in enumerate(files):
+        fp = os.path.join(d, f)
+        meta = pq.read_metadata(fp)
+        rows.append(
+            {
+                "run_id": run_id,
+                "z": int(z),
+                "partition_id": i,
+                "tile_count": int(meta.num_rows),
+                "bytes": int(os.path.getsize(fp)),
+                "reducer": reducer,
+                "reducer_hash": rhash,
+                "committed_at_ordinal": int(ordinal),
+            }
+        )
+    return rows
