@@ -139,10 +139,10 @@ def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFra
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
                 out = fn(a)
-                d = r.to_dict()
+                d = dict(r)
                 af = out.astype(np.float64, copy=False)
                 d.update(
                     bytes=encode_tile(out),
@@ -198,7 +198,7 @@ def zip_tiles(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
                 y = decode_tile(r["bytes_b"], r["h"], r["w"], r["dtype_b"], r["c"])
                 out = fn(x, y)
@@ -263,7 +263,7 @@ def pyramids_equal(a: DataFrame, b: DataFrame, rtol: float = 0.0) -> bool:
     def close(batches):
         for pdf in batches:
             bad = 0
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 if r["bytes"] is None or r["bytes_b"] is None:
                     bad += 1
                     continue
@@ -319,7 +319,7 @@ def stack_bands(a: DataFrame, b: DataFrame) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
                 y = decode_tile(r["bytes_b"], r["h"], r["w"], r["dtype_b"], r["c2"])
                 if x.ndim == 2:

@@ -49,20 +49,53 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # make the package importable by the python *daemon* (pre-JVM-launch env)
+    # so daemon_preload can warm numpy/pandas/our kernels before forking
+    pkg_root = str(pathlib.Path(__file__).resolve().parent.parent)
+    if pkg_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # glibc malloc tuning for every child (JVM + python workers): tile UDFs
+    # churn >128KB buffers, and default glibc mmap()s each one — the munmap
+    # TLB-shootdown IPIs hit every core and measured 60-87% *system* time at
+    # 32 workers. Keeping large blocks on the arenas removes the storm.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     cores = 32
     if master.startswith("local[") and master[6:-1].isdigit():
         cores = int(master[6:-1])
     b = (
         SparkSession.builder.appName(app)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(32, 2 * cores)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(8, cores)))
+        # keep the Python-worker pool alive and cheap: fat Arrow-batched UDF
+        # stages re-fork workers (re-importing numpy/pandas per task) without
+        # these, which measured 2-3x slower on 32 cores
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.faulthandler.enabled", "false")
+        .config("spark.python.daemon.module", "pyramidscheme_jl_spark.daemon_preload")
+        # executorEnv is the only env channel that reaches python workers
+        # (the JVM constructs their env; it does not inherit its own)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+        # byte-capped Arrow batches: fat 512KB tile rows batch ~32/batch,
+        # skinny join rows batch 10k/batch — a fixed small record cap was
+        # measured 10x slower on skinny-row UDF stages (62k tiny batches)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
+        # vectorized parquet reader batches 4096 rows by default — with fat
+        # binary tile rows (512 KB) that is a 2 GB columnar batch per task;
+        # 32 concurrent tasks then GC-thrash the JVM while Python workers
+        # starve (measured: 38 s blocked in open_stream). 128 rows caps a
+        # batch at ~64 MB worst-case.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -83,6 +83,21 @@ def synth_images(G: int = 16, size: int = TILE, skew_hotspot: float = 0.0) -> li
     return rows
 
 
+def synth_images_df(spark, G: int = 16, size: int = TILE, partitions: int = 64):
+    """Distributed deterministic image-table synthesis: executors generate
+    tiles straight from the id range — no driver materialization, so fixture
+    scale is bounded by the cluster, not driver memory. Byte-identical to
+    ``synth_images`` row for row."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [image_row(int(i), G, size) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, G * G, 1, partitions).mapInPandas(gen, IMAGES_DDL)
+
+
 def mosaic_pixels(G: int = 16, size: int = TILE) -> np.ndarray:
     """Assemble the full base mosaic (G*size x G*size) — the numpy oracle."""
     out = np.empty((G * size, G * size), dtype=np.uint8)
