@@ -307,6 +307,40 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "n_id", "ip", F.col("rank").cast("long").alias("rank"))
 
 
+def q_union_cat(spark: SparkSession, sf: str) -> DataFrame:
+    """C1 cat: union of two level tables with the right side's keys shifted
+    past the left extent (the tile-grid concat made relational)."""
+    p = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("tx"), F.col("p_size").cast("long").alias("v")
+    )
+    offset = p.agg(F.max("tx")).collect()[0][0] + 1  # driver-side plan constant
+    shifted = p.select((F.col("tx") + F.lit(offset)).alias("tx"), "v")
+    return p.unionByName(shifted)
+
+
+def q_events_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 window top-k: latest 3 events per user, deterministic ties."""
+    ev = _t(spark, sf, "events")
+    win = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked (the scale path);
+    the oracle reproduces the same blocking so row sets match exactly."""
+    out = S.cosine_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold_milli=300, bits=8
+    )
+    return out.select(
+        "id_a", "id_b", "ip",
+        F.col("na2").cast("long").alias("na2"), F.col("nb2").cast("long").alias("nb2"),
+    )
+
+
 def q_embedding_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = S.lsh_bucket(_t(spark, sf, "embeddings"), bits=16)
     return emb.groupBy("bucket").agg(
@@ -340,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "union_cat": q_union_cat,
+        "events_topk": q_events_topk,
+        "cosine_near_dup": q_cosine_near_dup,
     }
 
 
@@ -585,6 +622,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, n_id, ip, CAST(rank AS BIGINT) AS rank FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, n_id ASC) AS rank
               FROM ips) WHERE rank <= 5
+        """,
+        "union_cat": """
+            WITH p AS (SELECT p_partkey AS tx, CAST(p_size AS BIGINT) AS v FROM part),
+            off AS (SELECT MAX(tx) + 1 AS o FROM p)
+            SELECT tx, v FROM p
+            UNION ALL
+            SELECT tx + (SELECT o FROM off) AS tx, v FROM p
+        """,
+        "events_topk": """
+            SELECT user_id, event_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id ASC) AS rank
+              FROM events) WHERE rank <= 3
+        """,
+        "cosine_near_dup": f"""
+            WITH d AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+            f AS (
+              SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            bk AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN i <= 8 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS bucket
+              FROM f GROUP BY vec_id),
+            db AS (SELECT d.vec_id, d.qv, bk.bucket FROM d JOIN bk USING (vec_id)),
+            px AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qv AS qa, b.qv AS qb
+              FROM db a JOIN db b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            fl AS (
+              SELECT id_a, id_b, UNNEST(qa) AS x, UNNEST(qb) AS y FROM px),
+            ips AS (
+              SELECT id_a, id_b,
+                     CAST(SUM(x * y) AS BIGINT) AS ip,
+                     CAST(SUM(x * x) AS BIGINT) AS na2,
+                     CAST(SUM(y * y) AS BIGINT) AS nb2
+              FROM fl GROUP BY 1, 2)
+            SELECT id_a, id_b, ip, na2, nb2 FROM ips
+            WHERE ip > 0
+              AND CAST(ip AS HUGEINT) * ip * 1000000 >= CAST({300 * 300} AS HUGEINT) * na2 * nb2
         """,
         "embedding_lsh_buckets": """
             WITH f AS (

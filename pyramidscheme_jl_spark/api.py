@@ -1,0 +1,141 @@
+"""User-facing facade: the reference's ``Pyramid`` API surface, Spark-style.
+
+Maps the reference's entry points (SURVEY.md §2/§3) onto the engine:
+
+| reference                              | here                                |
+|----------------------------------------|-------------------------------------|
+| ``Pyramid(data; resampling_method)``   | ``PyramidDataset.build(...)``       |
+| ``Pyramid(path)`` (Zarr/COG scan)      | ``PyramidDataset.open(path)``       |
+| ``buildpyramids(path)`` in-place       | ``build(..., materialize_base=False)`` |
+| ``levels(p)`` / ``levels(p, i)``       | ``.levels()`` / ``.level(i)``       |
+| ``nlevels(p)``                         | ``.nlevels``                        |
+| ``selectlevel(p, ext, target)``        | ``.read_window(extent, target)``    |
+| ``p[X=a..b, Y=c..d]`` subsetting       | ``.subset(x0, x1, y0, y1)``         |
+| ``map(f, p)`` / broadcast ``p .+ s``   | ``.map(op, scalar)``                |
+| ``p1 .- p2`` (zip broadcast)           | ``.zip_with(other, op)``            |
+| ``p1 == p2``                           | ``.equals(other)``                  |
+| ``cat(p1, p2; dims)``                  | ``.cat_x(other)`` / ``.stack_bands``|
+| ``write(path, p)`` copy-out            | ``.write_to(path)``                 |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.build import PyramidSpec, build_pyramid
+from .operators.read import (
+    cat_tiles_x,
+    map_tiles,
+    pyramids_equal,
+    read_window,
+    stack_bands,
+    subset_tiles,
+    zip_tiles,
+)
+from .sources.catalog import (
+    read_level,
+    read_manifest,
+    read_tiles,
+    write_level,
+)
+
+
+class PyramidDataset:
+    """A tile pyramid stored at ``path`` (parquet levels + manifest)."""
+
+    def __init__(self, spark: SparkSession, path: str, spec: PyramidSpec):
+        self.spark = spark
+        self.path = path
+        self.spec = spec
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        images: DataFrame,
+        path: str,
+        G: int,
+        reducer: str = "mean",
+        recursive: bool = True,
+        run_id: str = "run-0",
+        tilesize: int = 256,
+        resume: bool = False,
+        materialize_base: bool = True,
+    ) -> "PyramidDataset":
+        spec = build_pyramid(
+            spark, images, path, G,
+            reducer=reducer, recursive=recursive, run_id=run_id,
+            tilesize=tilesize, resume=resume, materialize_base=materialize_base,
+        )
+        return cls(spark, path, spec)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, tilesize: int = 256) -> "PyramidDataset":
+        """Open an existing pyramid (the reference's path constructor,
+        src/PyramidScheme.jl:50-63): level extents are recovered from the
+        stored base level's tile columns."""
+        base = read_level(spark, path, 0)
+        mx = base.agg(
+            F.max(F.col("tx") * tilesize + F.col("w")).alias("w"),
+            F.max(F.col("ty") * tilesize + F.col("h")).alias("h"),
+        ).collect()[0]
+        return cls(spark, path, PyramidSpec(int(mx["w"]), int(mx["h"]), tilesize))
+
+    # -- accessors (reference C3) -----------------------------------------
+
+    @property
+    def nlevels(self) -> int:
+        return self.spec.nlevels
+
+    def levels(self) -> DataFrame:
+        return read_tiles(self.spark, self.path)
+
+    def level(self, z: int) -> DataFrame:
+        return read_level(self.spark, self.path, z)
+
+    def manifest(self) -> DataFrame:
+        return read_manifest(self.spark, self.path)
+
+    # -- reads --------------------------------------------------------------
+
+    def read_window(self, extent, target_imsize=(1024, 512), axis_names=("x", "y"), bbox_transform=None):
+        """Viewport read. ``axis_names`` is the ``switchkeys`` analog (L2);
+        ``bbox_transform`` is the pluggable CRS hook (L3) — identity in the
+        sandbox, a pyproj/Sedona transform in production."""
+        if bbox_transform is not None:
+            extent = bbox_transform(extent)
+        arr, ax, ay, z = read_window(self.spark, self.path, self.spec, extent, target_imsize)
+        return {"data": arr, axis_names[0]: ax, axis_names[1]: ay, "z": z}
+
+    def subset(self, x0: int, x1: int, y0: int, y1: int) -> DataFrame:
+        return subset_tiles(self.levels(), x0, x1, y0, y1, self.spec.tilesize)
+
+    # -- elementwise / binary ops ------------------------------------------
+
+    def map(self, op: str, scalar: float | None = None) -> DataFrame:
+        return map_tiles(self.levels(), op, scalar)
+
+    def zip_with(self, other: "PyramidDataset", op: str) -> DataFrame:
+        return zip_tiles(self.levels(), other.levels(), op)
+
+    def equals(self, other: "PyramidDataset", rtol: float = 0.0) -> bool:
+        return pyramids_equal(self.levels(), other.levels(), rtol)
+
+    def cat_x(self, other: "PyramidDataset") -> DataFrame:
+        return cat_tiles_x(self.levels(), other.levels(), self.spec)
+
+    def stack_bands(self, other: "PyramidDataset") -> DataFrame:
+        return stack_bands(self.levels(), other.levels())
+
+    # -- sinks ---------------------------------------------------------------
+
+    def write_to(self, path: str) -> "PyramidDataset":
+        """Copy-out write (reference K3, canonical bottom-up level order —
+        we do not copy the reference writer's coarsest-first quirk,
+        src/PyramidScheme.jl:505-512)."""
+        for z in range(self.spec.nlevels + 1):
+            write_level(self.level(z), path, z)
+        return PyramidDataset(self.spark, path, self.spec)

@@ -158,7 +158,11 @@ def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> Data
         for pdf in batches:
             rows = []
             for tx, ty, buf, w, h in zip(pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]):
-                arr = decode_tile(buf, int(h), int(w), "uint8")
+                # channels inferred from payload size (input_hint schema has
+                # no channel column); bands pass through aggregation
+                # untouched (reference test/runtests.jl:145-166)
+                c = len(buf) // (int(w) * int(h))
+                arr = decode_tile(buf, int(h), int(w), "uint8", c)
                 rows.append(_tile_row(spec, 0, int(tx), int(ty), arr))
             if rows:
                 yield _rows_to_pdf(rows)
@@ -250,7 +254,8 @@ def build_level1_from_images(images: DataFrame, G: int, spec: PyramidSpec, reduc
         for pdf in batches:
             out = {k: [] for k in ("ptx", "pty", "qx", "qy", "bytes", "w", "h", "c", "dtype")}
             for tx, ty, buf, w, h in zip(pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]):
-                arr = decode_tile(buf, int(h), int(w), "uint8")
+                c = len(buf) // (int(w) * int(h))  # channels from payload size
+                arr = decode_tile(buf, int(h), int(w), "uint8", c)
                 red = block_reduce(arr, reducer)
                 out["ptx"].append(int(tx) >> 1)
                 out["pty"].append(int(ty) >> 1)
@@ -259,7 +264,7 @@ def build_level1_from_images(images: DataFrame, G: int, spec: PyramidSpec, reduc
                 out["bytes"].append(encode_tile(red))
                 out["w"].append(red.shape[1])
                 out["h"].append(red.shape[0])
-                out["c"].append(1)
+                out["c"].append(c)
                 out["dtype"].append(str(red.dtype.name))
             pdf_out = pd.DataFrame(out)
             for col in ("ptx", "pty", "qx", "qy", "w", "h", "c"):

@@ -54,13 +54,6 @@ def get_spark(
     pkg_root = str(pathlib.Path(__file__).resolve().parent.parent)
     if pkg_root not in os.environ.get("PYTHONPATH", ""):
         os.environ["PYTHONPATH"] = pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
-    # glibc malloc tuning for every child (JVM + python workers): tile UDFs
-    # churn >128KB buffers, and default glibc mmap()s each one — the munmap
-    # TLB-shootdown IPIs hit every core and measured 60-87% *system* time at
-    # 32 workers. Keeping large blocks on the arenas removes the storm.
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
-    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     cores = 32
     if master.startswith("local[") and master[6:-1].isdigit():
         cores = int(master[6:-1])
@@ -74,11 +67,13 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.faulthandler.enabled", "false")
         .config("spark.python.daemon.module", "pyramidscheme_jl_spark.daemon_preload")
-        # executorEnv is the only env channel that reaches python workers
-        # (the JVM constructs their env; it does not inherit its own)
+        # glibc malloc tuning for python workers ONLY (executorEnv is the env
+        # channel that reaches them — and scoping it there keeps the JVM's
+        # native allocator untouched): tile UDFs churn >128KB buffers which
+        # glibc otherwise mmap()s; munmap TLB-shootdown IPIs hit every core
+        # (measured 60-87% system time at 32 workers)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
-        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

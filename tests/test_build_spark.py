@@ -143,6 +143,38 @@ def test_manifest_lineage_and_resume(spark, images_g4, tmp_path):
     assert committed_levels(spark, path, "r1") == [0, 1, 2]
 
 
+def test_multiband_build(spark, tmp_path):
+    # bands pass through aggregation untouched (ref test/runtests.jl:145-166):
+    # RGB rows (c inferred from payload size) -> every level keeps 3 channels
+    from pyramidscheme_jl_spark.functions.codec import decode_tile, encode_tile
+    from pyramidscheme_jl_spark.sources.synth import image_pixels, image_row
+
+    rows = []
+    for i in range(4):
+        base = image_row(i, 2)
+        img = image_pixels(i % 2, i // 2)
+        rgb = np.dstack([img, img // 2, img // 4])
+        rows.append({**base, "bytes": encode_tile(rgb)})
+    images = spark.createDataFrame(rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    path = str(tmp_path / "rgb")
+    spec = build_pyramid(spark, images, path, G=2, reducer="mean", run_id="rgb")
+    assert spec.nlevels == 1
+    r = read_level(spark, path, 1).collect()[0]
+    assert r["c"] == 3
+    arr = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], 3)
+    from pyramidscheme_jl_spark.functions.reducers import block_reduce
+
+    full = np.zeros((512, 512, 3), dtype=np.uint8)
+    for i in range(4):
+        img = image_pixels(i % 2, i // 2)
+        gy, gx = i // 2, i % 2
+        full[gy * 256 : (gy + 1) * 256, gx * 256 : (gx + 1) * 256] = np.dstack(
+            [img, img // 2, img // 4]
+        )
+    np.testing.assert_allclose(arr, block_reduce(full.astype(np.float64), "mean"))
+
+
 def test_tile_columns_cell_extent(spark, images_g4, tmp_path):
     path = str(tmp_path / "pyr-cols")
     spec = build_pyramid(spark, images_g4, path, G=4, reducer="mean", run_id="t5")
