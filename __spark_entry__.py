@@ -34,7 +34,23 @@ from pyramidscheme_jl_spark.plans.grid import select_level
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors even when the harness built its own
+    SparkSession (UDF-bearing queries would otherwise fail to unpickle on
+    workers unless the driver happened to launch from the repo root)."""
+    if getattr(spark, "_pyramid_pkg_shipped", False):
+        return
+    try:
+        from pyramidscheme_jl_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added or non-standard context — imports may still resolve
+    spark._pyramid_pkg_shipped = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -385,14 +385,30 @@ def build_pyramid(
     def base_view() -> DataFrame:
         return base_tiles_from_images(images, G, spec)
 
+    # chain-in-memory: the just-built level stays persisted so the next
+    # level reads from executor memory instead of re-reading the checkpoint
+    # from disk (checkpoint still written — resume semantics unchanged; on a
+    # cluster this is executors caching their own partitions)
+    cached_prev: DataFrame | None = None
+
+    def set_cached(df: DataFrame | None) -> None:
+        nonlocal cached_prev
+        if cached_prev is not None:
+            cached_prev.unpersist()
+        cached_prev = df
+
     def prev_level(z: int) -> DataFrame:
+        if cached_prev is not None:
+            return cached_prev
         if z == 0 and not materialize_base:
             return base_view()
         return read_level(spark, path, z)
 
     if 0 not in done:
         if materialize_base:
-            commit(base_view(), 0)
+            base_df = base_view().persist()
+            commit(base_df, 0)
+            set_cached(base_df)
         else:
             # base stays the images table (reference parity: buildpyramids
             # writes only levels 1..n, never copies the base — at 10^12
@@ -418,6 +434,7 @@ def build_pyramid(
     z = 1
     while z <= spec.nlevels:
         if z in done:
+            set_cached(None)  # next uncommitted level must read from disk
             ordinal += 1
             z += 1
             continue
@@ -446,10 +463,13 @@ def build_pyramid(
             break
         if recursive:
             if z == 1 and not materialize_base:
-                commit(build_level1_from_images(images, G, spec, reducer), z)
+                built = build_level1_from_images(images, G, spec, reducer).persist()
             else:
-                commit(build_level(prev_level(z - 1), z, spec, reducer), z)
+                built = build_level(prev_level(z - 1), z, spec, reducer).persist()
+            commit(built, z)
+            set_cached(built)
         else:
             commit(build_level_direct(prev_level(0), z, spec, reducer), z)
         z += 1
+    set_cached(None)
     return spec
