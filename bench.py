@@ -92,7 +92,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # pyramid build throughput: G x G mosaic of 256^2 tiles (+25% skew shard)
+    # pyramid build throughput: G x G mosaic of 256^2 tiles. Skew note: the
+    # build's groupBy keys are unique tile addresses and the PIP join is
+    # broadcast+narrow (fact side never shuffles), so dense-cell hotspots
+    # cannot create hot shuffle partitions in either measured path;
+    # salted_repartition covers the remaining per-key-heavy cases (tested).
     tmp = tempfile.mkdtemp(prefix="bench_pyr_")
     try:
         rows = synth_images(G=bench_g)
