@@ -134,6 +134,15 @@ def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
     return pdf
 
 
+
+def _grid_dims(G) -> tuple[int, int]:
+    """G as int (square) or (gx, gy) — rectangular mosaics are first-class
+    (reference builds non-square bases, e.g. test/runtests.jl:145-166)."""
+    if isinstance(G, (tuple, list)):
+        return int(G[0]), int(G[1])
+    return int(G), int(G)
+
+
 def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> DataFrame:
     """images (input_hint schema) -> level-0 tile rows.
 
@@ -145,8 +154,8 @@ def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> Data
         images.where(F.col("fmt") == F.lit("raw"))
         .where(idx.isNotNull())
         .select(
-            (idx % G).cast("int").alias("tx"),
-            (idx / G).cast("int").alias("ty"),
+            (idx % _grid_dims(G)[0]).cast("int").alias("tx"),
+            (idx / _grid_dims(G)[0]).cast("int").alias("ty"),
             "bytes",
             "w",
             "h",
@@ -241,8 +250,8 @@ def build_level1_from_images(images: DataFrame, G: int, spec: PyramidSpec, reduc
         images.where(F.col("fmt") == F.lit("raw"))
         .where(idx.isNotNull())
         .select(
-            (idx % G).cast("int").alias("tx"),
-            (idx / G).cast("int").alias("ty"),
+            (idx % _grid_dims(G)[0]).cast("int").alias("tx"),
+            (idx / _grid_dims(G)[0]).cast("int").alias("ty"),
             "bytes",
             "w",
             "h",
@@ -366,7 +375,8 @@ def build_pyramid(
     import time
 
     verbose = os.environ.get("PYRAMID_BUILD_VERBOSE", "") not in ("", "0")
-    spec = PyramidSpec(G * tilesize, G * tilesize, tilesize)
+    gx, gy = _grid_dims(G)
+    spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
     rhash = reducer_hash(reducer)
     done = set(committed_levels(spark, path, run_id)) if resume else set()
     ordinal = 0

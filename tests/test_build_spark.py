@@ -143,6 +143,31 @@ def test_manifest_lineage_and_resume(spark, images_g4, tmp_path):
     assert committed_levels(spark, path, "r1") == [0, 1, 2]
 
 
+def test_rectangular_grid(spark, tmp_path):
+    # non-square base (reference (2048,1024,...) cube, test/runtests.jl:145-166):
+    # G=(4,2) -> 1024x512 base, level shapes halve per dim independently
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL as DDL
+    from pyramidscheme_jl_spark.sources.synth import image_row
+
+    rows = [image_row(i, 4) for i in range(8)]  # 4 wide x 2 tall
+    images = spark.createDataFrame(rows, DDL)
+    path = str(tmp_path / "rect")
+    spec = build_pyramid(spark, images, path, G=(4, 2), reducer="mean", run_id="rect")
+    assert (spec.base_w, spec.base_h) == (1024, 512)
+    assert spec.nlevels == 2
+    base = np.zeros((512, 1024), dtype=np.uint8)
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    for i in range(8):
+        gx, gy = i % 4, i // 4
+        base[gy * 256 : (gy + 1) * 256, gx * 256 : (gx + 1) * 256] = image_pixels(gx, gy)
+    for z in (1, 2):
+        got = assemble_level(spark, path, z, spec)
+        want = oracle_levels(base, "mean", 2)[z]
+        assert got.shape == want.shape == (512 >> z, 1024 >> z)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_multiband_build(spark, tmp_path):
     # bands pass through aggregation untouched (ref test/runtests.jl:145-166):
     # RGB rows (c inferred from payload size) -> every level keeps 3 channels
