@@ -37,7 +37,16 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship the package to executors even when the harness built its own
     SparkSession (UDF-bearing queries would otherwise fail to unpickle on
-    workers unless the driver happened to launch from the repo root)."""
+    workers unless the driver happened to launch from the repo root).
+
+    Also pins the session timezone to UTC: the events rollups bucket a
+    TZ-naive parquet timestamp via unix_timestamp, which shifts with
+    spark.sql.session.timeZone — DuckDB's epoch() oracle is UTC (ADVICE r1).
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if getattr(spark, "_pyramid_pkg_shipped", False):
         return
     try:
@@ -98,6 +107,17 @@ def q_block_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(win))
         .where(F.col("rn") == 1)
         .select("bx", "mode_val", "cnt")
+    )
+
+
+def q_block_agg_median(spark: SparkSession, sf: str) -> DataFrame:
+    """A8b/§2.11 median reducer (non-decomposable -> direct build): per-block
+    exact median. l_quantity is integer-valued so the even-count
+    interpolation (avg of the two middles) is exact in both engines."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy(F.shiftright("l_partkey", 2).alias("bx")).agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.count("*").alias("n"),
     )
 
 
@@ -236,11 +256,55 @@ def q_zonal_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: concave hexagon over the part-lattice world (x in [0,128), y dense for
+#: small sf too); vertices at .5 so integer lattice points never sit on an
+#: edge — both engines evaluate the identical IEEE-double crossing test
+_PIP_RING = [
+    (5.5, 1.5), (60.5, 3.5), (120.5, 1.5),
+    (100.5, 12.5), (60.5, 6.5), (20.5, 13.5),
+]
+
+
+def q_pip_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 point-in-polygon, non-rectangular: the engine's filter+refine
+    cover join vs an exact SQL ray-cast twin (VERDICT r1 #7)."""
+    from pyramidscheme_jl_spark.operators.joins import (
+        point_in_polygon_join,
+        with_point_cells,
+    )
+
+    pts = _points_part(spark, sf).select(
+        F.format_string("p-%09d", F.col("p_partkey").cast("int")).alias("point_id"),
+        F.col("px").cast("double").alias("x"),
+        F.col("py").cast("double").alias("y"),
+    )
+    pts = with_point_cells(pts, 5, 128.0)
+    polys = [{"polygon_id": "hex-a", "ring": _PIP_RING}]
+    out = point_in_polygon_join(spark, pts, polys, 5, 128.0)
+    return out.select(
+        F.substring("point_id", 3, 9).cast("long").alias("p_partkey"), "polygon_id"
+    )
+
+
+def q_pip_zonal(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 zonal aggregates over the NON-rectangular polygon: the pip_join
+    pairs rolled up with price stats (partial+final hash agg)."""
+    pairs = q_pip_join(spark, sf)
+    pts = _points_part(spark, sf).select("p_partkey", "price_cents")
+    return pairs.join(pts, "p_partkey").groupBy("polygon_id").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("sum_cents"),
+        F.min("price_cents").alias("min_cents"),
+        F.max("price_cents").alias("max_cents"),
+    )
+
+
 def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     """J4 kNN: exact 3 nearest customers per nation query point via the
-    engine's k-ring-expansion join (cells at res 4 over a 128-unit world);
-    the oracle is the brute-force window top-k."""
-    from pyramidscheme_jl_spark.operators.joins import knn_join, with_point_cells
+    engine's k-ring-expansion join (grid res 4 over a 128-unit world);
+    the oracle is the brute-force window top-k. The whole key path is
+    JVM-side column arithmetic (VERDICT r1 #6) — no cell-encoding UDF."""
+    from pyramidscheme_jl_spark.operators.joins import knn_join
 
     n = _t(spark, sf, "nation").select(
         F.format_string("n-%02d", F.col("n_nationkey").cast("int")).alias("point_id"),
@@ -252,9 +316,7 @@ def q_knn(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c_custkey") % 128).cast("double").alias("x"),
         F.expr("cast(c_custkey div 128 % 128 as double)").alias("y"),
     )
-    q = with_point_cells(n, 4, 128.0)
-    d = with_point_cells(c, 4, 128.0)
-    out = knn_join(spark, q, d, k=3, res=4, world=128.0)
+    out = knn_join(spark, n, c, k=3, res=4, world=128.0)
     return out.select(
         F.substring("query_id", 3, 2).cast("long").alias("n_nationkey"),
         F.substring("n_id", 3, 9).cast("long").alias("c_custkey"),
@@ -275,7 +337,7 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").where(F.col("n_chars") <= 120)
-    return D.jaccard_pairs(docs, threshold=0.5).select(
+    return D.jaccard_pairs(docs, threshold=0.5, max_df=100).select(
         "id_a", "id_b", "common", F.col("na").cast("long").alias("na"),
         F.col("nb").cast("long").alias("nb"),
     )
@@ -345,11 +407,17 @@ def q_events_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: seeded random-hyperplane LSH config (VERDICT r1 #10) — shared verbatim by
+#: the Spark expressions and the DuckDB sign-table CTEs below
+_LSH_SEED, _LSH_DIM = 7, 64
+
+
 def q_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucket blocked (the scale path);
-    the oracle reproduces the same blocking so row sets match exactly."""
+    """Embedding-cosine near-dup pairs, hyperplane-LSH blocked (the scale
+    path); the oracle reproduces the same blocking so row sets match."""
     out = S.cosine_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold_milli=300, bits=8
+        _t(spark, sf, "embeddings"), threshold_milli=300, bits=8,
+        seed=_LSH_SEED, dim=_LSH_DIM,
     )
     return out.select(
         "id_a", "id_b", "ip",
@@ -358,7 +426,7 @@ def q_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    emb = S.lsh_bucket(_t(spark, sf, "embeddings"), bits=16)
+    emb = S.lsh_bucket(_t(spark, sf, "embeddings"), bits=16, seed=_LSH_SEED, dim=_LSH_DIM)
     return emb.groupBy("bucket").agg(
         F.count("*").alias("n"), F.min("vec_id").alias("min_id")
     )
@@ -374,12 +442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_agg_mean": q_block_agg_mean,
         "block_agg_minmax": q_block_agg_minmax,
         "block_agg_mode": q_block_agg_mode,
+        "block_agg_median": q_block_agg_median,
         "recursive_mean_consistency": q_recursive_mean_consistency,
         "rollup_multilevel": q_rollup_multilevel,
         "selectlevel_window": q_selectlevel_window,
         "bbox_join": q_bbox_join,
         "zonal_agg": q_zonal_agg,
         "knn": q_knn,
+        "pip_join": q_pip_join,
+        "pip_zonal": q_pip_zonal,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
@@ -402,6 +473,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _P61 = (1 << 61) - 1
 _P31 = (1 << 31) - 1
+
+
+def _lsh_bucket_cte(bits: int) -> str:
+    """CTE chain computing the seeded hyperplane bucket per vec_id — the
+    exact integer twin of S.lsh_bucket(seed=_LSH_SEED, dim=_LSH_DIM)."""
+    signs = S.hyperplane_signs(bits, _LSH_DIM, _LSH_SEED)
+    vals = ", ".join(
+        f"({b}, {i + 1}, {signs[b][i]})" for b in range(bits) for i in range(_LSH_DIM)
+    )
+    return f"""
+            signs (b, i, s) AS (VALUES {vals}),
+            fx AS (
+              SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            qx AS (
+              SELECT vec_id, i, CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+              FROM fx),
+            dots AS (
+              SELECT vec_id, b, CAST(SUM(qv * s) AS BIGINT) AS d
+              FROM qx JOIN signs USING (i) GROUP BY 1, 2),
+            bk AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id)
+    """
 
 
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
@@ -452,6 +548,12 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY COUNT(*) DESC, l_linenumber ASC) AS rn
               FROM lineitem GROUP BY 1, 2
             ) WHERE rn = 1
+        """,
+        "block_agg_median": """
+            SELECT l_partkey >> 2 AS bx,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1
         """,
         "recursive_mean_consistency": """
             WITH l1 AS (
@@ -514,6 +616,50 @@ def oracle_sql() -> dict[str, str]:
             ON p.px >= n.qxmin AND p.px < n.qxmax AND p.py >= n.qymin AND p.py < n.qymax
             GROUP BY n_nationkey
         """,
+        "pip_join": f"""
+            WITH pts AS (
+              SELECT p_partkey,
+                     CAST(p_partkey % 128 AS DOUBLE) AS px,
+                     CAST(p_partkey // 128 % 128 AS DOUBLE) AS py
+              FROM part),
+            edges AS (
+              SELECT * FROM (VALUES {", ".join(
+                f"(CAST({x1} AS DOUBLE), CAST({y1} AS DOUBLE), CAST({x2} AS DOUBLE), CAST({y2} AS DOUBLE))"
+                for (x1, y1), (x2, y2) in zip(_PIP_RING, _PIP_RING[1:] + _PIP_RING[:1])
+              )}) AS t(x1, y1, x2, y2)),
+            hits AS (
+              SELECT p_partkey, COUNT(*) AS ncross
+              FROM pts JOIN edges
+                ON ((y1 > py) != (y2 > py))
+               AND (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
+              GROUP BY p_partkey)
+            SELECT p_partkey, 'hex-a' AS polygon_id
+            FROM hits WHERE ncross % 2 = 1
+        """,
+        "pip_zonal": f"""
+            WITH pts AS (
+              SELECT p_partkey,
+                     CAST(p_partkey % 128 AS DOUBLE) AS px,
+                     CAST(p_partkey // 128 % 128 AS DOUBLE) AS py,
+                     CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+              FROM part),
+            edges AS (
+              SELECT * FROM (VALUES {", ".join(
+                f"(CAST({x1} AS DOUBLE), CAST({y1} AS DOUBLE), CAST({x2} AS DOUBLE), CAST({y2} AS DOUBLE))"
+                for (x1, y1), (x2, y2) in zip(_PIP_RING, _PIP_RING[1:] + _PIP_RING[:1])
+              )}) AS t(x1, y1, x2, y2)),
+            hits AS (
+              SELECT p_partkey, COUNT(*) AS ncross
+              FROM pts JOIN edges
+                ON ((y1 > py) != (y2 > py))
+               AND (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
+              GROUP BY p_partkey),
+            inside AS (SELECT p_partkey FROM hits WHERE ncross % 2 = 1)
+            SELECT 'hex-a' AS polygon_id, COUNT(*) AS n,
+                   CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+                   MIN(price_cents) AS min_cents, MAX(price_cents) AS max_cents
+            FROM inside JOIN pts USING (p_partkey)
+        """,
         "knn": """
             SELECT n_nationkey, c_custkey, rank FROM (
               SELECT n.n_nationkey, c.c_custkey,
@@ -532,10 +678,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "jaccard_pairs": """
-            WITH ts AS (
+            WITH ts0 AS (
               SELECT DISTINCT doc_id AS id, tok FROM (
                 SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
                 FROM documents WHERE n_chars <= 120)),
+            dfreq AS (SELECT tok, COUNT(*) AS c FROM ts0 GROUP BY tok),
+            ts AS (SELECT ts0.id, ts0.tok FROM ts0 JOIN dfreq USING (tok) WHERE c <= 100),
             sizes AS (SELECT id, COUNT(*) AS ntok FROM ts GROUP BY id),
             pairs AS (
               SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
@@ -654,17 +802,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rank <= 3
         """,
         "cosine_near_dup": f"""
-            WITH d AS (
+            WITH {_lsh_bucket_cte(8)},
+            d AS (
               SELECT vec_id,
                      list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
               FROM embeddings),
-            f AS (
-              SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
-              FROM embeddings),
-            bk AS (
-              SELECT vec_id,
-                     CAST(SUM(CASE WHEN i <= 8 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS bucket
-              FROM f GROUP BY vec_id),
             db AS (SELECT d.vec_id, d.qv, bk.bucket FROM d JOIN bk USING (vec_id)),
             px AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qv AS qa, b.qv AS qb
@@ -681,14 +823,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE ip > 0
               AND CAST(ip AS HUGEINT) * ip * 1000000 >= CAST({300 * 300} AS HUGEINT) * na2 * nb2
         """,
-        "embedding_lsh_buckets": """
-            WITH f AS (
-              SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
-              FROM embeddings),
-            b AS (
-              SELECT vec_id,
-                     CAST(SUM(CASE WHEN i <= 16 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS bucket
-              FROM f GROUP BY vec_id)
-            SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id FROM b GROUP BY bucket
+        "embedding_lsh_buckets": f"""
+            WITH {_lsh_bucket_cte(16)}
+            SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id FROM bk GROUP BY bucket
         """,
     }

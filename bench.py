@@ -104,10 +104,13 @@ def main() -> None:
         n_base = images.count()
         t0 = time.perf_counter()
         # materialize_base=False == reference buildpyramids semantics (levels
-        # only, base never copied) — the honest 100 TB configuration
+        # only, base never copied) — the honest 100 TB configuration.
+        # level_dtype=float32 is the production storage dtype for mean levels
+        # (halves level bytes vs float64; the build is level-byte disk-bound
+        # on this host — see BENCH/BASELINE.md limiter analysis).
         spec = build_pyramid(
             spark, images, f"{tmp}/pyr", G=bench_g, reducer="mean",
-            run_id="bench", materialize_base=False,
+            run_id="bench", materialize_base=False, level_dtype="float32",
         )
         dt_build = time.perf_counter() - t0
         # tiles *written* (levels 1..n; base stays the input table)

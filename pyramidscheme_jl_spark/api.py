@@ -25,9 +25,12 @@ from pyspark.sql import functions as F
 
 from .operators.build import PyramidSpec, build_pyramid
 from .operators.read import (
+    cat_bands,
+    cat_tiles,
     cat_tiles_x,
     map_tiles,
     pyramids_equal,
+    read_level_array,
     read_window,
     stack_bands,
     subset_tiles,
@@ -48,6 +51,7 @@ class PyramidDataset:
         self.spark = spark
         self.path = path
         self.spec = spec
+        self._cached: DataFrame | None = None
 
     # -- constructors ------------------------------------------------------
 
@@ -58,17 +62,19 @@ class PyramidDataset:
         images: DataFrame,
         path: str,
         G: int,
-        reducer: str = "mean",
-        recursive: bool = True,
+        reducer="mean",
+        recursive: bool | None = None,
         run_id: str = "run-0",
         tilesize: int = 256,
         resume: bool = False,
         materialize_base: bool = True,
+        **build_kwargs,
     ) -> "PyramidDataset":
         spec = build_pyramid(
             spark, images, path, G,
             reducer=reducer, recursive=recursive, run_id=run_id,
             tilesize=tilesize, resume=resume, materialize_base=materialize_base,
+            **build_kwargs,
         )
         return cls(spark, path, spec)
 
@@ -91,7 +97,39 @@ class PyramidDataset:
         return self.spec.nlevels
 
     def levels(self) -> DataFrame:
+        if self._cached is not None:
+            return self._cached
         return read_tiles(self.spark, self.path)
+
+    # -- P3 materialize / eager read (reference modify/read,
+    #    src/PyramidScheme.jl:109-116) ------------------------------------
+
+    def materialize(self) -> "PyramidDataset":
+        """Pin every level in executor memory (``modify(Array, pyr)``'s
+        lazy->eager flip, Spark-style): subsequent operators read the cache
+        instead of re-scanning parquet. Idempotent; pair with
+        ``unpersist()``."""
+        if self._cached is None:
+            self._cached = read_tiles(self.spark, self.path).persist()
+            self._cached.count()  # materialize now, not on first use
+        return self
+
+    def unpersist(self) -> "PyramidDataset":
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+        return self
+
+    def read(self, z: int | None = None):
+        """Eager driver-side read (reference ``read(pyr)``): one stitched
+        numpy array for level ``z``, or ``{z: array}`` for all levels.
+        Driver-sized by definition — use ``read_window`` for viewports."""
+        if z is not None:
+            return read_level_array(self.spark, self.path, self.spec, z)
+        return {
+            zz: read_level_array(self.spark, self.path, self.spec, zz)
+            for zz in range(self.spec.nlevels + 1)
+        }
 
     def level(self, z: int) -> DataFrame:
         return read_level(self.spark, self.path, z)
@@ -124,11 +162,19 @@ class PyramidDataset:
     def equals(self, other: "PyramidDataset", rtol: float = 0.0) -> bool:
         return pyramids_equal(self.levels(), other.levels(), rtol)
 
-    def cat_x(self, other: "PyramidDataset") -> DataFrame:
-        return cat_tiles_x(self.levels(), other.levels(), self.spec)
+    def cat_x(self, *others: "PyramidDataset") -> DataFrame:
+        """n-ary ``cat(p1, p2, ...; dims=X)`` (reference test/runtests.jl:130-143)."""
+        return cat_tiles([(p.levels(), p.spec) for p in (self, *others)], axis="x")
 
-    def stack_bands(self, other: "PyramidDataset") -> DataFrame:
-        return stack_bands(self.levels(), other.levels())
+    def cat_y(self, *others: "PyramidDataset") -> DataFrame:
+        """n-ary ``cat(...; dims=Y)``."""
+        return cat_tiles([(p.levels(), p.spec) for p in (self, *others)], axis="y")
+
+    def stack_bands(self, *others: "PyramidDataset") -> DataFrame:
+        """n-ary ``cat(...; dims=Dim{:new})`` — stack into the channel axis."""
+        if len(others) == 1:
+            return stack_bands(self.levels(), others[0].levels())
+        return cat_bands([p.levels() for p in (self, *others)])
 
     # -- sinks ---------------------------------------------------------------
 

@@ -39,7 +39,9 @@ def reducer_dtype(reducer: str, input_dtype: str) -> str:
     src/PyramidScheme.jl:273), min/max -> input dtype, sum -> widened
     (int64 for ints, float64 for floats, matching Julia's promoting ``sum``).
     """
-    if reducer == "mean":
+    if callable(reducer):
+        return "float64"  # callables reduce the float64 NaN block stack
+    if reducer in ("mean", "median"):
         return "float64"
     if reducer == "mode":
         return "uint8"

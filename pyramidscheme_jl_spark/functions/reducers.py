@@ -10,6 +10,21 @@ divides by 2, not 4 — src/PyramidScheme.jl:177-182), plus the reducer set:
 - min / max (generic ``resampling_method``, src/PyramidScheme.jl:42,353)
 - mode  == ``ESALCMode`` 256-bin categorical mode with lowest-value tie-break
           (``findmax`` returns the first maximum — src/PyramidScheme.jl:256-274)
+- median (non-decomposable; the reference's canonical example of why the
+          recursive/direct distinction exists, src/PyramidScheme.jl:192-193)
+
+**Bring-your-own reducer**: the reference accepts any ``Matrix -> scalar``
+callable as ``resampling_method`` (src/PyramidScheme.jl:42,353). Here a
+callable reducer receives the *block-stacked* array — shape
+``(h', w', fac*fac, *bands)``, float64, with NaN marking both missing
+pixels and the pad slots of clipped ragged-edge blocks — and must reduce
+``axis=2`` (e.g. ``lambda b: np.nanmedian(b, axis=2)``). That keeps user
+reducers whole-array-vectorized instead of per-block Python calls, which is
+the difference between usable and unusable inside Arrow-batched UDFs.
+Callables are treated as non-decomposable unless they set
+``fn.decomposable = True``. On a real cluster the callable must be
+picklable (module-level function); local-mode cloudpickle also takes
+lambdas/closures.
 
 All reducers are whole-array numpy (no Python loops over pixels) so they run
 inside Arrow-batched pandas UDFs at full vector speed.
@@ -22,12 +37,34 @@ import warnings
 
 import numpy as np
 
-REDUCERS = ("mean", "min", "max", "sum", "mode")
+REDUCERS = ("mean", "min", "max", "sum", "mode", "median")
+
+#: named reducers where reduce-of-reduce == reduce (safe to build level z
+#: from level z-1); everything else needs the direct path for exactness
+DECOMPOSABLE = frozenset({"mean", "min", "max", "sum"})
 
 
-def reducer_hash(reducer: str, factor: int = 2) -> str:
+def reducer_name(reducer) -> str:
+    """Printable/storable name for a named or callable reducer."""
+    if callable(reducer):
+        return getattr(reducer, "__name__", type(reducer).__name__)
+    return str(reducer)
+
+
+def is_decomposable(reducer) -> bool:
+    """Can level z be built from level z-1 exactly? Callables opt in via a
+    ``decomposable = True`` attribute; default is the safe False (the
+    reference's median caveat, src/PyramidScheme.jl:192-193)."""
+    if callable(reducer):
+        return bool(getattr(reducer, "decomposable", False))
+    return reducer in DECOMPOSABLE
+
+
+def reducer_hash(reducer, factor: int = 2) -> str:
     """Stable hash of the reducer config, stored in lineage rows (north rule)."""
-    return hashlib.sha256(f"{reducer}|factor={factor}|v1".encode()).hexdigest()[:16]
+    return hashlib.sha256(
+        f"{reducer_name(reducer)}|factor={factor}|v1".encode()
+    ).hexdigest()[:16]
 
 
 def _pad_to_multiple(a: np.ndarray, fac: int, fill) -> np.ndarray:
@@ -50,32 +87,50 @@ def _blocks(a: np.ndarray, fac: int) -> np.ndarray:
     return b.reshape(h // fac, w // fac, fac * fac, *rest)
 
 
-def block_reduce(a: np.ndarray, reducer: str, fac: int = 2) -> np.ndarray:
+def _nan_block_stack(a: np.ndarray, fac: int) -> np.ndarray:
+    """Float64 block stack ``(h', w', fac*fac, *bands)`` with NaN pad slots —
+    the input contract for callable reducers and the NaN-aware named ones."""
+    work = _pad_to_multiple(a.astype(np.float64, copy=False), fac, np.nan)
+    return _blocks(work, fac)
+
+
+def block_reduce(a: np.ndarray, reducer, fac: int = 2) -> np.ndarray:
     """Reduce spatial blocks of ``fac x fac`` over the first two dims.
 
-    Output shape ``(ceil(h/fac), ceil(w/fac), *rest)`` — ceil semantics with
-    clipped (not padded-with-values) edge blocks, matching
-    ``aggregate_by_factor``'s ``min(size, i*fac)`` clipping (ref :180-181).
-    Extra trailing dims (bands) pass through unaggregated (ref
-    test/runtests.jl:145-166).
+    ``reducer`` is a registry name or a callable over the NaN-padded block
+    stack (module docstring). Output shape ``(ceil(h/fac), ceil(w/fac),
+    *rest)`` — ceil semantics with clipped (not padded-with-values) edge
+    blocks, matching ``aggregate_by_factor``'s ``min(size, i*fac)`` clipping
+    (ref :180-181). Extra trailing dims (bands) pass through unaggregated
+    (ref test/runtests.jl:145-166).
 
     NaN handling: float inputs treat NaN as missing (``skipmissing``); an
-    all-NaN block yields NaN for mean/min/max and 0 for sum.
+    all-NaN block yields NaN for mean/min/max/median and 0 for sum.
     """
-    if reducer not in REDUCERS:
-        raise KeyError(f"unknown reducer {reducer!r}")
     if a.ndim < 2:
         raise ValueError("block_reduce needs >= 2 spatial dims")
+    if callable(reducer):
+        b = _nan_block_stack(a, fac)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            out = np.asarray(reducer(b))
+        if out.shape[:2] != b.shape[:2]:
+            raise ValueError(
+                f"callable reducer returned shape {out.shape}, expected leading "
+                f"dims {b.shape[:2]} (reduce axis=2 of the block stack)"
+            )
+        return out
+    if reducer not in REDUCERS:
+        raise KeyError(f"unknown reducer {reducer!r}")
     if reducer == "mode":
         return _block_mode(a, fac)
 
     is_float = np.issubdtype(a.dtype, np.floating)
-    if reducer == "mean":
-        work = _pad_to_multiple(a.astype(np.float64, copy=False), fac, np.nan)
-        b = _blocks(work, fac)
+    if reducer in ("mean", "median"):
+        b = _nan_block_stack(a, fac)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN block -> NaN
-            return np.nanmean(b, axis=2)
+            return (np.nanmean if reducer == "mean" else np.nanmedian)(b, axis=2)
     if reducer == "sum":
         out_dtype = np.float64 if is_float else np.int64
         work = a.astype(out_dtype, copy=False)

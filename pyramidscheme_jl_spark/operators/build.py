@@ -41,7 +41,12 @@ from pyspark.sql import types as T
 
 from ..functions.cells import xy_to_cell
 from ..functions.codec import decode_tile, encode_tile, reducer_dtype
-from ..functions.reducers import block_reduce, reducer_hash
+from ..functions.reducers import (
+    block_reduce,
+    is_decomposable,
+    reducer_hash,
+    reducer_name,
+)
 from ..plans.grid import compute_nlevels, tile_count, tile_extent
 from ..sources.catalog import (
     TILE_SCHEMA,
@@ -179,7 +184,17 @@ def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> Data
     return src.mapInPandas(gen, TILE_SCHEMA)
 
 
-def _downsample_quarters(spec: PyramidSpec, reducer: str):
+def _cast_level(arr: np.ndarray, level_dtype: str | None) -> np.ndarray:
+    """Optional storage-dtype narrowing for levels (the float32 scale lever:
+    mean levels at float64 are an 8x byte inflation over uint8 bases — the
+    measured disk-bound scaling limiter; float32 halves every shuffle and
+    checkpoint byte downstream at ~1e-7 relative error)."""
+    if level_dtype is None:
+        return arr
+    return arr.astype(np.dtype(level_dtype), copy=False)
+
+
+def _downsample_quarters(spec: PyramidSpec, reducer, level_dtype: str | None = None):
     """Narrow stage: child tile -> 2x2-reduced quarter keyed by parent."""
 
     def gen(batches):
@@ -189,7 +204,7 @@ def _downsample_quarters(spec: PyramidSpec, reducer: str):
                 pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"], pdf["c"], pdf["dtype"]
             ):
                 arr = decode_tile(buf, int(h), int(w), dt, int(c))
-                red = block_reduce(arr, reducer)
+                red = _cast_level(block_reduce(arr, reducer), level_dtype)
                 out["ptx"].append(int(tx) >> 1)
                 out["pty"].append(int(ty) >> 1)
                 out["qx"].append(int(tx) & 1)
@@ -228,13 +243,17 @@ def _assemble_parent(spec: PyramidSpec, z: int):
     return assemble
 
 
-def build_level(prev: DataFrame, z: int, spec: PyramidSpec, reducer: str) -> DataFrame:
+def build_level(
+    prev: DataFrame, z: int, spec: PyramidSpec, reducer, level_dtype: str | None = None
+) -> DataFrame:
     """One recursive build step: level z from level z-1."""
-    quarters = prev.mapInPandas(_downsample_quarters(spec, reducer), QUARTER_SCHEMA)
+    quarters = prev.mapInPandas(_downsample_quarters(spec, reducer, level_dtype), QUARTER_SCHEMA)
     return quarters.groupBy("ptx", "pty").applyInPandas(_assemble_parent(spec, z), TILE_SCHEMA)
 
 
-def build_level1_from_images(images: DataFrame, G: int, spec: PyramidSpec, reducer: str) -> DataFrame:
+def build_level1_from_images(
+    images: DataFrame, G: int, spec: PyramidSpec, reducer, level_dtype: str | None = None
+) -> DataFrame:
     """Level 1 straight from the images table in ONE fused Python stage.
 
     Chaining two mapInPandas stages (decode-view -> downsample) in the same
@@ -265,7 +284,7 @@ def build_level1_from_images(images: DataFrame, G: int, spec: PyramidSpec, reduc
             for tx, ty, buf, w, h in zip(pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]):
                 c = len(buf) // (int(w) * int(h))  # channels from payload size
                 arr = decode_tile(buf, int(h), int(w), "uint8", c)
-                red = block_reduce(arr, reducer)
+                red = _cast_level(block_reduce(arr, reducer), level_dtype)
                 out["ptx"].append(int(tx) >> 1)
                 out["pty"].append(int(ty) >> 1)
                 out["qx"].append(int(tx) & 1)
@@ -284,7 +303,9 @@ def build_level1_from_images(images: DataFrame, G: int, spec: PyramidSpec, reduc
     return quarters.groupBy("ptx", "pty").applyInPandas(_assemble_parent(spec, 1), TILE_SCHEMA)
 
 
-def build_tail_driver(prev_rows: list, z_start: int, spec: PyramidSpec, reducer: str) -> dict[int, list[dict]]:
+def build_tail_driver(
+    prev_rows: list, z_start: int, spec: PyramidSpec, reducer, level_dtype: str | None = None
+) -> dict[int, list[dict]]:
     """Tail fusion: finish the (tiny) top levels driver-side in pure numpy.
 
     Once a level fits in a handful of tiles, the remaining log4 levels are
@@ -305,7 +326,7 @@ def build_tail_driver(prev_rows: list, z_start: int, spec: PyramidSpec, reducer:
         plane[r["ty"] * T_ : r["ty"] * T_ + r["h"], r["tx"] * T_ : r["tx"] * T_ + r["w"]] = a
     out: dict[int, list[dict]] = {}
     for z in range(z_start, spec.nlevels + 1):
-        plane = block_reduce(plane, reducer)
+        plane = _cast_level(block_reduce(plane, reducer), level_dtype)
         rows = []
         for ty in range(-(-plane.shape[0] // T_)):
             for tx in range(-(-plane.shape[1] // T_)):
@@ -315,7 +336,9 @@ def build_tail_driver(prev_rows: list, z_start: int, spec: PyramidSpec, reducer:
     return out
 
 
-def build_level_direct(base: DataFrame, z: int, spec: PyramidSpec, reducer: str) -> DataFrame:
+def build_level_direct(
+    base: DataFrame, z: int, spec: PyramidSpec, reducer, level_dtype: str | None = None
+) -> DataFrame:
     """Direct (non-recursive) build: level z straight from the base.
 
     Groups the up-to-``4^z`` base tiles under each level-z tile and reduces
@@ -339,7 +362,7 @@ def build_level_direct(base: DataFrame, z: int, spec: PyramidSpec, reducer: str)
             a = decode_tile(buf, int(h), int(w), dt, c)
             ox, oy = int(tx) * T_ - x0, int(ty) * T_ - y0
             arr[oy : oy + int(h), ox : ox + int(w)] = a
-        red = block_reduce(arr, reducer, fac=fac)
+        red = _cast_level(block_reduce(arr, reducer, fac=fac), level_dtype)
         return _rows_to_pdf([_tile_row(spec, z, ptx, pty, red)])
 
     grouped = base.withColumn("ptx", F.shiftright("tx", z)).withColumn(
@@ -353,15 +376,34 @@ def build_pyramid(
     images: DataFrame,
     path: str,
     G: int,
-    reducer: str = "mean",
-    recursive: bool = True,
+    reducer="mean",
+    recursive: bool | None = None,
     run_id: str = "run-0",
     tilesize: int = 256,
     resume: bool = False,
     fuse_threshold: int = 64,
     materialize_base: bool = True,
+    chain_in_memory: bool = False,
+    level_dtype: str | None = None,
 ) -> PyramidSpec:
     """Full build: base ingest + one checkpointed Spark job per level.
+
+    ``level_dtype`` optionally narrows the stored level dtype (e.g.
+    ``'float32'`` for mean levels — halves every level's shuffle and
+    checkpoint bytes vs the float64 default; the measured scaling limiter
+    on this host is level-byte disk bandwidth).
+
+    ``reducer`` is a registry name or any callable over the block stack
+    (``functions.reducers`` module docstring) — the reference's "any
+    ``resampling_method``" contract (src/PyramidScheme.jl:42,353).
+
+    ``recursive=None`` (default) resolves automatically: recursive for
+    decomposable reducers (mean/min/max/sum, O(4/3 N) total work), direct
+    for non-decomposable ones (mode/median/callables — the reference's
+    caveat that recursive median "might lead to misleading results",
+    src/PyramidScheme.jl:192-193). Passing ``recursive=True`` explicitly for
+    a non-decomposable reducer is honored with a UserWarning (reference
+    parity: its default builds mode-of-modes too).
 
     Checkpoint protocol (north rule): parquet partition first, then manifest
     lineage rows — a level is committed iff its manifest rows exist, so
@@ -369,15 +411,31 @@ def build_pyramid(
     """
     from ..functions.reducers import REDUCERS
 
-    if reducer not in REDUCERS:  # fail fast at plan time, not inside a job
-        raise KeyError(f"unknown reducer {reducer!r}; supported: {REDUCERS}")
+    if not callable(reducer) and reducer not in REDUCERS:
+        # fail fast at plan time, not inside a job
+        raise KeyError(f"unknown reducer {reducer!r}; supported: {REDUCERS} or a callable")
+    if recursive is None:
+        recursive = is_decomposable(reducer)
+    elif recursive and not is_decomposable(reducer):
+        import warnings
+
+        warnings.warn(
+            f"recursive build with non-decomposable reducer "
+            f"{reducer_name(reducer)!r} computes reduce-of-reduce, which "
+            "diverges from the direct result (reference caveat, "
+            "src/PyramidScheme.jl:192-193); pass recursive=False or None "
+            "for the exact direct build",
+            UserWarning,
+            stacklevel=2,
+        )
     import os
     import time
 
     verbose = os.environ.get("PYRAMID_BUILD_VERBOSE", "") not in ("", "0")
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
-    rhash = reducer_hash(reducer)
+    rname = reducer_name(reducer)
+    rhash = reducer_hash(reducer if level_dtype is None else f"{rname}@{level_dtype}")
     done = set(committed_levels(spark, path, run_id)) if resume else set()
     ordinal = 0
 
@@ -386,7 +444,7 @@ def build_pyramid(
         t0 = time.perf_counter()
         write_level(df, path, z)
         append_manifest(
-            spark, path, manifest_lineage(path, z, run_id, reducer, rhash, ordinal)
+            spark, path, manifest_lineage(path, z, run_id, rname, rhash, ordinal)
         )
         if verbose:
             print(f"[build] level {z} committed in {time.perf_counter() - t0:.2f}s", flush=True)
@@ -395,17 +453,21 @@ def build_pyramid(
     def base_view() -> DataFrame:
         return base_tiles_from_images(images, G, spec)
 
-    # chain-in-memory: the just-built level stays persisted so the next
-    # level reads from executor memory instead of re-reading the checkpoint
-    # from disk (checkpoint still written — resume semantics unchanged; on a
-    # cluster this is executors caching their own partitions)
+    # Level chaining: by default the next level re-reads the just-written
+    # checkpoint — sequential columnar I/O that measured FASTER end-to-end
+    # than DataFrame persist() on fat 512 KB binary tile rows, where the
+    # InMemoryRelation columnar copy costs ~2x the parquet write itself
+    # (write+persist 24-37 s vs write-only 11 s at G=64/local[32], even with
+    # inMemoryColumnarStorage.batchSize tuned down; see BENCH/BASELINE.md).
+    # ``chain_in_memory=True`` restores the cache-chaining behavior for
+    # deployments where the checkpoint store is remote/slow object storage.
     cached_prev: DataFrame | None = None
 
     def set_cached(df: DataFrame | None) -> None:
         nonlocal cached_prev
         if cached_prev is not None:
             cached_prev.unpersist()
-        cached_prev = df
+        cached_prev = df if chain_in_memory else None
 
     def prev_level(z: int) -> DataFrame:
         if cached_prev is not None:
@@ -416,7 +478,9 @@ def build_pyramid(
 
     if 0 not in done:
         if materialize_base:
-            base_df = base_view().persist()
+            base_df = base_view()
+            if chain_in_memory:
+                base_df = base_df.persist()
             commit(base_df, 0)
             set_cached(base_df)
         else:
@@ -434,7 +498,7 @@ def build_pyramid(
                         "partition_id": -1,
                         "tile_count": -1,
                         "bytes": -1,
-                        "reducer": reducer,
+                        "reducer": rname,
                         "reducer_hash": rhash,
                         "committed_at_ordinal": 0,
                     }
@@ -454,14 +518,14 @@ def build_pyramid(
             # tail fusion: collect the tiny level, finish driver-side
             prev_rows = [r.asDict() for r in prev_level(z - 1).collect()]
             t0 = time.perf_counter()
-            tail = build_tail_driver(prev_rows, z, spec, reducer)
+            tail = build_tail_driver(prev_rows, z, spec, reducer, level_dtype)
             for zz in range(z, spec.nlevels + 1):
                 if zz in done:
                     ordinal += 1
                     continue
                 write_level_driver(tail[zz], path, zz)
                 append_manifest(
-                    spark, path, manifest_lineage(path, zz, run_id, reducer, rhash, ordinal)
+                    spark, path, manifest_lineage(path, zz, run_id, rname, rhash, ordinal)
                 )
                 ordinal += 1
             if verbose:
@@ -473,13 +537,15 @@ def build_pyramid(
             break
         if recursive:
             if z == 1 and not materialize_base:
-                built = build_level1_from_images(images, G, spec, reducer).persist()
+                built = build_level1_from_images(images, G, spec, reducer, level_dtype)
             else:
-                built = build_level(prev_level(z - 1), z, spec, reducer).persist()
+                built = build_level(prev_level(z - 1), z, spec, reducer, level_dtype)
+            if chain_in_memory:
+                built = built.persist()
             commit(built, z)
             set_cached(built)
         else:
-            commit(build_level_direct(prev_level(0), z, spec, reducer), z)
+            commit(build_level_direct(prev_level(0), z, spec, reducer, level_dtype), z)
         z += 1
     set_cached(None)
     return spec

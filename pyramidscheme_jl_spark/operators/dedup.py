@@ -63,6 +63,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.6,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: self-join on shared tokens.
 
@@ -70,8 +71,22 @@ def jaccard_pairs(
     ``c * (1/t) >= (na + nb - c)`` scaled to avoid float compare. Only
     documents sharing >= 1 token ever pair up (the equi-join is the
     blocking step); the common-token count is a hash aggregate.
+
+    **Document-frequency cap (the 100 TB guard):** the token self-join is
+    quadratic in each token's posting list — one stopword with df=10^7 would
+    generate 10^14 candidate pairs. ``max_df`` drops tokens appearing in
+    more than that many documents *before* the join, bounding every posting
+    list; the similarity is then exact Jaccard over the df-filtered
+    vocabulary (sizes ``na``/``nb`` count filtered tokens too, so the
+    semantics stay a well-defined set similarity, the standard
+    stopword-pruned form). ``max_df=None`` disables the cap (small corpora
+    / tests only).
     """
-    ts = token_sets(df, text_col, id_col, n).cache()
+    ts = token_sets(df, text_col, id_col, n)
+    if max_df is not None:
+        dfreq = ts.groupBy("tok").agg(F.count("*").alias("df"))
+        ts = ts.join(dfreq.where(F.col("df") <= max_df), "tok").select("id", "tok")
+    ts = ts.cache()
     sizes = ts.groupBy("id").agg(F.count("*").alias("ntok"))
     a = ts.alias("a")
     b = ts.alias("b")

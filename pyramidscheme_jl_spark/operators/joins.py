@@ -32,7 +32,6 @@ from pyspark.sql import types as T
 from ..functions.cells import (
     _RES_SHIFT,
     cell_res,
-    grid_disk,
     point_to_cell,
     points_in_polygon,
     polygon_to_cells_classified,
@@ -62,12 +61,23 @@ def parent_cell_expr(cell_col: str, from_res: int, to_res: int):
     ).cast("long")
 
 
-def salted_repartition(df: DataFrame, key_cols: list[str], buckets: int) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, key_cols: list[str], buckets: int, salt_col: str | None = None
+) -> DataFrame:
     """Explicit skew salting (north rule O11): spread each hot key over
     ``buckets`` partitions. Use before per-key heavy stages
     (applyInPandas over skewed groups); plain algebraic aggs don't need it
-    (map-side partial aggregation already absorbs skew)."""
-    salt = F.pmod(F.hash(*[F.col(c) for c in key_cols], F.monotonically_increasing_id()), F.lit(buckets))
+    (map-side partial aggregation already absorbs skew).
+
+    The salt must be DETERMINISTIC under task retry (ADVICE r1: a
+    ``monotonically_increasing_id`` salt can lose/duplicate rows when a
+    stage retries after partial shuffle-fetch failure), so it hashes all
+    row columns — or just ``salt_col`` when the caller has a stable row id.
+    Rows identical in every column land in the same bucket by necessity;
+    pass a distinct ``salt_col`` to spread exact duplicates.
+    """
+    basis = [F.col(salt_col)] if salt_col else [F.col(c) for c in df.columns]
+    salt = F.pmod(F.hash(*basis, F.lit(0x5A17)), F.lit(buckets))
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # explicit numPartitions marks the shuffle user-specified so AQE keeps it
     return (
@@ -173,6 +183,20 @@ def zonal_stats(
     )
 
 
+def grid_coord_cols(res: int, world: float, xcol: str = "x", ycol: str = "y"):
+    """JVM-side (ix, iy) grid coordinates at ``res`` — the half-open-cell /
+    clamp-at-max-edge semantics of ``cells.point_to_cell``, as pure column
+    expressions (floor/least/greatest stay in whole-stage codegen)."""
+    n = 1 << res
+    scale = float(n) / float(world)
+    def enc(c):
+        return (
+            F.least(F.greatest(F.floor(F.col(c) * F.lit(scale)), F.lit(0)), F.lit(n - 1))
+            .cast("int")
+        )
+    return enc(xcol), enc(ycol)
+
+
 def knn_join(
     spark: SparkSession,
     queries: DataFrame,
@@ -192,35 +216,49 @@ def knn_join(
     Unsettled queries double the ring. Ties broken by (dist, point_id) for
     determinism.
 
-    Both sides carry ``cell`` at resolution ``res``. Data-side join key is
-    the plain cell; query side explodes its disk (fan = (2r+1)^2, bounded by
-    the loop), so the big fact side is hash-partitioned once per round and
-    the skew lands on the small exploded side where AQE splits it.
+    **Whole key path is JVM-side** (VERDICT r1 #6): the grid disk is two
+    ``explode(sequence(-r, r))`` generators over integer grid coords derived
+    with floor/least/greatest — no Python eval anywhere before the candidate
+    join, so the join keys stay inside whole-stage codegen. The morton cell
+    id is not needed for joining; (res, ix, iy) is an equivalent key.
+
+    The big fact side is hash-partitioned once per round and the skew lands
+    on the small exploded side where AQE splits it. Per round exactly ONE
+    materialization of the candidate join (``topk.localCheckpoint``); every
+    downstream decision (settled set, anti-join, final results) reads the
+    checkpointed top-k, which also truncates the loop's lineage.
     """
-    cell_size = world / (1 << res)
-    max_ring = max_ring or (1 << res)
-    remaining = queries.select("point_id", "x", "y", "cell").withColumnRenamed(
-        "point_id", "query_id"
+    n = 1 << res
+    cell_size = world / n
+    max_ring = max_ring or n
+    qix, qiy = grid_coord_cols(res, world)
+    remaining = queries.select(
+        F.col("point_id").alias("query_id"), "x", "y", qix.alias("qix"), qiy.alias("qiy")
     )
+    nix, niy = grid_coord_cols(res, world)
     d = data.select(
         F.col("point_id").alias("n_id"),
         F.col("x").alias("nx"),
         F.col("y").alias("ny"),
-        F.col("cell").alias("ncell"),
+        nix.alias("nix"),
+        niy.alias("niy"),
     )
-    results = None
+    from pyspark.sql.window import Window
+
+    results: list[DataFrame] = []
     ring = start_ring
     while True:
-        disk_sz = 2 * ring + 1
-
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def disk_udf(cells: pd.Series) -> pd.Series:
-            disks = grid_disk(cells.to_numpy(), ring)
-            return pd.Series([np.unique(row).tolist() for row in disks])
-
+        offs = F.sequence(F.lit(-ring), F.lit(ring))
         cand = (
-            remaining.withColumn("jcell", F.explode(disk_udf("cell")))
-            .join(d, F.col("jcell") == F.col("ncell"), "inner")
+            remaining.select("*", F.explode(offs).alias("dx"))
+            .select("*", F.explode(offs).alias("dy"))
+            .select(
+                "query_id", "x", "y",
+                (F.col("qix") + F.col("dx")).alias("jx"),
+                (F.col("qiy") + F.col("dy")).alias("jy"),
+            )
+            .where(F.col("jx").between(0, n - 1) & F.col("jy").between(0, n - 1))
+            .join(d, (F.col("jx") == F.col("nix")) & (F.col("jy") == F.col("niy")), "inner")
             .withColumn(
                 "dist",
                 F.sqrt(
@@ -228,13 +266,12 @@ def knn_join(
                 ),
             )
         )
-        from pyspark.sql.window import Window
-
         win = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
         topk = (
             cand.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k)
             .select("query_id", "n_id", "dist", "rank")
+            .localCheckpoint(eager=True)  # ONE candidate-join run per round
         )
         # settled: k-th neighbor within the guaranteed-covered radius
         # (or the disk already spans the whole world -> exact by exhaustion)
@@ -242,25 +279,25 @@ def knn_join(
             F.count("*").alias("nc"), F.max("dist").alias("dk")
         )
         guaranteed = float(ring) * cell_size
-        if ring >= (1 << res):
+        if ring >= n:
             settled_ids = counts.select("query_id")
         else:
             settled_ids = counts.where(
                 (F.col("nc") >= k) & (F.col("dk") <= guaranteed)
             ).select("query_id")
-        settled = topk.join(settled_ids, "query_id", "left_semi")
-        results = settled if results is None else results.unionByName(settled)
+        results.append(topk.join(settled_ids, "query_id", "left_semi"))
         remaining = remaining.join(
             settled_ids.withColumnRenamed("query_id", "point_id"),
             remaining["query_id"] == F.col("point_id"),
             "left_anti",
-        )
-        results = results.localCheckpoint(eager=True)  # truncate the loop's lineage
-        remaining = remaining.localCheckpoint(eager=True)
-        if remaining.isEmpty() or ring >= (1 << res) or ring >= max_ring:
+        ).localCheckpoint(eager=True)
+        if remaining.isEmpty() or ring >= n or ring >= max_ring:
             break
-        ring = min(ring * 2, 1 << res)
-    return results
+        ring = min(ring * 2, n)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def bbox_join(

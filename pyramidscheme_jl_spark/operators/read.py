@@ -74,6 +74,24 @@ def read_window(
     return out, ax, ay, p.z
 
 
+def read_level_array(spark: SparkSession, path: str, spec: PyramidSpec, z: int) -> np.ndarray:
+    """P3 eager read: stitch one stored level into a single numpy array
+    (the reference's ``read(pyr) = modify(Array, pyr)`` materialization,
+    src/PyramidScheme.jl:109-116, per level). Driver-sized by definition —
+    viewport queries should use ``read_window`` instead."""
+    rows = read_level(spark, path, z).collect()
+    if not rows:
+        return np.zeros((0, 0))
+    dt, c, T_ = rows[0]["dtype"], int(rows[0]["c"]), spec.tilesize
+    W = max(r["tx"] * T_ + r["w"] for r in rows)
+    H = max(r["ty"] * T_ + r["h"] for r in rows)
+    out = np.zeros((H, W, c) if c > 1 else (H, W), dtype=np.dtype(dt))
+    for r in rows:
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+        out[r["ty"] * T_ : r["ty"] * T_ + r["h"], r["tx"] * T_ : r["tx"] * T_ + r["w"]] = a
+    return out
+
+
 def subset_tiles(tiles: DataFrame, x0: int, x1: int, y0: int, y1: int, tilesize: int = 256) -> DataFrame:
     """F1 ``rebuildsliced``: base-pixel range -> per-level tile predicates.
 
@@ -158,11 +176,16 @@ def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFra
     return tiles.mapInPandas(gen, TILE_SCHEMA)
 
 
+def _max_levels(a: DataFrame, b: DataFrame) -> tuple[int, int]:
+    """Both sides' max(z) in ONE Spark job (two tiny aggregates unioned)."""
+    rows = a.agg(F.max("z")).unionAll(b.agg(F.max("z"))).collect()
+    return rows[0][0], rows[1][0]
+
+
 def check_level_compat(a: DataFrame, b: DataFrame) -> int:
     """Broadcast level-compat check (reference ``checklevelcompat``,
     src/broadcast.jl:59-67): equal level counts or raise."""
-    na = a.agg(F.max("z")).collect()[0][0]
-    nb = b.agg(F.max("z")).collect()[0][0]
+    na, nb = _max_levels(a, b)
     if na != nb:
         raise ValueError(
             f"pyramids have different level counts ({na} vs {nb}); "
@@ -231,8 +254,7 @@ def pyramids_equal(a: DataFrame, b: DataFrame, rtol: float = 0.0) -> bool:
     ``rtol > 0`` decodes and compares allclose (the PSNR>=40dB hook for
     future lossy codecs); default is exact byte equality (fmt='raw').
     """
-    na = a.agg(F.max("z")).collect()[0][0]
-    nb = b.agg(F.max("z")).collect()[0][0]
+    na, nb = _max_levels(a, b)
     if na != nb:
         return False
     kb = b.select(
@@ -279,22 +301,98 @@ def pyramids_equal(a: DataFrame, b: DataFrame, rtol: float = 0.0) -> bool:
     return tot.agg(F.sum("bad")).collect()[0][0] == 0
 
 
-def cat_tiles_x(a: DataFrame, b: DataFrame, a_spec: PyramidSpec) -> DataFrame:
-    """C1 ``cat`` along X (reference src/PyramidScheme.jl:528-534,
-    test/runtests.jl:130-143): union of tile tables with B's tx shifted by
-    A's per-level tile count. Requires A's width to tile evenly at every
-    level (checked) so the grids align.
+def cat_tiles(items: list[tuple[DataFrame, PyramidSpec]], axis: str = "x") -> DataFrame:
+    """C1 n-ary ``cat`` along X or Y (reference ``Base.cat(A1, As...; dims)``,
+    src/PyramidScheme.jl:528-534; 3-pyramid test, test/runtests.jl:130-143).
+
+    Union of the tile tables with each pyramid's tx (or ty) shifted by the
+    cumulative predecessor tile count per level — a pure metadata rewrite,
+    zero shuffle, zero pixel work (the 100 TB-friendly property of keying
+    tiles relationally instead of storing one big array). Every pyramid
+    except the last must be tile-aligned along the cat axis at all levels
+    (checked) so the grids line up.
     """
-    T_ = a_spec.tilesize
-    for z in range(a_spec.nlevels + 1):
-        lw = -(-a_spec.base_w // (1 << z))
-        if lw % T_ != 0:
-            raise ValueError(f"cat_x: left pyramid level {z} width {lw} not tile-aligned")
-    shift = F.expr(f"shiftright(cast({a_spec.base_w // T_} as int), z)")
-    shifted = b.withColumn("tx", (F.col("tx") + shift).cast("int")).withColumn(
-        "xmin", F.col("xmin") + a_spec.base_w
-    ).withColumn("xmax", F.col("xmax") + a_spec.base_w)
-    return a.unionByName(shifted)
+    if axis not in ("x", "y"):
+        raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
+    if not items:
+        raise ValueError("cat_tiles needs at least one pyramid")
+    tcol, locol, hicol = ("tx", "xmin", "xmax") if axis == "x" else ("ty", "ymin", "ymax")
+    out = None
+    cum = 0  # cumulative base extent (px) of predecessors along the axis
+    for i, (df, spec) in enumerate(items):
+        T_ = spec.tilesize
+        dim = spec.base_w if axis == "x" else spec.base_h
+        if i < len(items) - 1:
+            for z in range(spec.nlevels + 1):
+                lw = -(-dim // (1 << z))
+                if lw % T_ != 0:
+                    raise ValueError(
+                        f"cat_{axis}: pyramid {i} level {z} extent {lw} not tile-aligned"
+                    )
+        if cum:
+            shift = F.expr(f"shiftright(cast({cum // T_} as int), z)")
+            df = (
+                df.withColumn(tcol, (F.col(tcol) + shift).cast("int"))
+                .withColumn(locol, F.col(locol) + cum)
+                .withColumn(hicol, F.col(hicol) + cum)
+            )
+        out = df if out is None else out.unionByName(df)
+        cum += dim
+    return out
+
+
+def cat_tiles_x(a: DataFrame, b: DataFrame, a_spec: PyramidSpec, b_spec: PyramidSpec | None = None) -> DataFrame:
+    """Binary cat-along-X (back-compat wrapper over ``cat_tiles``)."""
+    return cat_tiles([(a, a_spec), (b, b_spec or a_spec)], axis="x")
+
+
+def cat_bands(dfs: list[DataFrame]) -> DataFrame:
+    """C1 n-ary ``cat`` along a *new* dim (reference cats 3 pyramids onto
+    ``Dim{:new}``, test/runtests.jl:130-143): stack N pyramids' tiles into
+    the channel axis.
+
+    ONE shuffle + ONE Python stage regardless of N: union the inputs with a
+    source ordinal, group by tile key, concatenate in ordinal order inside
+    a single applyInPandas (folding binary zip-joins would chain N-1 Python
+    stages per task — measured 10x slower on this host)."""
+    if len(dfs) < 2:
+        raise ValueError("cat_bands needs >= 2 pyramids")
+    n = len(dfs)
+    first = dfs[0]
+    for other in dfs[1:]:
+        check_level_compat(first, other)
+    tagged = None
+    for i, df in enumerate(dfs):
+        t = df.withColumn("_src", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_src")
+        if len(pdf) != n:
+            raise ValueError(
+                f"tile (z={key[0]}, tx={key[1]}, ty={key[2]}) present in "
+                f"{len(pdf)}/{n} pyramids — cat along a new dim needs equal grids"
+            )
+        parts = []
+        for r in pdf.to_dict("records"):
+            x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+            parts.append(x[:, :, None] if x.ndim == 2 else x)
+        base = parts[0]
+        out = np.concatenate([p.astype(base.dtype) for p in parts], axis=2)
+        r0 = pdf.iloc[0].to_dict()
+        d = {k: r0[k] for k in (f.name for f in TILE_SCHEMA.fields)}
+        af = out.astype(np.float64, copy=False)
+        d.update(
+            bytes=encode_tile(out),
+            c=out.shape[2],
+            dtype=str(out.dtype.name),
+            vmin=float(np.nanmin(af)),
+            vmax=float(np.nanmax(af)),
+            vmean=float(np.nanmean(af)),
+        )
+        return _rows_to_pdf([d])
+
+    return tagged.groupBy("z", "tx", "ty").applyInPandas(merge, TILE_SCHEMA)
 
 
 def stack_bands(a: DataFrame, b: DataFrame) -> DataFrame:

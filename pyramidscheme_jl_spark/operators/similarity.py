@@ -71,10 +71,56 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(df: DataFrame, bits: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-bit bucket id from the first ``bits`` dimensions (axis-aligned
-    hyperplanes — deterministic, no random projections needed for the
-    oracle). ``bucket = sum_b (v[b] > 0) << b``."""
+def hyperplane_signs(bits: int, dim: int, seed: int) -> list[list[int]]:
+    """Seeded Rademacher (+-1) hyperplane matrix, shared verbatim by the
+    Spark expression and the DuckDB oracle so buckets match bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.choice([-1, 1], size=(bits, dim)).astype(int).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH bucket id per vector.
+
+    ``seed=None``: axis-aligned sign bits of the first ``bits`` dims
+    (``bucket = sum_b (v[b] > 0) << b``) — kept as the zero-config fallback,
+    but correlated dims degrade its recall.
+
+    ``seed`` given (needs ``dim``): seeded random-hyperplane (Rademacher
+    SimHash for cosine) buckets — ``bit b = <qvec, r_b> > 0`` with r_b in
+    {-1,+1}^dim from ``hyperplane_signs(bits, dim, seed)``. Strictly better
+    partitioning under correlated dimensions (VERDICT r1 #10); all
+    arithmetic is exact integer dots on the quantized vectors, so the
+    DuckDB twin reproduces buckets exactly from the same sign matrix.
+    """
+    if seed is not None:
+        if dim is None:
+            raise ValueError("hyperplane LSH needs the embedding dim")
+        signs = hyperplane_signs(bits, dim, seed)
+        src = df if "qvec" in df.columns else quantized(df, vec_col)
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    F.array(*[F.lit(int(s)).cast("long") for s in signs[b]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return src.withColumn("bucket", bucket)
     # 2^b via pow (exact in double up to 2^52; shiftleft rejects Column counts)
     bucket = F.aggregate(
         F.sequence(F.lit(0), F.lit(bits - 1)),
@@ -94,17 +140,33 @@ def lsh_topk(
     bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int | None = None,
+    dim: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket (equi-join
     instead of a full scan); exact integer re-rank inside the candidates.
     Recall grows with fewer bits / added probe buckets; exactness is NOT
-    guaranteed — that is the documented trade of the scale path."""
-    d = lsh_bucket(quantized(data, vec_col), bits, id_col, vec_col).select(
+    guaranteed — that is the documented trade of the scale path. Pass
+    ``seed``+``dim`` for random-hyperplane buckets (better recall under
+    correlated dims). ``probes=1`` is classic multi-probe: the query side
+    also probes every 1-bit-flip bucket (``bits+1`` equi-join keys per
+    query — still no scan of the data side), rescuing neighbors that fall
+    just across one hyperplane."""
+    d = lsh_bucket(quantized(data, vec_col), bits, id_col, vec_col, seed, dim).select(
         F.col(id_col).alias("n_id"), F.col("qvec").alias("n_qvec"), "bucket"
     )
-    q = lsh_bucket(quantized(queries, vec_col), bits, id_col, vec_col).select(
+    q = lsh_bucket(quantized(queries, vec_col), bits, id_col, vec_col, seed, dim).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec"), "bucket"
     )
+    if probes:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+        )
+        q = q.select(
+            "query_id", "q_qvec", F.explode(probe_buckets).alias("bucket")
+        )
     scored = (
         d.join(F.broadcast(q), "bucket")
         .where(F.col("n_id") != F.col("query_id"))
@@ -121,11 +183,12 @@ def lsh_topk(
 def cosine_near_dup_pairs(
     df: DataFrame, threshold_milli: int = 990, bits: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int | None = None, dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket blocking + exact
     integer comparison ``ip^2 * 10^6 >= t^2 * na2 * nb2`` (squared-cosine
     threshold without any float division; sign guarded)."""
-    d = lsh_bucket(quantized(df, vec_col), bits, id_col, vec_col).select(
+    d = lsh_bucket(quantized(df, vec_col), bits, id_col, vec_col, seed, dim).select(
         F.col(id_col).alias("id"), F.col("qvec"), "bucket"
     )
     a, b = d.alias("a"), d.alias("b")

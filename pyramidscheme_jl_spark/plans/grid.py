@@ -102,21 +102,28 @@ def tile_extent(
 
 
 def agg_axis(values: np.ndarray, n: int) -> np.ndarray:
-    """Aggregate a uniform coordinate axis by factor ``n`` -> block midpoints.
+    """Aggregate a uniform coordinate axis by factor ``n``.
 
-    Mirrors ``agg_axis`` (reference src/PyramidScheme.jl:297-304):
-    ``npoints = ceil(len/n)``, new step = ``step*n``, offset by
-    ``step*(n-1)/2`` (sign follows axis direction). The reference notes this
-    is "only correct for points not intervals" — same caveat applies.
+    Exact mirror of the reference's ``agg_axis``
+    (src/PyramidScheme.jl:296-303): ``npoints = cld(len, n)``,
+    ``half = step*(n-1)/2``, then ``LinRange(first + sgn*half,
+    last - sgn*half, npoints)`` — i.e. the endpoints are pinned and the
+    interior is evenly spaced (NOT an arithmetic progression of step*n when
+    the length is not divisible by n; ADVICE r1 flagged the divergence).
+    For divisible lengths this equals block midpoints. The reference notes
+    this is "only correct for points not intervals" — same caveat applies.
+    Reversed axes keep their direction (the sgn factor falls out of using
+    first/last directly).
     """
     values = np.asarray(values, dtype=np.float64)
     if len(values) == 0 or n <= 1:
         return values
     step = values[1] - values[0] if len(values) > 1 else 1.0
     npoints = -(-len(values) // n)
-    offset = step * (n - 1) / 2.0
-    start = values[0] + offset
-    return start + np.arange(npoints, dtype=np.float64) * (step * n)
+    half = step * (n - 1) / 2.0
+    start = values[0] + half
+    stop = values[-1] - half
+    return np.linspace(start, stop, npoints)
 
 
 @dataclass(frozen=True)

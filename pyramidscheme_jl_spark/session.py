@@ -89,6 +89,12 @@ def get_spark(
         # starve (measured: 38 s blocked in open_stream). 128 rows caps a
         # batch at ~64 MB worst-case.
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        # DataFrame cache (InMemoryRelation) packs 10k rows per columnar
+        # batch by default — multi-GB buffers on fat binary tile rows, and
+        # compression attempts on incompressible pixel bytes; measured 36.6s
+        # -> 23.8s for a cache-while-write of a 537 MB level at batchSize 32
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "32")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")

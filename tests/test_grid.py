@@ -70,8 +70,11 @@ def test_agg_axis_midpoints():
     # reversed axis keeps direction
     rev = agg_axis(np.arange(8, 0, -1, dtype=float), 2)
     np.testing.assert_allclose(rev, [7.5, 5.5, 3.5, 1.5])
-    # ragged: 7 points by 2 -> 4 midpoints
-    assert len(agg_axis(np.arange(7, dtype=float), 2)) == 4
+    # ragged: 7 points by 2 -> LinRange with pinned endpoints (reference
+    # src/PyramidScheme.jl:296-303; ADVICE r1 parity fix), NOT step*n
+    np.testing.assert_allclose(
+        agg_axis(np.arange(7, dtype=float), 2), [0.5, 0.5 + 5 / 3, 0.5 + 10 / 3, 5.5]
+    )
 
 
 @pytest.mark.parametrize("target", [(1024, 1024), (512, 512), (300, 300), (2048, 2048)])

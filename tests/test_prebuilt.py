@@ -1,0 +1,106 @@
+"""COG-style prebuilt-overview import (S3) — round-trip analog of the
+reference's GDAL overview test (test/runtests.jl:70-84)."""
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.functions.codec import decode_tile
+from pyramidscheme_jl_spark.functions.reducers import block_reduce
+from pyramidscheme_jl_spark.sources.catalog import committed_levels, read_level
+from pyramidscheme_jl_spark.sources.prebuilt import (
+    PREBUILT_SCHEMA,
+    from_prebuilt_levels,
+    validate_prebuilt,
+)
+from pyramidscheme_jl_spark.sources.synth import mosaic_pixels
+from tests.test_build_spark import assemble_level
+
+
+def _overview_chain(base: np.ndarray, n: int) -> list[np.ndarray]:
+    """External-writer stand-in: average-resampled overviews rounded back to
+    the base dtype (what a COG writer's 'average' resampling produces)."""
+    out = [base]
+    cur = base
+    for _ in range(n):
+        cur = np.rint(block_reduce(cur.astype(np.float64), "mean")).astype(base.dtype)
+        out.append(cur)
+    return out
+
+
+def _rows(planes_by_band: dict[int, list[np.ndarray]]) -> list[tuple]:
+    rows = []
+    for band, planes in planes_by_band.items():
+        for z, p in enumerate(planes):
+            rows.append(
+                (band, z, p.shape[1], p.shape[0], str(p.dtype.name), p.tobytes())
+            )
+    return rows
+
+
+def test_prebuilt_roundtrip_single_band(spark, tmp_path):
+    base = mosaic_pixels(G=3)  # 768x768 -> nlevels 2
+    planes = _overview_chain(base, 2)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_rows({0: planes}), PREBUILT_SCHEMA).write.parquet(src)
+    dest = str(tmp_path / "pyr")
+    spec = from_prebuilt_levels(spark, src, dest)
+    assert spec.nlevels == 2
+    assert committed_levels(spark, dest) == [0, 1, 2]
+    for z in (0, 1, 2):
+        np.testing.assert_array_equal(assemble_level(spark, dest, z, spec), planes[z])
+    # opened like any other pyramid (reference Pyramid(tname) round trip)
+    from pyramidscheme_jl_spark.api import PyramidDataset
+
+    p = PyramidDataset.open(spark, dest)
+    assert p.spec == spec
+    w = p.read_window((0, 0, 768, 768), (256, 256))
+    np.testing.assert_array_equal(w["data"], planes[2])
+
+
+def test_prebuilt_multiband_concat(spark, tmp_path):
+    base0 = mosaic_pixels(G=3)
+    base1 = (base0 // 2).astype(base0.dtype)
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        _rows({0: _overview_chain(base0, 2), 1: _overview_chain(base1, 2)}),
+        PREBUILT_SCHEMA,
+    ).write.parquet(src)
+    dest = str(tmp_path / "pyr2")
+    spec = from_prebuilt_levels(spark, src, dest)
+    r = read_level(spark, dest, 2).collect()[0]
+    assert r["c"] == 2  # per-band read + band concat (ref ext lines 16-24)
+    arr = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], 2)
+    np.testing.assert_array_equal(arr[:, :, 0], _overview_chain(base0, 2)[2])
+    np.testing.assert_array_equal(arr[:, :, 1], _overview_chain(base1, 2)[2])
+    assert spec.nlevels == 2
+
+
+def test_prebuilt_validation_rejects_defects():
+    base = np.zeros((512, 512), dtype=np.uint8)
+    ovr = np.zeros((256, 256), dtype=np.uint8)
+    ok = [
+        {"band": 0, "z": 0, "w": 512, "h": 512, "dtype": "uint8"},
+        {"band": 0, "z": 1, "w": 256, "h": 256, "dtype": "uint8"},
+    ]
+    spec, levels, nb = validate_prebuilt(ok)
+    assert (spec.base_w, levels, nb) == (512, [0, 1], 1)
+    # ragged band sets
+    with pytest.raises(ValueError, match="same overview set"):
+        validate_prebuilt(ok + [{"band": 1, "z": 0, "w": 512, "h": 512, "dtype": "uint8"}])
+    # missing base
+    with pytest.raises(ValueError, match="z=0"):
+        validate_prebuilt([{"band": 0, "z": 1, "w": 256, "h": 256, "dtype": "uint8"}])
+    # wrong halving shape
+    bad = [dict(ok[0]), {"band": 0, "z": 1, "w": 300, "h": 256, "dtype": "uint8"}]
+    with pytest.raises(ValueError, match="ceil-halving"):
+        validate_prebuilt(bad)
+    # mixed dtype within a level needs >= 2 bands on that level
+    mixed = [
+        dict(ok[0]),
+        dict(ok[1]),
+        {"band": 1, "z": 0, "w": 512, "h": 512, "dtype": "uint8"},
+        {"band": 1, "z": 1, "w": 256, "h": 256, "dtype": "float32"},
+    ]
+    with pytest.raises(ValueError, match="mixes dtypes"):
+        validate_prebuilt(mixed)
+    _ = (base, ovr)

@@ -13,7 +13,7 @@ def naive_block_reduce(a, reducer, fac):
     h, w = a.shape[:2]
     oh, ow = -(-h // fac), -(-w // fac)
     rest = a.shape[2:]
-    if reducer == "mean":
+    if reducer in ("mean", "median"):
         out = np.empty((oh, ow, *rest))
     elif reducer == "sum":
         out = np.empty((oh, ow, *rest), dtype=np.float64 if a.dtype.kind == "f" else np.int64)
@@ -27,6 +27,8 @@ def naive_block_reduce(a, reducer, fac):
             blk2 = blk.reshape(-1, *rest)
             if reducer == "mean":
                 out[i, j] = np.nanmean(blk2, axis=0)
+            elif reducer == "median":
+                out[i, j] = np.nanmedian(blk2, axis=0)
             elif reducer == "sum":
                 out[i, j] = np.nansum(blk2, axis=0)
             elif reducer == "min":

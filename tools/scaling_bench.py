@@ -49,8 +49,10 @@ images = synth_images_df(spark, G=G, partitions=cpus * 4).cache()
 n_imgs = images.count()
 tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_")
 t0 = time.perf_counter()
+# float32 levels = the production mean-level dtype (halves level bytes on
+# the measured disk-bound limiter; see BENCH/BASELINE.md)
 build_pyramid(spark, images, tmp + "/p", G=G, reducer="mean",
-              run_id="scale", materialize_base=False)
+              run_id="scale", materialize_base=False, level_dtype="float32")
 dt_build = time.perf_counter() - t0
 shutil.rmtree(tmp, ignore_errors=True)
 
@@ -109,7 +111,7 @@ def main() -> None:
     ap.add_argument("--g", type=int, default=96)
     ap.add_argument("--side", type=int, default=1448)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument("--out", default="BENCH/SCALING.md")  # BASELINE.md is hand-curated
     args = ap.parse_args()
 
     # the sandbox host has noisy-neighbor CPU steal (observed 0-18%);
@@ -143,7 +145,7 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    md = f"""# BENCH/BASELINE — throughput + two-cluster-size scaling evidence
+    md = f"""# BENCH/SCALING — generated two-cluster-size scaling run (see BASELINE.md for analysis)
 
 Protocol (BASELINE.json): no real cluster in the sandbox, so the identical
 job runs at two parallelism levels on the same input — `local[8]` (N) and
