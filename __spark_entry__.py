@@ -237,6 +237,26 @@ def q_bbox_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select("p_partkey", "n_nationkey")
 
 
+def q_bbox_join_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 scale path: same point-in-box semantics as q_bbox_join (same
+    oracle SQL) but via the distributed cover-cell equi-join — neither side
+    broadcast, for box TABLES too large for the driver."""
+    from pyramidscheme_jl_spark.operators.joins import point_box_join_cells
+
+    pts = _points_part(spark, sf).select(
+        "p_partkey",
+        F.col("px").cast("double").alias("x"),
+        F.col("py").cast("double").alias("y"),
+    )
+    boxes = _boxes_nation(spark, sf)
+    out = point_box_join_cells(
+        pts, boxes, res=4, world=128.0,
+        point_cols=("p_partkey", "x", "y"),
+        box_cols=("n_nationkey", "qxmin", "qxmax", "qymin", "qymax"),
+    )
+    return out.select("p_partkey", "n_nationkey")
+
+
 def q_zonal_agg(spark: SparkSession, sf: str) -> DataFrame:
     """J5 zonal aggregates: the bbox join rolled up per zone."""
     pts = _points_part(spark, sf)
@@ -447,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_multilevel": q_rollup_multilevel,
         "selectlevel_window": q_selectlevel_window,
         "bbox_join": q_bbox_join,
+        "bbox_join_cells": q_bbox_join_cells,
         "zonal_agg": q_zonal_agg,
         "knn": q_knn,
         "pip_join": q_pip_join,
@@ -594,6 +615,15 @@ def oracle_sql() -> dict[str, str]:
                               AND {int(_WIN_EXTENT[2]) >> max(1, min(3, _WIN_Z))}
         """,
         "bbox_join": """
+            SELECT p_partkey, n_nationkey
+            FROM (SELECT p_partkey, p_partkey % 128 AS px, p_partkey // 128 % 128 AS py FROM part) p
+            JOIN (SELECT n_nationkey,
+                         (n_nationkey % 5) * 24 AS qxmin, (n_nationkey % 5) * 24 + 30 AS qxmax,
+                         (n_nationkey // 5) * 24 AS qymin, (n_nationkey // 5) * 24 + 30 AS qymax
+                  FROM nation) n
+            ON p.px >= n.qxmin AND p.px < n.qxmax AND p.py >= n.qymin AND p.py < n.qymax
+        """,
+        "bbox_join_cells": """
             SELECT p_partkey, n_nationkey
             FROM (SELECT p_partkey, p_partkey % 128 AS px, p_partkey // 128 % 128 AS py FROM part) p
             JOIN (SELECT n_nationkey,

@@ -50,6 +50,33 @@ def with_point_cells(points: DataFrame, res: int, world: float) -> DataFrame:
     return points.withColumn("cell", enc("x", "y"))
 
 
+def _part1by1_expr(c):
+    """JVM twin of ``cells._part1by1`` (bit-spread for morton interleave) —
+    the same 5-step shift/mask cascade as column expressions, so cell ids
+    can be *computed* (not just compared) without leaving codegen."""
+    e = c.cast("long").bitwiseAND(F.lit(0x3FFFFFF))
+    for sh, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        e = e.bitwiseOR(F.shiftleft(e, sh)).bitwiseAND(F.lit(mask))
+    return e
+
+
+def cell_expr(ix_col, iy_col, res: int):
+    """JVM twin of ``cells.xy_to_cell``: grid coords -> cell id, pure column
+    arithmetic (used to build join keys from exploded ranges)."""
+    return (
+        F.lit(res << _RES_SHIFT)
+        .bitwiseOR(_part1by1_expr(ix_col))
+        .bitwiseOR(F.shiftleft(_part1by1_expr(iy_col), 1))
+        .cast("long")
+    )
+
+
 def parent_cell_expr(cell_col: str, from_res: int, to_res: int):
     """JVM-side ancestor arithmetic — no UDF in the join key path."""
     if to_res > from_res:
@@ -298,6 +325,65 @@ def knn_join(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def point_box_join_cells(
+    points: DataFrame,
+    boxes: DataFrame,
+    res: int,
+    world: float,
+    point_cols: tuple[str, str, str] = ("point_id", "x", "y"),
+    box_cols: tuple[str, str, str, str, str] = ("box_id", "qxmin", "qxmax", "qymin", "qymax"),
+) -> DataFrame:
+    """J6 scale path: point-in-box join for LARGE box *tables* (neither side
+    driver-resident, neither side broadcast).
+
+    Each box explodes into its cover cells at ``res`` — two JVM
+    ``sequence()`` explodes over its grid-coordinate ranges, morton-encoded
+    by ``cell_expr`` — and candidates come from one equi-join on the cell
+    id against the point side's cell (computed the same way). The exact
+    half-open interval predicate refines. Fan per box = cells covered;
+    pick ``res`` so typical boxes span a handful of cells. Compare
+    ``bbox_join``: that broadcast nested-loop form is right when boxes are
+    dims-sized; this one shuffles on cell and scales with both cardinalities.
+    """
+    pid, px, py = point_cols
+    bid, bx0, bx1, by0, by1 = box_cols
+    n = 1 << res
+    scale = float(n) / float(world)
+
+    def grid(c, clamp_hi=n - 1):
+        return F.least(
+            F.greatest(F.floor(c * F.lit(scale)), F.lit(0)), F.lit(clamp_hi)
+        ).cast("long")
+
+    p = points.select(
+        F.col(pid), F.col(px), F.col(py),
+        cell_expr(grid(F.col(px)), grid(F.col(py)), res).alias("_pcell"),
+    )
+    # half-open boxes: the max edge belongs to the next cell only if the
+    # box extends into it, so cover the range [floor(min*s), floor(max*s)]
+    b = (
+        boxes.select(
+            F.col(bid), F.col(bx0), F.col(bx1), F.col(by0), F.col(by1),
+            grid(F.col(bx0)).alias("_ix0"), grid(F.col(bx1)).alias("_ix1"),
+            grid(F.col(by0)).alias("_iy0"), grid(F.col(by1)).alias("_iy1"),
+        )
+        .select("*", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))).alias("_ix"))
+        .select("*", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("_iy"))
+        .select(
+            bid, bx0, bx1, by0, by1,
+            cell_expr(F.col("_ix"), F.col("_iy"), res).alias("_bcell"),
+        )
+    )
+    return (
+        p.join(b, p["_pcell"] == b["_bcell"], "inner")
+        .where(
+            (F.col(px) >= F.col(bx0)) & (F.col(px) < F.col(bx1))
+            & (F.col(py) >= F.col(by0)) & (F.col(py) < F.col(by1))
+        )
+        .select(pid, px, py, bid)
+    )
 
 
 def bbox_join(

@@ -47,16 +47,74 @@ def main() -> None:
     out.write("```\n\n")
     shutil.rmtree(tmp, ignore_errors=True)
 
-    # 2) key relational queries: broadcast + codegen evidence
-    for name in ("block_agg_mean", "bbox_join", "zonal_agg", "embedding_topk"):
+    # 1b) streaming ancestor-patch child scan: pushed tx/ty IN-lists
+    from pyramidscheme_jl_spark.sources.catalog import read_level
+    from pyramidscheme_jl_spark.streaming.ingest import _children_of
+
+    tmp2 = tempfile.mkdtemp()
+    build_pyramid(spark, images, tmp2 + "/p", G=4, run_id="plans2")
+    kids = _children_of(read_level(spark, tmp2 + "/p", 0), [(0, 0), (1, 1)])
+    plan = kids._jdf.queryExecution().executedPlan().toString()
+    out.write("## Streaming ancestor-patch child scan (pushed IN-lists)\n\n```\n")
+    for line in plan.splitlines():
+        if any(k in line for k in ("FileScan", "PushedFilters")):
+            out.write(line.strip()[:400] + "\n")
+    out.write("```\n\n")
+    shutil.rmtree(tmp2, ignore_errors=True)
+
+    # 2) key relational queries: broadcast + codegen + python-free evidence
+    for name in (
+        "block_agg_mean",
+        "bbox_join",
+        "bbox_join_cells",
+        "zonal_agg",
+        "embedding_topk",
+        "pip_join",
+        "block_agg_median",
+    ):
         df = E.queries()[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         keep = []
         for line in plan.splitlines():
             s = line.strip()
-            if any(k in s for k in ("WholeStageCodegen", "BroadcastHashJoin", "BroadcastNestedLoop", "HashAggregate", "Exchange", "FileScan", "PushedFilters")):
+            if any(k in s for k in ("WholeStageCodegen", "BroadcastHashJoin", "BroadcastNestedLoop", "HashAggregate", "Exchange", "FileScan", "PushedFilters", "EvalPython", "SortMergeJoin", "Generate")):
                 keep.append(s[:300])
         out.write(f"## {name}\n\n```\n" + "\n".join(keep[:25]) + "\n```\n\n")
+
+    # 3) kNN candidate-join round: assert no Python eval in the key path
+    from pyspark.sql import functions as F
+
+    from pyramidscheme_jl_spark.operators.joins import grid_coord_cols
+
+    pts = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("point_id"),
+        (F.col("id") % 32).cast("double").alias("x"),
+        (F.col("id") / 32).cast("double").alias("y"),
+    )
+    ix, iy = grid_coord_cols(4, 32.0)
+    q = pts.select("point_id", "x", "y", ix.alias("qix"), iy.alias("qiy"))
+    d = pts.select(F.col("point_id").alias("n_id"), ix.alias("nix"), iy.alias("niy"))
+    offs = F.sequence(F.lit(-1), F.lit(1))
+    cand = (
+        q.select("*", F.explode(offs).alias("dx"))
+        .select("*", F.explode(offs).alias("dy"))
+        .join(
+            d,
+            ((F.col("qix") + F.col("dx")) == F.col("nix"))
+            & ((F.col("qiy") + F.col("dy")) == F.col("niy")),
+        )
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    has_py = "EvalPython" in plan
+    out.write(
+        f"## kNN candidate join (one ring)\n\nPython eval in plan: **{has_py}** "
+        "(must be False — the key path is pure column arithmetic)\n\n```\n"
+    )
+    for line in plan.splitlines():
+        s = line.strip()
+        if any(k in s for k in ("Join", "Generate", "EvalPython", "Project")):
+            out.write(s[:300] + "\n")
+    out.write("```\n")
 
     with open("BENCH/PLANS.md", "w") as f:
         f.write(out.getvalue())
