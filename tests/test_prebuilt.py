@@ -75,6 +75,28 @@ def test_prebuilt_multiband_concat(spark, tmp_path):
     assert spec.nlevels == 2
 
 
+def test_prebuilt_partial_then_resume_extends(spark, tmp_path):
+    """A source with fewer overviews than compute_nlevels plans imports
+    as-is (foreign data preserved, nothing fabricated); build_pyramid
+    (resume=True) then builds only the missing top level."""
+    from pyramidscheme_jl_spark.operators.build import build_pyramid
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    base = mosaic_pixels(G=3)
+    planes = _overview_chain(base.astype(np.float64), 1)  # base + z=1 only
+    src = str(tmp_path / "srcp")
+    spark.createDataFrame(_rows({0: planes}), PREBUILT_SCHEMA).write.parquet(src)
+    dest = str(tmp_path / "pyrp")
+    spec = from_prebuilt_levels(spark, src, dest, run_id="imp")
+    assert spec.nlevels == 2 and committed_levels(spark, dest) == [0, 1]
+    # resume completes z=2 recursively from the imported z=1
+    images = spark.createDataFrame(synth_images(G=3), IMAGES_DDL)
+    build_pyramid(spark, images, dest, G=3, reducer="mean", run_id="imp", resume=True)
+    assert committed_levels(spark, dest) == [0, 1, 2]
+    got = assemble_level(spark, dest, 2, spec)
+    np.testing.assert_allclose(got, block_reduce(planes[1], "mean"), rtol=1e-12)
+
+
 def test_prebuilt_validation_rejects_defects():
     base = np.zeros((512, 512), dtype=np.uint8)
     ovr = np.zeros((256, 256), dtype=np.uint8)
