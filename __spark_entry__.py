@@ -445,6 +445,23 @@ def q_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: IVF config for the oracle pair (train deterministically: first 256 rows
+#: by vec_id, seeded k-means, fixed-point centroids — both engines derive
+#: the identical quantized centroid matrix)
+_IVF = dict(nlist=8, nprobe=2, seed=7, train_size=256, k=5)
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-k (coarse k-means quantizer, nprobe inverted lists) —
+    exact-integer assignment metric makes the DuckDB twin bit-exact."""
+    emb = _t(spark, sf, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=_IVF["k"], nlist=_IVF["nlist"], nprobe=_IVF["nprobe"],
+        seed=_IVF["seed"], train_size=_IVF["train_size"],
+    )
+
+
 def q_embedding_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = S.lsh_bucket(_t(spark, sf, "embeddings"), bits=16, seed=_LSH_SEED, dim=_LSH_DIM)
     return emb.groupBy("bucket").agg(
@@ -481,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "embedding_topk": q_embedding_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "union_cat": q_union_cat,
         "events_topk": q_events_topk,
@@ -519,6 +537,31 @@ def _lsh_bucket_cte(bits: int) -> str:
                      CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
               FROM dots GROUP BY vec_id)
     """
+
+
+def _ivf_cent_values() -> str:
+    """Quantized centroid literals for the IVF oracle, derived from the
+    sf0.01 embeddings (the driver's CORRECTNESS scale) by the exact same
+    deterministic procedure as S.ivf_topk: first ``train_size`` rows by
+    vec_id, seeded Lloyd's k-means, fixed-point quantization."""
+    import duckdb
+    import numpy as np
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT {_IVF['train_size']}"
+        )
+        .fetchall()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    qc = S.quantized_centroids(S.train_ivf_centroids(x, _IVF["nlist"], _IVF["seed"]))
+    return ", ".join(
+        f"({lid}, {i + 1}, {int(qc[lid, i])})"
+        for lid in range(qc.shape[0])
+        for i in range(qc.shape[1])
+    )
 
 
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
@@ -816,6 +859,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, n_id, ip, CAST(rank AS BIGINT) AS rank FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, n_id ASC) AS rank
               FROM ips) WHERE rank <= 5
+        """,
+        "embedding_ivf_topk": f"""
+            WITH cent0 (list_id, i, c0) AS (VALUES {_ivf_cent_values()}),
+            cent AS (SELECT list_id, i, CAST(c0 AS BIGINT) AS c FROM cent0),
+            cn AS (SELECT list_id, CAST(SUM(c * c) AS BIGINT) AS c2 FROM cent GROUP BY list_id),
+            fx AS (
+              SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            qx AS (
+              SELECT vec_id, i, CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+              FROM fx),
+            dots AS (
+              SELECT qx.vec_id, cent.list_id, CAST(SUM(qv * c) AS BIGINT) AS d
+              FROM qx JOIN cent USING (i) GROUP BY 1, 2),
+            metric AS (
+              SELECT vec_id, list_id, c2 - 2 * d AS m,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c2 - 2 * d ASC, list_id ASC) AS rn
+              FROM dots JOIN cn USING (list_id)),
+            assign AS (SELECT vec_id, list_id FROM metric WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, list_id FROM metric
+              WHERE rn <= {_IVF["nprobe"]} AND vec_id < 5),
+            dv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS n_id, dq.qv AS qq, dn.qv AS qn
+              FROM probes p
+              JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+              JOIN dv dq ON dq.vec_id = p.query_id
+              JOIN dv dn ON dn.vec_id = a.vec_id),
+            fl AS (SELECT query_id, n_id, UNNEST(qq) AS x, UNNEST(qn) AS y FROM cand),
+            ips AS (SELECT query_id, n_id, CAST(SUM(x * y) AS BIGINT) AS ip FROM fl GROUP BY 1, 2)
+            SELECT query_id, n_id, ip, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, n_id ASC) AS rank
+              FROM ips) WHERE rank <= {_IVF["k"]}
         """,
         "union_cat": """
             WITH p AS (SELECT p_partkey AS tx, CAST(p_size AS BIGINT) AS v FROM part),

@@ -1,12 +1,14 @@
 """Multimodal column operators: image/audio/video as opaque binary + typed
 metadata (training-data-pipeline surface).
 
-The sandbox has no image/audio codec libraries, so the *codec* step is
-stubbed behind a registry (raw passthrough is real; jpeg/png/wav/mp4 raise
-``NotImplementedError`` unless a deterministic fake is requested) while the
-Spark-side plumbing — schemas, Arrow batch shapes, partitioning, UDF
-signatures — is real and tested. Dropping in Pillow/ffmpeg later means
-registering real codecs; no plan shape changes.
+Codec registry status (r2): **every uncompressed format decodes for real**
+— ``raw`` passthrough plus pure-numpy PGM/PPM/BMP image decoders and a
+RIFF/PCM WAV audio decoder (``functions/media_codecs.py``; their specs are
+headers + raw samples, no library needed). Only entropy-coded formats
+(jpeg/png/mp4) remain stubbed behind ``NotImplementedError`` (no
+Pillow/ffmpeg in the sandbox; a deterministic fake exercises their
+pipeline shape). Dropping in real libs later means registering codecs —
+no plan shape changes.
 """
 
 from __future__ import annotations
@@ -56,14 +58,23 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool = False) -> np.ndarray:
-    """Codec registry. ``raw`` is real; compressed formats are stubbed.
+    """Codec registry. ``raw``/``pgm``/``ppm``/``bmp`` decode for real
+    (pure numpy); entropy-coded formats are stubbed.
+
+    Returns ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8. For the real
+    file formats, shape comes from the file header (the bytes are the
+    source of truth; the metadata columns are advisory).
 
     ``deterministic_fake=True`` substitutes a seeded pseudo-decode (stable
-    bytes->pixels hash expansion) so pipelines exercising the plumbing stay
-    deterministic and testable without codec libs.
+    bytes->pixels hash expansion) so pipelines exercising the stubbed
+    formats stay deterministic and testable without codec libs.
     """
     if fmt == "raw":
         return decode_tile(buf, h, w, "uint8")
+    if fmt in ("pgm", "ppm", "bmp"):
+        from ..functions.media_codecs import decode_bmp, decode_pgm, decode_ppm
+
+        return {"pgm": decode_pgm, "ppm": decode_ppm, "bmp": decode_bmp}[fmt](bytes(buf))
     if deterministic_fake:
         seed = int.from_bytes(hashlib.sha256(buf[:64]).digest()[:4], "big")
         rng = np.random.RandomState(seed)
@@ -72,6 +83,14 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
         f"codec {fmt!r} needs an image library (Pillow/turbojpeg) — not in sandbox; "
         "pass deterministic_fake=True to exercise the pipeline shape"
     )
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    """(h, w[, 3]) uint8 -> (h, w) float64 luma (ITU-R BT.601 weights)."""
+    f = img.astype(np.float64)
+    if f.ndim == 3:
+        return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    return f
 
 
 def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataFrame:
@@ -90,18 +109,18 @@ def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataF
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
                 img = decode_image(buf, int(w), int(h), fmt, deterministic_fake)
-                f = img.astype(np.float64)
+                f = _luma(img)
                 gx = np.abs(np.diff(f, axis=1)).mean()
                 gy = np.abs(np.diff(f, axis=0)).mean()
                 rows.append(
                     {
                         "image_id": iid,
-                        "w": int(w),
-                        "h": int(h),
+                        "w": int(f.shape[1]),
+                        "h": int(f.shape[0]),
                         "mean_luma": float(f.mean()),
                         "std_luma": float(f.std()),
                         "edge_density": float((gx + gy) / 2.0),
-                        "phash": phash64(img),
+                        "phash": phash64(np.clip(np.rint(f), 0, 255).astype(np.uint8)),
                     }
                 )
             pdf_out = pd.DataFrame(rows)
@@ -140,6 +159,62 @@ def resize_images(images: DataFrame, factor: int = 2, deterministic_fake: bool =
             yield pdf_out
 
     return images.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),
+        T.StructField("peak_milli", T.LongType()),
+        T.StructField("zcr_milli", T.LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract per audio row (real WAV/PCM decode).
+
+    Expected input columns: (media_id, bytes, fmt) with fmt='wav'.
+    Features (first channel, milli-quantized for engine-portable
+    determinism): RMS level, peak level, zero-crossing rate.
+    """
+
+    def gen(batches):
+        from ..functions.media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, buf, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio codec {fmt!r} needs ffmpeg — not in sandbox"
+                    )
+                s, rate = decode_wav(bytes(buf))
+                ch0 = s[:, 0]
+                n = len(ch0)
+                zc = int((np.signbit(ch0[1:]) != np.signbit(ch0[:-1])).sum()) if n > 1 else 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": int(rate),
+                        "channels": int(s.shape[1]),
+                        "n_samples": n,
+                        "duration_ms": int(n * 1000 // max(rate, 1)),
+                        "rms_milli": int(np.floor(np.sqrt((ch0 ** 2).mean()) * 1000 + 0.5)) if n else 0,
+                        "peak_milli": int(np.floor(np.abs(ch0).max() * 1000 + 0.5)) if n else 0,
+                        "zcr_milli": int(zc * 1000 // max(n - 1, 1)),
+                    }
+                )
+            pdf_out = pd.DataFrame(rows)
+            for c in ("sample_rate", "channels"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return media.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:

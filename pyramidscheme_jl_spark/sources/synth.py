@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..functions.codec import encode_tile
-from ..functions.reducers import block_reduce
 
 TILE = 256
 
@@ -38,11 +37,21 @@ def image_pixels(gx: int, gy: int, size: int = TILE) -> np.ndarray:
 def phash64(img: np.ndarray) -> int:
     """64-bit perceptual-hash stand-in (FIXTURES.md §1).
 
-    Block-mean downsample to an 8x8 thumbnail, threshold at the median,
-    pack the 64 booleans MSB-first (row-major).
+    Mean-downsample to an 8x8 thumbnail (index-boundary chunks, so ANY
+    shape >= 8x8 works — square-multiple-of-8 inputs get exact 8x8 block
+    means; a row-factor-only version overflowed 64 bits on non-square
+    images), threshold at the median, pack the 64 booleans MSB-first
+    (row-major).
     """
-    fac = img.shape[0] // 8
-    thumb = block_reduce(img.astype(np.float64), "mean", fac=fac)
+    f = img.astype(np.float64)
+    if f.ndim == 3:
+        f = f.mean(axis=2)
+    ys = (np.arange(9) * f.shape[0]) // 8
+    xs = (np.arange(9) * f.shape[1]) // 8
+    thumb = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            thumb[i, j] = f[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (thumb > np.median(thumb)).ravel()
     v = 0
     for b in bits:
