@@ -391,6 +391,11 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return TX.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex tokenizer stats (whitespace twin is token_stats)."""
+    return TX.regex_tokens(_t(spark, sf, "documents"))
+
+
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     s = TX.token_stats(_t(spark, sf, "documents"))
     return s.select(
@@ -497,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
@@ -832,6 +838,21 @@ def oracle_sql() -> dict[str, str]:
                                       t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT))),
                      (acc, h) -> (acc * 1000003 + h) % {_P31}) AS rolling_fp
             FROM documents
+        """,
+        "bpe_tokens": f"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(lower(text), '{TX.BPE_PATTERN}') AS toks
+              FROM documents)
+            SELECT id,
+                   CAST(len(toks) AS BIGINT) AS n_pieces,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_pieces,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]'))) AS BIGINT) AS n_alpha,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num,
+                   CAST(len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^[a-z]')))
+                        - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_punct,
+                   CAST(list_max(list_prepend(0, list_transform(toks, x -> length(x)))) AS BIGINT) AS max_piece_len
+            FROM t
         """,
         "token_stats": """
             SELECT doc_id AS id,

@@ -40,6 +40,8 @@ HEADLINE = [
     "fingerprint",
     "embedding_topk",
     "embedding_lsh_buckets",
+    "embedding_ivf_topk",
+    "bpe_tokens",
 ]
 
 

@@ -39,6 +39,34 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: BPE-ish piece pattern: letter runs / digit runs / single non-alnum.
+#: The three alternatives match DISJOINT first characters, so Java-regex
+#: (Spark) and RE2 (DuckDB) tokenize identically — the portability
+#: requirement for the exact oracle.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def regex_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish regex token statistics (the second tokenizer the pipeline
+    mandate names alongside whitespace counting): lowercase, split into
+    letter runs / digit runs / punctuation singletons, count per class.
+    All JVM column expressions."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]")))
+    n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_pieces"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_num.cast("long").alias("n_num"),
+        (F.size(toks) - n_alpha - n_num).cast("long").alias("n_punct"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: F.greatest(acc, F.length(t)))
+        .cast("long")
+        .alias("max_piece_len"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality scoring: integer millis-scaled composite of
     type-token ratio, mean token length band, and length band — monotone
