@@ -71,6 +71,8 @@ def main() -> None:
         "embedding_topk",
         "pip_join",
         "block_agg_median",
+        "embedding_ivf_topk",
+        "bpe_tokens",
     ):
         df = E.queries()[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
