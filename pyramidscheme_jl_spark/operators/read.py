@@ -316,6 +316,14 @@ def cat_tiles(items: list[tuple[DataFrame, PyramidSpec]], axis: str = "x") -> Da
         raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
     if not items:
         raise ValueError("cat_tiles needs at least one pyramid")
+    n0, t0 = items[0][1].nlevels, items[0][1].tilesize
+    for i, (_, sp) in enumerate(items[1:], start=1):
+        if sp.nlevels != n0 or sp.tilesize != t0:
+            raise ValueError(
+                f"cat_{axis}: pyramid {i} has nlevels={sp.nlevels}/tilesize="
+                f"{sp.tilesize}, pyramid 0 has {n0}/{t0} — cat requires matching "
+                "level structure (reference checklevelcompat semantics)"
+            )
     tcol, locol, hicol = ("tx", "xmin", "xmax") if axis == "x" else ("ty", "ymin", "ymax")
     out = None
     cum = 0  # cumulative base extent (px) of predecessors along the axis
