@@ -42,6 +42,40 @@ def _dot(a, b):
     )
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed two-phase top-k over (query_id, n_id, ip) candidates.
+
+    Phase 1 groups by ``(query_id, spark_partition_id())`` — the partition
+    id is constant within each input partition, so the partial hash
+    aggregation COMPLETES map-side and only ``<= k`` survivors per (query,
+    partition) cross the exchange. Phase 2 ranks the tiny survivor set.
+    A single global window would shuffle every candidate row — the
+    difference between O(candidates) and O(k * partitions) network at
+    10^12-row scale. Ties break (ip desc, n_id asc), deterministic.
+    """
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("query_id", "_pid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("ip")).alias("nip"), F.col("n_id")))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.col("t.n_id").alias("n_id"), (-F.col("t.nip")).alias("ip"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("n_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "n_id", "ip", "rank")
+    )
+
+
 def brute_force_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -66,12 +100,7 @@ def brute_force_topk(
         .where(F.col("n_id") != F.col("query_id"))
         .withColumn("ip", _dot(F.col("q_qvec"), F.col("n_qvec")))
     )
-    win = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
-        .select("query_id", "n_id", "ip", "rank")
-    )
+    return topk_per_query(scored, k)
 
 
 def hyperplane_signs(bits: int, dim: int, seed: int) -> list[list[int]]:
@@ -173,12 +202,7 @@ def lsh_topk(
         .where(F.col("n_id") != F.col("query_id"))
         .withColumn("ip", _dot(F.col("q_qvec"), F.col("n_qvec")))
     )
-    win = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
-        .select("query_id", "n_id", "ip", "rank")
-    )
+    return topk_per_query(scored, k)
 
 
 def train_ivf_centroids(x: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
@@ -273,12 +297,7 @@ def ivf_topk(
         .where(F.col("n_id") != F.col("query_id"))
         .withColumn("ip", _dot(F.col("q_qvec"), F.col("n_qvec")))
     )
-    win = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
-        .select("query_id", "n_id", "ip", F.col("rank").cast("long").alias("rank"))
-    )
+    return topk_per_query(scored, k).withColumn("rank", F.col("rank").cast("long"))
 
 
 def cosine_near_dup_pairs(
