@@ -138,8 +138,10 @@ def point_in_polygon_join(
     polygons: list[dict],
     res: int,
     world: float,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """J3: (point_id, x, y, polygon_id) pairs — exact even-odd semantics.
+    """J3: (point_id, x, y, polygon_id[, carry...]) pairs — exact even-odd
+    semantics.
 
     points must carry ``cell`` at resolution ``res`` (``with_point_cells``).
     Plan shape: broadcast-join fact rows against the tiny cover table on
@@ -147,38 +149,51 @@ def point_in_polygon_join(
     resolutions), then a *narrow* vectorized ray-cast refine for boundary
     cells only. The fact table is never shuffled and never ray-casts
     interior hits.
+
+    ``carry_cols``: extra point columns passed through the join — at scale
+    this is how downstream aggregations (zonal_stats) avoid a second join
+    against the 10^12-row fact table just to recover their value column.
     """
+    carry = list(carry_cols or [])
     covers, rings, ress = _covers_df(spark, polygons, res, world)
+    keep = ["point_id", "x", "y", *carry, "polygon_id", "is_full"]
     cand = None
     for r in ress:
         c_r = covers.where(F.col("cover_res") == r)
         p_r = points.withColumn("jcell", parent_cell_expr("cell", res, r))
         j = p_r.join(
             F.broadcast(c_r), p_r["jcell"] == c_r["cover_cell"], "inner"
-        ).select("point_id", "x", "y", "polygon_id", "is_full")
+        ).select(*keep)
         cand = j if cand is None else cand.unionByName(j)
 
     ring_items = sorted(rings.items())  # deterministic closure
+    carry_fields = [
+        T.StructField(f.name, f.dataType)
+        for f in points.schema.fields
+        if f.name in carry
+    ]
     out_schema = T.StructType(
         [
             T.StructField("point_id", T.StringType()),
             T.StructField("x", T.DoubleType()),
             T.StructField("y", T.DoubleType()),
+            *carry_fields,
             T.StructField("polygon_id", T.StringType()),
         ]
     )
+    out_cols = ["point_id", "x", "y", *carry, "polygon_id"]
 
     def refine(batches):
         ringmap = dict(ring_items)
         for pdf in batches:
             keep_full = pdf[pdf["is_full"]]
-            parts = [keep_full[["point_id", "x", "y", "polygon_id"]]]
+            parts = [keep_full[out_cols]]
             border = pdf[~pdf["is_full"]]
             for pid, grp in border.groupby("polygon_id", sort=False):
                 inside = points_in_polygon(
                     grp["x"].to_numpy(), grp["y"].to_numpy(), ringmap[pid]
                 )
-                parts.append(grp.loc[inside, ["point_id", "x", "y", "polygon_id"]])
+                parts.append(grp.loc[inside, out_cols])
             yield pd.concat(parts, ignore_index=True)
 
     return cand.mapInPandas(refine, out_schema)
@@ -194,13 +209,15 @@ def zonal_stats(
 ) -> DataFrame:
     """J5: per-polygon aggregates of a point attribute (count/mean/min/max/sum).
 
-    PIP join -> hash aggregate. Partial (map-side) aggregation makes the
+    PIP join (value column carried through — no second join against the
+    fact table) -> hash aggregate. Partial (map-side) aggregation makes the
     shuffle carry one row per (partition, polygon) — skew-proof for
     algebraic aggs regardless of hotspot density.
     """
     src = points.select("point_id", "x", "y", "cell", value_col)
-    pairs = point_in_polygon_join(spark, src, polygons, res, world)
-    joined = pairs.join(src.select("point_id", value_col), "point_id")
+    joined = point_in_polygon_join(
+        spark, src, polygons, res, world, carry_cols=[value_col]
+    )
     return joined.groupBy("polygon_id").agg(
         F.count("*").alias("n"),
         F.avg(value_col).alias("mean_value"),
@@ -293,9 +310,23 @@ def knn_join(
                 ),
             )
         )
+        # two-phase top-k: the (query_id, partition) partial aggregation
+        # completes map-side, so only <= k survivors per (query, input
+        # partition) cross the exchange instead of every candidate row
+        local = (
+            cand.withColumn("_pid", F.spark_partition_id())
+            .groupBy("query_id", "_pid")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("dist", "n_id"))), 1, k
+                ).alias("top")
+            )
+            .select("query_id", F.explode("top").alias("t"))
+            .select("query_id", F.col("t.n_id").alias("n_id"), F.col("t.dist").alias("dist"))
+        )
         win = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
         topk = (
-            cand.withColumn("rank", F.row_number().over(win))
+            local.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k)
             .select("query_id", "n_id", "dist", "rank")
             .localCheckpoint(eager=True)  # ONE candidate-join run per round
