@@ -157,14 +157,19 @@ def point_in_polygon_join(
     carry = list(carry_cols or [])
     covers, rings, ress = _covers_df(spark, polygons, res, world)
     keep = ["point_id", "x", "y", *carry, "polygon_id", "is_full"]
-    cand = None
-    for r in ress:
-        c_r = covers.where(F.col("cover_res") == r)
-        p_r = points.withColumn("jcell", parent_cell_expr("cell", res, r))
-        j = p_r.join(
-            F.broadcast(c_r), p_r["jcell"] == c_r["cover_cell"], "inner"
-        ).select(*keep)
-        cand = j if cand is None else cand.unionByName(j)
+    # ONE scan of the fact table: each point explodes its ancestor cell at
+    # every distinct cover resolution (1-4 ids) and joins the whole cover
+    # table at once — cell ids embed their resolution in the top bits, so
+    # cover_cell equality already implies matching resolution, and compact
+    # covers are disjoint so no (point, polygon) pair can match twice.
+    # (The previous per-resolution union re-scanned the fact side |ress|
+    # times — 3-5 scans of a 10^12-row table instead of one.)
+    anc = F.array(*[parent_cell_expr("cell", res, r) for r in ress])
+    cand = (
+        points.select("point_id", "x", "y", *carry, F.explode(anc).alias("jcell"))
+        .join(F.broadcast(covers), F.col("jcell") == covers["cover_cell"], "inner")
+        .select(*keep)
+    )
 
     ring_items = sorted(rings.items())  # deterministic closure
     carry_fields = [
