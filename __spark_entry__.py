@@ -276,11 +276,12 @@ def q_zonal_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: concave hexagon over the part-lattice world (x in [0,128), y dense for
-#: small sf too); vertices at .5 so integer lattice points never sit on an
-#: edge — both engines evaluate the identical IEEE-double crossing test
+#: concave hexagon over the part-lattice world (x in [0,128), y low enough
+#: that even sf0.001's two-row lattice intersects); vertices at .5 so
+#: integer lattice points never sit on an edge — both engines evaluate the
+#: identical IEEE-double crossing test
 _PIP_RING = [
-    (5.5, 1.5), (60.5, 3.5), (120.5, 1.5),
+    (5.5, 0.5), (60.5, 2.5), (120.5, 0.5),
     (100.5, 12.5), (60.5, 6.5), (20.5, 13.5),
 ]
 
