@@ -582,6 +582,13 @@ def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the IVF twin derives centroid literals from the sf0.01 parquet; if
+    # that path is unavailable in some future harness, degrade to omitting
+    # ONLY the ivf entry (rows-only check) instead of failing every oracle
+    try:
+        ivf_cent = _ivf_cent_values()
+    except Exception:
+        ivf_cent = None
     mh_aggs, _ = _minhash_sql_parts(8)
     band_cols = " , ".join(
         f"(SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig)"
@@ -598,7 +605,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN score_{n} = {greatest} THEN '{n}'" for n in names
     ) + " END"
 
-    return {
+    out = {
         "block_agg_mean": """
             SELECT l_partkey >> 1 AS bx, l_suppkey >> 1 AS by,
                    SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
@@ -883,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
               FROM ips) WHERE rank <= 5
         """,
         "embedding_ivf_topk": f"""
-            WITH cent0 (list_id, i, c0) AS (VALUES {_ivf_cent_values()}),
+            WITH cent0 (list_id, i, c0) AS (VALUES {ivf_cent}),
             cent AS (SELECT list_id, i, CAST(c0 AS BIGINT) AS c FROM cent0),
             cn AS (SELECT list_id, CAST(SUM(c * c) AS BIGINT) AS c2 FROM cent GROUP BY list_id),
             fx AS (
@@ -960,3 +967,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id FROM bk GROUP BY bucket
         """,
     }
+    if ivf_cent is None:
+        del out["embedding_ivf_topk"]  # degrade to rows-only for ivf alone
+    return out
