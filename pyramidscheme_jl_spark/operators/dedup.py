@@ -192,11 +192,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
 
 
-def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """Near-dup pairs with identical SimHash (bucket join on the fingerprint;
-    hamming-distance widening would probe bit-flipped buckets)."""
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hamming: int = 0,
+) -> DataFrame:
+    """Near-dup pairs by SimHash bucket join.
+
+    ``hamming=0``: identical fingerprints only (one equi-join).
+    ``hamming=1``: multi-probe widening — one side also probes every
+    1-bit-flip bucket (``bits`` extra equi-join keys per row, still no
+    scan), catching pairs whose fingerprints differ in a single bit. Each
+    qualifying pair matches exactly one probe (probe values are distinct),
+    so no dedup pass is needed; ``dist`` reports the actual bit distance.
+    """
+    if hamming not in (0, 1):
+        raise ValueError("hamming widening supports 0 or 1 bit")
     s = simhash(df, text_col, id_col, bits)
-    a, b = s.alias("a"), s.alias("b")
-    return a.join(
-        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id"))
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("fp"))
+    a = s.alias("a")
+    if hamming == 0:
+        return (
+            a.join(
+                s.alias("b"),
+                (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("fp"),
+                F.lit(0).alias("dist"),
+            )
+        )
+    probes = F.array(
+        F.col("simhash"),
+        *[F.col("simhash").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+    )
+    b = (
+        s.select(
+            F.col("id").alias("b_id"),
+            F.col("simhash").alias("b_fp"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("probe")) & (F.col("a.id") < F.col("b_id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.col("a.simhash").alias("fp"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b_fp"))).alias("dist"),
+        )
+    )

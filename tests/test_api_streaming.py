@@ -281,6 +281,37 @@ def test_jaccard_df_cap_blocks_hot_tokens(spark):
     assert max_post <= 5
 
 
+def test_simhash_hamming_widening(spark):
+    """hamming=1 multi-probe returns exactly the pairs whose fingerprints
+    differ by <= 1 bit (self-consistent oracle over the real fingerprints)."""
+    from pyramidscheme_jl_spark.operators.dedup import simhash, simhash_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} shared tokens here plus u{i}") for i in range(12)]
+        + [(100, "a b c d"), (101, "a b c d")],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    ids = sorted(fps)
+    want = {
+        (x, y, bin(fps[x] ^ fps[y]).count("1"))
+        for i, x in enumerate(ids)
+        for y in ids[i + 1 :]
+        if bin(fps[x] ^ fps[y]).count("1") <= 1
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in simhash_dup_pairs(docs, bits=16, hamming=1).collect()
+    }
+    assert got == want and (100, 101, 0) in got
+    # exact mode is the dist==0 subset
+    got0 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in simhash_dup_pairs(docs, bits=16, hamming=0).collect()
+    }
+    assert got0 == {t for t in want if t[2] == 0}
+
+
 def test_similarity_module_spark(spark):
     from pyramidscheme_jl_spark.operators.similarity import (
         brute_force_topk,
