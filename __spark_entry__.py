@@ -20,6 +20,7 @@ way, documented once here):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -546,18 +547,19 @@ def _lsh_bucket_cte(bits: int) -> str:
     """
 
 
-def _ivf_cent_values() -> str:
+def _ivf_cent_values(sf_dir: str) -> str:
     """Quantized centroid literals for the IVF oracle, derived from the
-    sf0.01 embeddings (the driver's CORRECTNESS scale) by the exact same
-    deterministic procedure as S.ivf_topk: first ``train_size`` rows by
-    vec_id, seeded Lloyd's k-means, fixed-point quantization."""
+    embeddings of the SAME sf dir the queries run against (ADVICE r2: a
+    hardcoded sf0.01 path made the oracle diverge at any other sf) by the
+    exact same deterministic procedure as S.ivf_topk: first ``train_size``
+    rows by vec_id, seeded Lloyd's k-means, fixed-point quantization."""
     import duckdb
     import numpy as np
 
     rows = (
         duckdb.connect()
         .execute(
-            "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
             f"ORDER BY vec_id LIMIT {_IVF['train_size']}"
         )
         .fetchall()
@@ -581,13 +583,26 @@ def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
     return ", ".join(aggs), ""
 
 
-def oracle_sql() -> dict[str, str]:
-    # the IVF twin derives centroid literals from the sf0.01 parquet; if
-    # that path is unavailable in some future harness, degrade to omitting
-    # ONLY the ivf entry (rows-only check) instead of failing every oracle
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    # The IVF twin derives centroid literals from the sf dir under test.
+    # The driver calls oracle_sql() with no args and compares at sf0.01, so
+    # that is the default; tools/check_oracle.py (and any caller testing a
+    # different sf) threads its sf_dir through so the centroids always match
+    # the engine's (ADVICE r2). If derivation fails, log loudly and degrade
+    # to omitting ONLY the ivf entry (rows-only check) rather than failing
+    # every oracle.
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
-        ivf_cent = _ivf_cent_values()
-    except Exception:
+        ivf_cent = _ivf_cent_values(sf_dir)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import sys
+
+        print(
+            f"[oracle_sql] WARNING: IVF centroid derivation failed for {sf_dir!r}"
+            f" ({e!r}); embedding_ivf_topk degrades to a rows-only check",
+            file=sys.stderr,
+        )
         ivf_cent = None
     mh_aggs, _ = _minhash_sql_parts(8)
     band_cols = " , ".join(

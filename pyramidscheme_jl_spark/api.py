@@ -159,7 +159,29 @@ class PyramidDataset:
     def zip_with(self, other: "PyramidDataset", op: str) -> DataFrame:
         return zip_tiles(self.levels(), other.levels(), op)
 
+    def _reducer_hashes(self) -> set[str]:
+        """Distinct reducer hashes recorded in this pyramid's lineage
+        manifest for aggregated levels (z > 0; the base level is a copy of
+        the input, independent of the reducer). Empty when no manifest
+        exists (e.g. imported prebuilt levels)."""
+        try:
+            m = read_manifest(self.spark, self.path)
+        except Exception:
+            return set()
+        return {
+            r[0]
+            for r in m.where(F.col("z") > 0).select("reducer_hash").distinct().collect()
+        }
+
     def equals(self, other: "PyramidDataset", rtol: float = 0.0) -> bool:
+        """Reference ``isequal`` semantics: pyramids that differ only in the
+        reducer are NOT equal (test/runtests.jl mode-vs-mean category), so
+        lineage ``reducer_hash`` is compared before any pixel bytes. When
+        either side has no manifest (prebuilt import), equality falls back
+        to pixels only."""
+        ra, rb = self._reducer_hashes(), other._reducer_hashes()
+        if ra and rb and ra != rb:
+            return False
         return pyramids_equal(self.levels(), other.levels(), rtol)
 
     def cat_x(self, *others: "PyramidDataset") -> DataFrame:

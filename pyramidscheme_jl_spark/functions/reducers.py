@@ -60,11 +60,35 @@ def is_decomposable(reducer) -> bool:
     return reducer in DECOMPOSABLE
 
 
+def _callable_digest(reducer) -> str:
+    """Content digest for a callable reducer. ``__name__`` alone is not
+    identity (every lambda is ``'<lambda>'`` — ADVICE r2: resume=True could
+    skip levels committed by a *different* callable with the same name), so
+    fold in the cloudpickle bytes, falling back to bytecode+consts, then to
+    repr. Digest differences only ever force a rebuild, never skip one."""
+    try:
+        from pyspark import cloudpickle
+
+        return hashlib.sha256(cloudpickle.dumps(reducer)).hexdigest()[:12]
+    except Exception:
+        pass
+    code = getattr(reducer, "__code__", None)
+    if code is not None:
+        return hashlib.sha256(
+            code.co_code + repr(code.co_consts).encode()
+        ).hexdigest()[:12]
+    return hashlib.sha256(repr(reducer).encode()).hexdigest()[:12]
+
+
 def reducer_hash(reducer, factor: int = 2) -> str:
-    """Stable hash of the reducer config, stored in lineage rows (north rule)."""
-    return hashlib.sha256(
-        f"{reducer_name(reducer)}|factor={factor}|v1".encode()
-    ).hexdigest()[:16]
+    """Stable hash of the reducer config, stored in lineage rows (north
+    rule). Named reducers hash by name (stable across sessions); callables
+    additionally hash their code so two different functions that happen to
+    share a ``__name__`` get distinct lineage."""
+    name = reducer_name(reducer)
+    if callable(reducer) and not isinstance(reducer, str):
+        name = f"{name}#{_callable_digest(reducer)}"
+    return hashlib.sha256(f"{name}|factor={factor}|v1".encode()).hexdigest()[:16]
 
 
 def _pad_to_multiple(a: np.ndarray, fac: int, fill) -> np.ndarray:

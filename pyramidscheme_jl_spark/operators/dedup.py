@@ -63,7 +63,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.6,
-    max_df: int | None = 100,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: self-join on shared tokens.
 
@@ -79,8 +79,10 @@ def jaccard_pairs(
     list; the similarity is then exact Jaccard over the df-filtered
     vocabulary (sizes ``na``/``nb`` count filtered tokens too, so the
     semantics stay a well-defined set similarity, the standard
-    stopword-pruned form). ``max_df=None`` disables the cap (small corpora
-    / tests only).
+    stopword-pruned form). The default is ``max_df=None`` — exact Jaccard,
+    no silent pair-set change for existing callers (ADVICE r2); any
+    scale-sensitive call site MUST opt in (the driver entry passes
+    ``max_df=100`` explicitly, and so should every production pipeline).
     """
     ts = token_sets(df, text_col, id_col, n)
     if max_df is not None:

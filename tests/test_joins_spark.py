@@ -221,3 +221,23 @@ def test_salted_repartition_spreads_hot_key(spark):
     parts = out.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().collect()
     assert len(parts) >= 4  # one hot key now spans several partitions
     assert out.count() == 10000
+
+
+def test_with_point_cells_jvm_matches_numpy(spark):
+    """VERDICT r2 #1: the PIP key path must be pure JVM. Pins the column
+    expression bit-for-bit against cells.point_to_cell, and asserts the
+    encode projection has no Python eval stage."""
+    from pyramidscheme_jl_spark.functions.cells import point_to_cell
+
+    rows = synth_points(WORLD, n_side=32)
+    df = spark.createDataFrame([(r["point_id"], r["x"], r["y"]) for r in rows], POINTS_DDL)
+    enc = with_point_cells(df, RES, WORLD)
+    got = {r["point_id"]: r["cell"] for r in enc.collect()}
+    xs = np.array([r["x"] for r in rows])
+    ys = np.array([r["y"] for r in rows])
+    want = point_to_cell(xs, ys, RES, WORLD)
+    for i, r in enumerate(rows):
+        assert got[r["point_id"]] == want[i]
+
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -42,7 +42,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     qs = E.queries()
-    oracles = E.oracle_sql()
+    oracles = E.oracle_sql(sf)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
