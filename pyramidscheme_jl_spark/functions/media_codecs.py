@@ -190,3 +190,190 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083) — stdlib zlib inflate + numpy row un-filtering
+# ---------------------------------------------------------------------------
+#
+# PNG's only entropy coder is DEFLATE, which the stdlib provides, so unlike
+# jpeg this format needs no external library: chunk parsing is struct, and
+# the five scanline filters (None/Sub/Up/Average/Paeth) invert with numpy
+# row math. Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3
+# (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes real
+# web corpora overwhelmingly use. Alpha is carried through as (h, w, 2/4).
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel by color type
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(buf: bytes):
+    pos = 8
+    while pos + 8 <= len(buf):
+        (size,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        yield ctype, buf[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # len + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _sub_row(filt: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert Sub: per-lane cumulative sum mod 256 — fully vectorized."""
+    lanes = filt.reshape(-1, bpp).astype(np.uint64)
+    return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+
+
+def _avg_row(filt: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert Average. The left-neighbor dependency forces a column walk,
+    but each step is vectorized over the bpp byte lanes."""
+    n = filt.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    left = np.zeros(bpp, dtype=np.int32)
+    for x in range(0, n, bpp):
+        up = prior[x : x + bpp].astype(np.int32)
+        rec = (filt[x : x + bpp].astype(np.int32) + ((left + up) >> 1)) & 0xFF
+        out[x : x + bpp] = rec
+        left = rec
+    return out
+
+
+def _paeth_row(filt: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert Paeth (same column walk as Average, lanes vectorized)."""
+    n = filt.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    left = np.zeros(bpp, dtype=np.int32)
+    ul = np.zeros(bpp, dtype=np.int32)
+    for x in range(0, n, bpp):
+        up = prior[x : x + bpp].astype(np.int32)
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        rec = (filt[x : x + bpp].astype(np.int32) + pred) & 0xFF
+        out[x : x + bpp] = rec
+        left, ul = rec, up
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB, or
+    (h, w, 4) RGBA uint8. Palette images resolve through PLTE to RGB.
+
+    8-bit, non-interlaced (the dominant web shapes); 16-bit, sub-byte
+    depths and Adam7 raise with a clear message.
+    """
+    if bytes(buf[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    buf = bytes(buf)
+    w = h = depth = ctype = interlace = None
+    idat: list[bytes] = []
+    plte = None
+    for cid, body in _png_chunks(buf):
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype} unsupported")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    ch = _PNG_CHANNELS[ctype]
+    bpp = ch  # bytes per pixel at depth 8
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        filt = raw[y, 1:]
+        prior = out[y - 1] if y else zero
+        if ftype == 0:
+            out[y] = filt
+        elif ftype == 1:
+            out[y] = _sub_row(filt, bpp)
+        elif ftype == 2:
+            out[y] = filt + prior  # uint8 wraparound == mod 256
+        elif ftype == 3:
+            out[y] = _avg_row(filt, prior, bpp)
+        elif ftype == 4:
+            out[y] = _paeth_row(filt, prior, bpp)
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+    img = out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img]  # (h, w) indices -> (h, w, 3)
+    return img
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """Encode (h, w[, ch]) uint8 as PNG (gray/gray+alpha/RGB/RGBA by ch).
+
+    ``filter_type`` 0-4 applies that filter to every scanline; ``'mixed'``
+    cycles through all five — the test-fixture mode that exercises every
+    decoder branch in one file.
+    """
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w, ch = a.shape[0], a.shape[1], 1
+    else:
+        h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch)
+    bpp = ch
+    i32 = np.int32
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        f = (y % 5) if filter_type == "mixed" else int(filter_type)
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prior
+        elif f == 3:
+            enc = row - (((left.astype(i32) + prior.astype(i32)) >> 1).astype(np.uint8))
+        elif f == 4:
+            ul = np.zeros_like(row)
+            ul[bpp:] = prior[:-bpp]
+            p = left.astype(i32) + prior.astype(i32) - ul.astype(i32)
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)).astype(np.uint8)
+            enc = row - pred
+        else:
+            raise ValueError(f"filter {f} invalid")
+        lines.append(bytes([f]) + enc.tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
