@@ -469,6 +469,19 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_lsh_topk_all(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH ANN top-k with Q = the ENTIRE corpus (VERDICT r2 #2): the
+    query side is NOT broadcast — both sides shuffle on the bucket key
+    (shuffle-hash equi-join), the self-join form that survives 10^9
+    queries. Same bucket/score arithmetic as the broadcast path."""
+    emb = _t(spark, sf, "embeddings")
+    out = S.lsh_topk(
+        emb, emb, k=3, bits=6, seed=_LSH_SEED, dim=_LSH_DIM,
+        broadcast_queries=False,
+    )
+    return out.select("query_id", "n_id", "ip", F.col("rank").cast("long").alias("rank"))
+
+
 def q_embedding_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = S.lsh_bucket(_t(spark, sf, "embeddings"), bits=16, seed=_LSH_SEED, dim=_LSH_DIM)
     return emb.groupBy("bucket").agg(
@@ -508,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
         "union_cat": q_union_cat,
         "events_topk": q_events_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -976,6 +990,27 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT id_a, id_b, ip, na2, nb2 FROM ips
             WHERE ip > 0
               AND CAST(ip AS HUGEINT) * ip * 1000000 >= CAST({300 * 300} AS HUGEINT) * na2 * nb2
+        """,
+        "embedding_lsh_topk_all": f"""
+            WITH {_lsh_bucket_cte(6)},
+            d AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+            db AS (SELECT d.vec_id, d.qv, bk.bucket FROM d JOIN bk USING (vec_id)),
+            px AS (
+              SELECT q.vec_id AS query_id, n.vec_id AS n_id, q.qv AS qq, n.qv AS qn
+              FROM db q JOIN db n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id),
+            fl AS (
+              SELECT query_id, n_id, UNNEST(qq) AS x, UNNEST(qn) AS y FROM px),
+            ips AS (
+              SELECT query_id, n_id, CAST(SUM(x * y) AS BIGINT) AS ip
+              FROM fl GROUP BY 1, 2)
+            SELECT query_id, n_id, ip, rank FROM (
+              SELECT query_id, n_id, ip,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY ip DESC, n_id ASC) AS rank
+              FROM ips) WHERE rank <= 3
         """,
         "embedding_lsh_buckets": f"""
             WITH {_lsh_bucket_cte(16)}
