@@ -197,3 +197,81 @@ def ingest_images(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_pyramid(
+    spark: SparkSession,
+    path: str,
+    reducer: str = "mean",
+    run_id: str = "compact-0",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, int]:
+    """Convert file-per-tile levels back to bulk layout (VERDICT r2 #3).
+
+    A long-running stream accumulates one parquet file per tile; at 10^8+
+    tiles the directory listing itself becomes the bottleneck. This
+    maintenance job (run while the stream is stopped) rewrites each
+    file-per-tile level as a normal bulk level — a distributed Spark
+    read -> coalesced parquet write sized to ``target_file_bytes`` — then
+    commits manifest lineage rows so ``build_pyramid(resume=True)`` and
+    every batch reader treat the result exactly like a built pyramid.
+    It is the inverse of the bulk-layout refusal in
+    ``_write_tiles_filewise``: after compaction the pyramid is a bulk
+    pyramid (further streaming patches are refused by that guard; backfill
+    continues via ``build_pyramid(resume=True)``).
+
+    Levels already in bulk layout are skipped. The per-level swap is
+    rename-based: the new bulk directory is written beside the old one and
+    swapped in two renames, so readers never observe a half-written level;
+    if the job dies between the renames, the ``_compact_old_z{z}`` backup
+    directory is still on disk — rename it back to recover.
+
+    Returns ``{z: n_files_after}`` for the levels it compacted.
+    """
+    import math
+    import shutil
+
+    from ..functions.reducers import reducer_hash
+    from ..sources.catalog import append_manifest, manifest_lineage
+
+    tiles_root = f"{path}/tiles"
+    zs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(tiles_root)
+        if d.startswith("z=")
+    )
+    rhash = reducer_hash(reducer)
+    compacted: dict[int, int] = {}
+    for z in zs:
+        d = level_path(path, z)
+        names = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        filewise = [f for f in names if f.startswith("tile-")]
+        if not filewise:
+            continue  # already bulk (or empty) — nothing to do
+        if len(filewise) != len(names):
+            raise ValueError(
+                f"level {z} at {path} mixes bulk and file-per-tile files — "
+                "refusing to compact an inconsistent level"
+            )
+        total = sum(os.path.getsize(os.path.join(d, f)) for f in filewise)
+        nfiles = max(1, math.ceil(total / target_file_bytes))
+        tmp = f"{tiles_root}/_compact_tmp_z{z}"
+        bak = f"{tiles_root}/_compact_old_z{z}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            read_level(spark, path, z)
+            .select(*TILE_DATA_COLS)
+            .repartition(nfiles)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(d, bak)
+        os.rename(tmp, d)
+        shutil.rmtree(bak)
+        append_manifest(
+            spark, path, manifest_lineage(path, z, run_id, reducer, rhash, z)
+        )
+        compacted[z] = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+    return compacted

@@ -362,3 +362,53 @@ def test_lsh_topk_all_shuffled_join(spark):
     join_part = plan.split("ShuffledHashJoin")
     assert len(join_part) >= 2, f"no shuffled hash join in plan:\n{plan[:2000]}"
     assert "BroadcastHashJoin [bucket" not in plan
+
+
+def test_streaming_compaction_roundtrip(spark, tmp_path):
+    """VERDICT r2 #3: ingest (file-per-tile) -> compact (bulk) -> pixels
+    unchanged, file counts bounded, manifest committed so
+    build_pyramid(resume=True) continues on the compacted pyramid."""
+    import glob
+
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, build_pyramid
+    from pyramidscheme_jl_spark.sources.catalog import committed_levels, level_path
+    from pyramidscheme_jl_spark.streaming.ingest import (
+        _write_tiles_filewise,
+        compact_pyramid,
+        ingest_images,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = synth_images(G=4)
+    spark.createDataFrame(rows, IMAGES_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "pyr")
+    ingest_images(spark, f"{src}/*", q_path, G=4).awaitTermination(120)
+
+    # file-per-tile before: 16 files at z=0
+    assert len(glob.glob(f"{level_path(q_path, 0)}/tile-*.parquet")) == 16
+    spec = PyramidSpec(1024, 1024)
+    before = {z: assemble_level(spark, q_path, z, spec) for z in (0, 1, 2)}
+
+    done = compact_pyramid(spark, q_path, reducer="mean", run_id="c0")
+    assert set(done) == {0, 1, 2}
+    for z in (0, 1, 2):
+        d = level_path(q_path, z)
+        assert not glob.glob(f"{d}/tile-*.parquet")  # no per-tile files left
+        assert glob.glob(f"{d}/part-*.parquet")  # bulk layout
+        np.testing.assert_array_equal(assemble_level(spark, q_path, z, spec), before[z])
+
+    # second compact is a no-op (already bulk)
+    assert compact_pyramid(spark, q_path, reducer="mean", run_id="c1") == {}
+
+    # manifest rows committed -> resume sees every level as done and
+    # continues without recomputing (no-op completes, pixels unchanged)
+    assert committed_levels(spark, q_path, "c0") == [0, 1, 2]
+    images = spark.createDataFrame(rows, IMAGES_DDL)
+    build_pyramid(spark, images, q_path, G=4, reducer="mean", run_id="c0", resume=True)
+    np.testing.assert_array_equal(assemble_level(spark, q_path, 2, spec), before[2])
+
+    # and the filewise guard now refuses streaming patches (bulk layout):
+    # the layout check fires before any row is written
+    with pytest.raises(ValueError, match="bulk files"):
+        _write_tiles_filewise([], q_path, 0)
