@@ -280,9 +280,12 @@ def knn_join(
 
     The big fact side is hash-partitioned once per round and the skew lands
     on the small exploded side where AQE splits it. Per round exactly ONE
-    materialization of the candidate join (``topk.localCheckpoint``); every
-    downstream decision (settled set, anti-join, final results) reads the
-    checkpointed top-k, which also truncates the loop's lineage.
+    eager materialization (VERDICT r2 #9): the candidate join folds top-k,
+    candidate count and k-th distance into a single per-query aggregation
+    row that is ``localCheckpoint``-ed once; the settled set, the anti-join
+    and the final results are all plan-time filters over that checkpoint
+    (the loop-continuation probe is an ``isEmpty`` over the already-local
+    checkpointed blocks — no shuffle re-runs).
     """
     n = 1 << res
     cell_size = world / n
@@ -299,8 +302,6 @@ def knn_join(
         nix.alias("nix"),
         niy.alias("niy"),
     )
-    from pyspark.sql.window import Window
-
     results: list[DataFrame] = []
     ring = start_ring
     while True:
@@ -324,44 +325,60 @@ def knn_join(
         )
         # two-phase top-k: the (query_id, partition) partial aggregation
         # completes map-side, so only <= k survivors per (query, input
-        # partition) cross the exchange instead of every candidate row
-        local = (
-            cand.withColumn("_pid", F.spark_partition_id())
-            .groupBy("query_id", "_pid")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list(F.struct("dist", "n_id"))), 1, k
-                ).alias("top")
-            )
-            .select("query_id", F.explode("top").alias("t"))
-            .select("query_id", F.col("t.n_id").alias("n_id"), F.col("t.dist").alias("dist"))
+        # partition) cross the exchange; the per-query merge then folds
+        # top-k + candidate count + k-th distance into ONE row per query —
+        # the round's single eager materialization
+        local = cand.withColumn("_pid", F.spark_partition_id()).groupBy(
+            "query_id", "_pid"
+        ).agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("dist", "n_id"))), 1, k
+            ).alias("top")
         )
-        win = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
-        topk = (
-            local.withColumn("rank", F.row_number().over(win))
-            .where(F.col("rank") <= k)
-            .select("query_id", "n_id", "dist", "rank")
+        agg = (
+            local.groupBy("query_id")
+            .agg(
+                F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, k).alias("top")
+            )
+            .select(
+                "query_id",
+                "top",
+                F.size("top").alias("nc"),
+                F.element_at("top", F.size("top"))["dist"].alias("dk"),
+            )
             .localCheckpoint(eager=True)  # ONE candidate-join run per round
         )
         # settled: k-th neighbor within the guaranteed-covered radius
         # (or the disk already spans the whole world -> exact by exhaustion)
-        counts = topk.groupBy("query_id").agg(
-            F.count("*").alias("nc"), F.max("dist").alias("dk")
-        )
         guaranteed = float(ring) * cell_size
-        if ring >= n:
-            settled_ids = counts.select("query_id")
-        else:
-            settled_ids = counts.where(
-                (F.col("nc") >= k) & (F.col("dk") <= guaranteed)
-            ).select("query_id")
-        results.append(topk.join(settled_ids, "query_id", "left_semi"))
+        settled_cond = (
+            F.lit(True)
+            if ring >= n
+            else (F.col("nc") >= k) & (F.col("dk") <= guaranteed)
+        )
+        settled = agg.where(settled_cond)
+        results.append(
+            settled.select("query_id", F.posexplode("top").alias("pos", "t")).select(
+                "query_id",
+                F.col("t.n_id").alias("n_id"),
+                F.col("t.dist").alias("dist"),
+                (F.col("pos") + 1).cast("int").alias("rank"),
+            )
+        )
+        if ring >= n or ring >= max_ring:
+            break
+        # plan-only anti-join against the checkpointed settled ids; the
+        # continuation probe re-runs only this small-side lineage (queries
+        # anti-join checkpointed agg rows — never the candidate join).
+        # NOTE: probing agg for unsettled rows would be wrong — a query
+        # with ZERO candidates this round has no agg row at all but must
+        # stay in the loop.
         remaining = remaining.join(
-            settled_ids.withColumnRenamed("query_id", "point_id"),
+            settled.select(F.col("query_id").alias("point_id")),
             remaining["query_id"] == F.col("point_id"),
             "left_anti",
-        ).localCheckpoint(eager=True)
-        if remaining.isEmpty() or ring >= n or ring >= max_ring:
+        )
+        if remaining.isEmpty():
             break
         ring = min(ring * 2, n)
     out = results[0]
