@@ -83,6 +83,23 @@ def q_block_agg_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_block_agg_mean_t(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-spatial pass-through dim (VERDICT r2 #6, reference
+    src/PyramidScheme.jl:229-233): same 2x2 block aggregation with
+    ``l_linenumber`` as the t axis — t joins the GROUP KEY, never the
+    aggregated values (the relational twin of operators/cube.py)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.shiftright("l_partkey", 1).alias("bx"),
+            F.shiftright("l_suppkey", 1).alias("by"),
+            F.col("l_linenumber").cast("int").alias("t"),
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .withColumn("mean_qty", F.col("sum_qty") / F.col("n"))
+    )
+
+
 def q_block_agg_minmax(spark: SparkSession, sf: str) -> DataFrame:
     """A8: min/max reducers over factor-4 blocks (level-2 equivalent)."""
     li = _t(spark, sf, "lineitem")
@@ -497,6 +514,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_agg_mean": q_block_agg_mean,
+        "block_agg_mean_t": q_block_agg_mean_t,
         "block_agg_minmax": q_block_agg_minmax,
         "block_agg_mode": q_block_agg_mode,
         "block_agg_median": q_block_agg_median,
@@ -640,6 +658,13 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
                    SUM(l_quantity) / COUNT(*) AS mean_qty
             FROM lineitem GROUP BY 1, 2
+        """,
+        "block_agg_mean_t": """
+            SELECT l_partkey >> 1 AS bx, l_suppkey >> 1 AS by,
+                   CAST(l_linenumber AS INTEGER) AS t,
+                   SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+                   SUM(l_quantity) / COUNT(*) AS mean_qty
+            FROM lineitem GROUP BY 1, 2, 3
         """,
         "block_agg_minmax": """
             SELECT l_partkey >> 2 AS bx, l_suppkey >> 2 AS by,

@@ -1,0 +1,248 @@
+"""Time/Z cubes: tiles keyed by ``(t, z, tx, ty)`` (VERDICT r2 #6).
+
+The reference aggregates ONLY the spatial X/Y dims and passes every other
+dim (band, time, Z) through untouched (/root/reference/src/PyramidScheme.jl:229-233,
+pinned by test/runtests.jl:145-166). Bands already ride the ``c`` channel
+axis inside each tile; this module adds the *named non-spatial dim* case —
+a time-stacked (or Z-stacked) cube — as an integer ``t`` column on the
+tile table:
+
+- ``t`` joins every aggregation KEY and never the aggregated values, so
+  each t-slice downsamples independently in the same Spark jobs (one job
+  per level for the whole cube, not per slice — slices are just more rows,
+  which is exactly how Spark wants extra cardinality).
+- Level shapes are ``(ceil(h/2^z), ceil(w/2^z))`` per slice — the t extent
+  never shrinks, matching the reference's pass-through semantics.
+- ``cube_slice`` projects one t back to the plain tile schema, so the
+  whole existing operator surface (read/cat/zip/equality/windowed reads)
+  applies per slice unchanged.
+
+Scale shape: the shuffle key gains a column but the byte volume per level
+is identical to |t| independent pyramids; hash partitioning spreads
+(t, ptx, pty) groups evenly, so a 1000-slice cube parallelizes strictly
+better than 1000 sequential per-slice builds (one job amortizes all
+scheduling/commit overhead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codec import decode_tile, encode_tile
+from ..functions.reducers import block_reduce, is_decomposable, reducer_hash, reducer_name
+from ..sources.catalog import (
+    TILE_DATA_COLS,
+    TILE_SCHEMA,
+    append_manifest,
+    committed_levels,
+    level_path,
+    manifest_lineage,
+)
+from .build import (
+    QUARTER_SCHEMA,
+    PyramidSpec,
+    _cast_level,
+    _grid_dims,
+    _rows_to_pdf,
+    _tile_row,
+)
+
+CUBE_TILE_SCHEMA = T.StructType(
+    [T.StructField("t", T.IntegerType())] + list(TILE_SCHEMA.fields)
+)
+CUBE_QUARTER_SCHEMA = T.StructType(
+    [T.StructField("t", T.IntegerType())] + list(QUARTER_SCHEMA.fields)
+)
+
+
+def _cube_rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=[f.name for f in CUBE_TILE_SCHEMA.fields])
+    for col in ("t", "z", "tx", "ty", "w", "h", "c"):
+        pdf[col] = pdf[col].astype("int32")
+    pdf["cell"] = pdf["cell"].astype("int64")
+    return pdf
+
+
+def base_cube_tiles(
+    images: DataFrame, G, spec: PyramidSpec, t_col: str = "t"
+) -> DataFrame:
+    """images (input_hint schema + an integer ``t_col``) -> level-0 cube
+    tiles. Same narrow decode pass as ``base_tiles_from_images``; ``t``
+    rides along untouched."""
+    gx, _ = _grid_dims(G)
+    idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
+    src = (
+        images.where(F.col("fmt") == F.lit("raw"))
+        .where(idx.isNotNull())
+        .select(
+            F.col(t_col).cast("int").alias("t"),
+            (idx % gx).cast("int").alias("tx"),
+            (idx / gx).cast("int").alias("ty"),
+            "bytes",
+            "w",
+            "h",
+        )
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for t, tx, ty, buf, w, h in zip(
+                pdf["t"], pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                c = len(buf) // (int(w) * int(h))
+                arr = decode_tile(buf, int(h), int(w), "uint8", c)
+                rows.append(dict(_tile_row(spec, 0, int(tx), int(ty), arr), t=int(t)))
+            if rows:
+                yield _cube_rows_to_pdf(rows)
+
+    return src.mapInPandas(gen, CUBE_TILE_SCHEMA)
+
+
+def build_cube_level(
+    prev: DataFrame, z: int, spec: PyramidSpec, reducer, level_dtype: str | None = None
+) -> DataFrame:
+    """One recursive step for every t-slice at once: the downsample is the
+    same narrow map stage, and ``t`` simply joins the shuffle key — the
+    'pass through aggregation untouched' semantics, relationally."""
+    half = spec.tilesize // 2
+
+    def down(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("t", "ptx", "pty", "qx", "qy", "bytes", "w", "h", "c", "dtype")
+            }
+            for t, tx, ty, buf, w, h, c, dt in zip(
+                pdf["t"], pdf["tx"], pdf["ty"], pdf["bytes"],
+                pdf["w"], pdf["h"], pdf["c"], pdf["dtype"],
+            ):
+                arr = decode_tile(buf, int(h), int(w), dt, int(c))
+                red = _cast_level(block_reduce(arr, reducer), level_dtype)
+                out["t"].append(int(t))
+                out["ptx"].append(int(tx) >> 1)
+                out["pty"].append(int(ty) >> 1)
+                out["qx"].append(int(tx) & 1)
+                out["qy"].append(int(ty) & 1)
+                out["bytes"].append(encode_tile(red))
+                out["w"].append(red.shape[1])
+                out["h"].append(red.shape[0])
+                out["c"].append(int(c))
+                out["dtype"].append(str(red.dtype.name))
+            pdf_out = pd.DataFrame(out)
+            for col in ("t", "ptx", "pty", "qx", "qy", "w", "h", "c"):
+                pdf_out[col] = pdf_out[col].astype("int32")
+            yield pdf_out
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t, ptx, pty = int(key[0]), int(key[1]), int(key[2])
+        c = int(pdf["c"].iloc[0])
+        dt = pdf["dtype"].iloc[0]
+        W = int((pdf["qx"] * half + pdf["w"]).max())
+        H = int((pdf["qy"] * half + pdf["h"]).max())
+        shape = (H, W, c) if c > 1 else (H, W)
+        arr = np.zeros(shape, dtype=np.dtype(dt))
+        for qx, qy, buf, w, h in zip(pdf["qx"], pdf["qy"], pdf["bytes"], pdf["w"], pdf["h"]):
+            q = decode_tile(buf, int(h), int(w), dt, c)
+            x0, y0 = int(qx) * half, int(qy) * half
+            arr[y0 : y0 + int(h), x0 : x0 + int(w)] = q
+        return _cube_rows_to_pdf([dict(_tile_row(spec, z, ptx, pty, arr), t=t)])
+
+    quarters = prev.mapInPandas(down, CUBE_QUARTER_SCHEMA)
+    return quarters.groupBy("t", "ptx", "pty").applyInPandas(assemble, CUBE_TILE_SCHEMA)
+
+
+CUBE_DATA_COLS = ["t", *TILE_DATA_COLS]
+
+
+def write_cube_level(df: DataFrame, path: str, z: int) -> None:
+    df.select(*CUBE_DATA_COLS).write.mode("overwrite").parquet(level_path(path, z))
+
+
+def read_cube_level(spark: SparkSession, path: str, z: int) -> DataFrame:
+    return spark.read.parquet(level_path(path, z)).withColumn(
+        "z", F.lit(z).cast("int")
+    )
+
+
+def read_cube_tiles(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(f"{path}/tiles")
+    return df.withColumn("z", F.col("z").cast("int")).select(
+        *[f.name for f in CUBE_TILE_SCHEMA.fields]
+    )
+
+
+def cube_slice(tiles: DataFrame, t: int) -> DataFrame:
+    """Project one t-slice back to the plain tile schema — every existing
+    pyramid operator (read/cat/zip/equality) then applies unchanged. The
+    ``t = <lit>`` predicate is source-pushable (parquet min/max skipping)."""
+    return tiles.where(F.col("t") == int(t)).select(
+        *[f.name for f in TILE_SCHEMA.fields]
+    )
+
+
+def cat_cubes_t(cubes: list[DataFrame]) -> DataFrame:
+    """``cat`` along the t dim: union with each cube's t range shifted past
+    the previous extent (one tiny driver job per cube for the max; zero
+    shuffle — pure union, like ``cat_tiles``)."""
+    if len(cubes) < 2:
+        raise ValueError("cat_cubes_t needs >= 2 cubes")
+    out = cubes[0]
+    offset = 0
+    for nxt in cubes[1:]:
+        offset += int(out.agg(F.max("t")).collect()[0][0]) + 1
+        out = out.unionByName(
+            nxt.withColumn("t", (F.col("t") + F.lit(offset)).cast("int"))
+        )
+    return out
+
+
+def build_cube(
+    spark: SparkSession,
+    images: DataFrame,
+    path: str,
+    G,
+    reducer="mean",
+    run_id: str = "cube-0",
+    tilesize: int = 256,
+    t_col: str = "t",
+    resume: bool = False,
+    level_dtype: str | None = None,
+) -> PyramidSpec:
+    """Build a (x, y, t) cube pyramid: one checkpointed Spark job per level
+    covering EVERY t-slice (reference pass-through-dims semantics,
+    src/PyramidScheme.jl:229-233). Same checkpoint/manifest protocol as
+    ``build_pyramid`` (level committed iff manifest rows exist; resume
+    skips committed levels). Recursive only — cubes require a decomposable
+    reducer (use per-slice ``build_pyramid`` for mode/median exactness)."""
+    if not is_decomposable(reducer):
+        raise ValueError(
+            f"build_cube is recursive; reducer {reducer_name(reducer)!r} is not "
+            "decomposable — build per-slice with build_pyramid(recursive=False)"
+        )
+    gx, gy = _grid_dims(G)
+    spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
+    rname = reducer_name(reducer)
+    rhash = reducer_hash(reducer if level_dtype is None else f"{rname}@{level_dtype}")
+    done = set(committed_levels(spark, path, run_id)) if resume else set()
+
+    def commit(df: DataFrame, z: int) -> None:
+        write_cube_level(df, path, z)
+        append_manifest(
+            spark, path, manifest_lineage(path, z, run_id, rname, rhash, z)
+        )
+
+    if 0 not in done:
+        commit(base_cube_tiles(images, G, spec, t_col), 0)
+    prev = read_cube_level(spark, path, 0)
+    for z in range(1, spec.nlevels + 1):
+        if z in done:
+            prev = read_cube_level(spark, path, z)
+            continue
+        commit(build_cube_level(prev, z, spec, reducer, level_dtype), z)
+        prev = read_cube_level(spark, path, z)
+    return spec

@@ -1,0 +1,134 @@
+"""(x, y, t) cubes: non-spatial dims pass through aggregation untouched
+(reference src/PyramidScheme.jl:229-233, test/runtests.jl:145-166)."""
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.functions.codec import decode_tile
+from pyramidscheme_jl_spark.operators.build import PyramidSpec, build_pyramid
+from pyramidscheme_jl_spark.operators.cube import (
+    build_cube,
+    cat_cubes_t,
+    cube_slice,
+    read_cube_level,
+    read_cube_tiles,
+)
+from pyramidscheme_jl_spark.operators.read import pyramids_equal
+from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, mosaic_pixels, synth_images
+from tests.test_build_spark import oracle_levels
+
+T_SLICES = 3
+CUBE_DDL = IMAGES_DDL + ", t int"
+
+
+def _cube_rows(G=4):
+    """Per-slice pixels differ (base + 7t mod 256) so pass-through bugs
+    (slices mixing) can't cancel out."""
+    rows = []
+    for t in range(T_SLICES):
+        for r in synth_images(G=G):
+            arr = np.frombuffer(r["bytes"], dtype=np.uint8) + np.uint8(7 * t)
+            rows.append({**r, "bytes": arr.tobytes(), "t": t})
+    return rows
+
+
+def _slice_oracle(t, nlevels=2):
+    base = mosaic_pixels(G=4) + np.uint8(7 * t)
+    return oracle_levels(base, "mean", nlevels)
+
+
+def _assemble_cube_level(spark, path, z, spec, t):
+    rows = [r for r in read_cube_level(spark, path, z).collect() if r["t"] == t]
+    assert rows, f"slice t={t} level {z} empty"
+    dt = rows[0]["dtype"]
+    W = max(r["tx"] * spec.tilesize + r["w"] for r in rows)
+    H = max(r["ty"] * spec.tilesize + r["h"] for r in rows)
+    out = np.zeros((H, W), dtype=np.dtype(dt))
+    for r in rows:
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+        out[r["ty"] * spec.tilesize : r["ty"] * spec.tilesize + r["h"],
+            r["tx"] * spec.tilesize : r["tx"] * spec.tilesize + r["w"]] = a
+    return out
+
+
+@pytest.fixture(scope="module")
+def cube(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cube") / "c")
+    images = spark.createDataFrame(_cube_rows(), CUBE_DDL)
+    spec = build_cube(spark, images, path, G=4, reducer="mean", run_id="cb")
+    return path, spec
+
+
+def test_cube_levels_match_per_slice_oracle(spark, cube):
+    path, spec = cube
+    assert spec.nlevels == 2
+    for t in range(T_SLICES):
+        oracle = _slice_oracle(t)
+        for z in (0, 1, 2):
+            got = _assemble_cube_level(spark, path, z, spec, t)
+            # level shapes: spatial dims shrink by 2^z, t extent untouched
+            assert got.shape == oracle[z].shape
+            np.testing.assert_allclose(got, oracle[z], rtol=1e-12)
+
+
+def test_cube_tile_counts_scale_with_t(spark, cube):
+    path, spec = cube
+    tiles = read_cube_tiles(spark, path)
+    # every level holds |t| x the single-pyramid tile count
+    counts = {r["z"]: r["n"] for r in tiles.groupBy("z").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {0: 3 * 16, 1: 3 * 4, 2: 3 * 1}
+    # t never aggregates: every level spans all slices
+    for z in (0, 1, 2):
+        ts = {r["t"] for r in tiles.where(f"z = {z}").select("t").distinct().collect()}
+        assert ts == set(range(T_SLICES))
+
+
+def test_cube_slice_is_a_plain_pyramid(spark, cube, tmp_path):
+    """cube_slice(t) == an independently built pyramid of that slice, via
+    the EXISTING equality operator (the pass-through contract: the rest of
+    the API applies per slice unchanged)."""
+    path, spec = cube
+    rows = [dict(r, t=None) for r in _cube_rows() if r["t"] == 1]
+    for r in rows:
+        r.pop("t")
+    images = spark.createDataFrame(rows, IMAGES_DDL)
+    solo = str(tmp_path / "solo")
+    build_pyramid(spark, images, solo, G=4, reducer="mean", run_id="s1")
+    from pyramidscheme_jl_spark.sources.catalog import read_tiles
+
+    sl = cube_slice(read_cube_tiles(spark, path), 1)
+    assert pyramids_equal(sl, read_tiles(spark, solo))
+    assert not pyramids_equal(cube_slice(read_cube_tiles(spark, path), 2), read_tiles(spark, solo))
+
+
+def test_cube_slice_filter_pushed_down(spark, cube):
+    path, _ = cube
+    sl = cube_slice(read_cube_tiles(spark, path), 1)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "t" in plan.split("PushedFilters")[1][:120]
+
+
+def test_cat_cubes_t(spark, cube):
+    path, _ = cube
+    tiles = read_cube_tiles(spark, path)
+    doubled = cat_cubes_t([tiles, tiles])
+    assert doubled.count() == 2 * tiles.count()
+    ts = sorted(r["t"] for r in doubled.select("t").distinct().collect())
+    assert ts == list(range(2 * T_SLICES))
+    # shifted copy equals the original slice-for-slice
+    assert pyramids_equal(cube_slice(doubled, T_SLICES), cube_slice(tiles, 0))
+
+
+def test_cube_resume_and_reducer_guard(spark, tmp_path):
+    from pyramidscheme_jl_spark.sources.catalog import committed_levels
+
+    path = str(tmp_path / "c2")
+    images = spark.createDataFrame(_cube_rows(), CUBE_DDL)
+    build_cube(spark, images, path, G=4, reducer="mean", run_id="r")
+    assert committed_levels(spark, path, "r") == [0, 1, 2]
+    # resume with everything committed: no-op, result unchanged
+    spec = build_cube(spark, images, path, G=4, reducer="mean", run_id="r", resume=True)
+    got = _assemble_cube_level(spark, path, 2, spec, 0)
+    np.testing.assert_allclose(got, _slice_oracle(0)[2], rtol=1e-12)
+    with pytest.raises(ValueError, match="not\\s+decomposable|decomposable"):
+        build_cube(spark, images, str(tmp_path / "c3"), G=4, reducer="mode")
