@@ -56,6 +56,7 @@ from ..sources.catalog import (
     read_level,
     write_level,
     write_level_driver,
+    write_multiscales,
 )
 
 QUARTER_SCHEMA = T.StructType(
@@ -548,4 +549,10 @@ def build_pyramid(
             commit(build_level_direct(prev_level(0), z, spec, reducer, level_dtype), z)
         z += 1
     set_cached(None)
+    # interchange metadata (reference writes GeoZarr multiscales attrs,
+    # src/PyramidScheme.jl:381-388): level discovery + plan constants for
+    # foreign readers and scan-free reopen
+    write_multiscales(
+        path, spec.nlevels, tilesize, spec.base_w, spec.base_h, rname, rhash
+    )
     return spec

@@ -41,6 +41,7 @@ from ..sources.catalog import (
     committed_levels,
     level_path,
     manifest_lineage,
+    write_multiscales,
 )
 from .build import (
     QUARTER_SCHEMA,
@@ -245,4 +246,7 @@ def build_cube(
             continue
         commit(build_cube_level(prev, z, spec, reducer, level_dtype), z)
         prev = read_cube_level(spark, path, z)
+    write_multiscales(
+        path, spec.nlevels, tilesize, spec.base_w, spec.base_h, rname, rhash
+    )
     return spec

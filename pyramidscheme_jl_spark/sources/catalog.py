@@ -193,3 +193,74 @@ def manifest_lineage(
             }
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# multiscales interchange metadata (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+#
+# The reference writes GeoZarr-style ``multiscales`` attrs so foreign tools
+# discover the level stack without reading data
+# (/root/reference/src/PyramidScheme.jl:381-388: datasets list + type +
+# resampling_method). Same document here, shaped for the parquet layout:
+# one JSON file at the pyramid root listing every level's relative path
+# plus the plan constants needed to reopen the pyramid without a scan.
+
+MULTISCALES_FILE = "_multiscales.json"
+
+
+def write_multiscales(
+    path: str,
+    nlevels: int,
+    tilesize: int,
+    base_w: int,
+    base_h: int,
+    reducer: str,
+    reducer_hash: str,
+) -> None:
+    import json
+    import os
+
+    doc = {
+        "multiscales": [
+            {
+                "datasets": [{"path": f"tiles/z={z}"} for z in range(nlevels + 1)],
+                "type": "reduce",
+                "resampling_method": reducer,
+                "metadata": {
+                    "nlevels": int(nlevels),
+                    "tilesize": int(tilesize),
+                    "base_w": int(base_w),
+                    "base_h": int(base_h),
+                    "reducer_hash": reducer_hash,
+                },
+            }
+        ]
+    }
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, MULTISCALES_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, os.path.join(path, MULTISCALES_FILE))
+
+
+def read_multiscales(path: str) -> dict | None:
+    """The first multiscale entry's flattened view, or None when absent /
+    unreadable (absence is normal: streaming-ingested or foreign pyramids)."""
+    import json
+    import os
+
+    p = os.path.join(path, MULTISCALES_FILE)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            doc = json.load(f)
+        ms = doc["multiscales"][0]
+        return {
+            "datasets": [d["path"] for d in ms["datasets"]],
+            "resampling_method": ms.get("resampling_method"),
+            **ms.get("metadata", {}),
+        }
+    except Exception:
+        return None

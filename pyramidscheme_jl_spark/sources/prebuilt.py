@@ -39,7 +39,13 @@ from ..functions.codec import decode_tile
 from ..functions.reducers import reducer_hash
 from ..operators.build import PyramidSpec, _rows_to_pdf, _tile_row
 from ..plans.grid import level_shape
-from ..sources.catalog import TILE_SCHEMA, append_manifest, manifest_lineage, write_level
+from ..sources.catalog import (
+    TILE_SCHEMA,
+    append_manifest,
+    manifest_lineage,
+    write_level,
+    write_multiscales,
+)
 
 PREBUILT_SCHEMA = "band int, z int, w int, h int, dtype string, bytes binary"
 
@@ -172,4 +178,10 @@ def from_prebuilt_levels(
         append_manifest(
             spark, dest, manifest_lineage(dest, z, run_id, "prebuilt-import", rhash, ordinal)
         )
+    # imported pyramids get the same interchange document a built pyramid
+    # gets; the stored level count is what the source actually had (the
+    # import never fabricates missing overviews)
+    write_multiscales(
+        dest, max(levels), tilesize, spec.base_w, spec.base_h, "prebuilt-import", rhash
+    )
     return spec

@@ -126,3 +126,42 @@ def test_prebuilt_validation_rejects_defects():
     with pytest.raises(ValueError, match="mixes dtypes"):
         validate_prebuilt(mixed)
     _ = (base, ovr)
+
+
+def test_multiscales_roundtrip(spark, tmp_path):
+    """VERDICT r2 #4: builds write a GeoZarr-shaped _multiscales.json
+    (reference src/PyramidScheme.jl:381-388); open() recovers plan
+    constants + resampling method from it with zero Spark jobs; copy-out
+    carries it along."""
+    import json
+    import os
+
+    from pyramidscheme_jl_spark.api import PyramidDataset
+    from pyramidscheme_jl_spark.sources.catalog import read_multiscales
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    path = str(tmp_path / "p")
+    images = spark.createDataFrame(synth_images(G=4), IMAGES_DDL)
+    p = PyramidDataset.build(spark, images, path, G=4, reducer="min", run_id="ms")
+
+    doc = json.load(open(os.path.join(path, "_multiscales.json")))
+    ms = doc["multiscales"][0]
+    assert [d["path"] for d in ms["datasets"]] == [f"tiles/z={z}" for z in range(3)]
+    assert ms["type"] == "reduce" and ms["resampling_method"] == "min"
+    assert ms["metadata"]["nlevels"] == 2
+    assert ms["metadata"]["base_w"] == 1024 and ms["metadata"]["tilesize"] == 256
+
+    reopened = PyramidDataset.open(spark, path)
+    assert reopened.spec == p.spec
+    assert reopened.reducer == "min"
+
+    out = str(tmp_path / "copy")
+    copied = reopened.write_to(out)
+    ms2 = read_multiscales(out)
+    assert ms2["resampling_method"] == "min" and ms2["nlevels"] == 2
+    assert copied.equals(reopened)
+
+    # absence degrades to the base-scan path (streaming/foreign pyramids)
+    os.remove(os.path.join(path, "_multiscales.json"))
+    fallback = PyramidDataset.open(spark, path)
+    assert fallback.spec == p.spec and fallback.reducer is None
