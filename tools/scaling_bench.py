@@ -30,13 +30,20 @@ sys.path.insert(0, "/root/repo")
 import pandas as pd
 
 cpus = int(sys.argv[1]); G = int(sys.argv[2]); side = int(sys.argv[3])
+task_cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 from pyramidscheme_jl_spark.session import get_spark
 from pyramidscheme_jl_spark.operators.build import build_pyramid
 from pyramidscheme_jl_spark.operators.joins import point_in_polygon_join, with_point_cells
 from pyramidscheme_jl_spark.sources.synth import synth_images_df, synth_polygons
 
-spark = get_spark(app=f"scale-{cpus}", master=f"local[{cpus}]")
+# task.cpus=2 halves concurrent tasks at high thread counts: each task
+# runs 1 JVM thread + 1 python worker, so local[32] at task.cpus=1 puts
+# 64+ hot threads on 32 vCPUs (measured kernel-contention collapse, r2);
+# task.cpus=2 keeps hot threads == vCPUs, which is how a real cluster is
+# sized (executor cores account for the python worker).
+spark = get_spark(app=f"scale-{cpus}", master=f"local[{cpus}]",
+                  extra_conf={"spark.task.cpus": str(task_cpus)})
 spark.sparkContext.setLogLevel("ERROR")
 
 def warm(batches):
@@ -79,6 +86,8 @@ dt_pip = time.perf_counter() - t0
 
 print(json.dumps({
     "cpus": cpus,
+    "task_cpus": task_cpus,
+    "tasks": cpus // task_cpus,
     "build_sec": round(dt_build, 3),
     "build_px_per_sec": round(n_imgs * 65536 / dt_build, 1),
     "pip_sec": round(dt_pip, 3),
@@ -93,14 +102,14 @@ def _steal_now() -> list[int]:
     return list(map(int, parts[1:9]))
 
 
-def run_one(cpus: int, g: int, side: int) -> dict:
+def run_one(cpus: int, g: int, side: int, task_cpus: int = 1) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER)
         script = f.name
     try:
         s0 = _steal_now()
         out = subprocess.run(
-            [sys.executable, script, str(cpus), str(g), str(side)],
+            [sys.executable, script, str(cpus), str(g), str(side), str(task_cpus)],
             capture_output=True, text=True, timeout=900,
         )
         s1 = _steal_now()
@@ -119,42 +128,65 @@ def main() -> None:
     ap.add_argument("--g", type=int, default=128)
     ap.add_argument("--side", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=1)
-    ap.add_argument("--cpus", default="2,4,8,16,32")
+    ap.add_argument(
+        "--configs",
+        default="2:1,4:1,8:1,16:2,32:2,16:1,32:1",
+        help="comma list of cpus:task_cpus; the first 5 form the primary "
+        "curve, extra task_cpus=1 entries at >=16 become the "
+        "oversubscription comparison table",
+    )
     ap.add_argument("--out", default="BENCH/SCALING.md")  # BASELINE.md is hand-curated
     args = ap.parse_args()
-    cpus_list = [int(c) for c in args.cpus.split(",")]
+    configs = []
+    for part in args.configs.split(","):
+        c, _, t = part.partition(":")
+        configs.append((int(c), int(t or 1)))
 
     # the sandbox host has noisy-neighbor CPU steal (observed 0-18%);
     # alternate configs and keep each config's best rep (least interference)
-    runs: dict[int, list[dict]] = {c: [] for c in cpus_list}
+    runs: dict[tuple[int, int], list[dict]] = {cfg: [] for cfg in configs}
     import time as _time
 
     for rep in range(args.reps):
-        for cpus in cpus_list:
-            r = run_one(cpus, args.g, args.side)
-            runs[cpus].append(r)
-            print(f"rep={rep} cpus={cpus}: {json.dumps(r)}", flush=True)
+        for cpus, tc in configs:
+            r = run_one(cpus, args.g, args.side, tc)
+            runs[(cpus, tc)].append(r)
+            print(f"rep={rep} cpus={cpus} task_cpus={tc}: {json.dumps(r)}", flush=True)
             _time.sleep(5)
 
     # best rep per metric per config (least host interference)
-    def best(cpus: int) -> dict:
-        b = dict(max(runs[cpus], key=lambda r: r["build_px_per_sec"]))
-        p = max(runs[cpus], key=lambda r: r["pip_rows_per_sec"])
+    def best(cfg: tuple[int, int]) -> dict:
+        b = dict(max(runs[cfg], key=lambda r: r["build_px_per_sec"]))
+        p = max(runs[cfg], key=lambda r: r["pip_rows_per_sec"])
         b["pip_sec"], b["pip_rows_per_sec"], b["pip_pairs"] = (
             p["pip_sec"], p["pip_rows_per_sec"], p["pip_pairs"],
         )
         return b
 
-    curve = {c: best(c) for c in cpus_list}
+    curve = {cfg: best(cfg) for cfg in configs}
+    # PRIMARY curve (VERDICT r2 #8): one point per thread count, with
+    # task.cpus=2 at >=16 threads — hot threads (JVM task + python worker)
+    # never exceed vCPUs, matching how real executors are sized. Points
+    # are keyed by thread count; the capped entry wins where both exist.
+    primary: dict[int, tuple[int, int]] = {}
+    for cpus, tc in configs:
+        if tc == (2 if cpus >= 16 else 1):
+            primary[cpus] = (cpus, tc)
+    for cpus, tc in configs:  # fall back to whatever ran at that size
+        primary.setdefault(cpus, (cpus, tc))
+    cpus_list = sorted(primary)
 
     def eff(lo: int, hi: int, key: str) -> float | None:
-        if lo not in curve or hi not in curve:
+        if lo not in primary or hi not in primary:
             return None
-        return round(curve[hi][key] / curve[lo][key] / (hi / lo), 3)
+        return round(
+            curve[primary[hi]][key] / curve[primary[lo]][key] / (hi / lo), 3
+        )
 
-    pairs = [(lo, hi) for lo, hi in ((2, 8), (4, 16), (8, 32)) if lo in curve and hi in curve]
+    pairs = [(lo, hi) for lo, hi in ((2, 8), (4, 16), (8, 32)) if lo in primary and hi in primary]
     summary = {
-        "curve": curve,
+        "curve": {f"{c}:{t}": curve[(c, t)] for c, t in curve},
+        "primary": {str(c): f"{primary[c][0]}:{primary[c][1]}" for c in cpus_list},
         "pairs": {
             f"{lo}->{hi}": {
                 "build_eff": eff(lo, hi, "build_px_per_sec"),
@@ -165,11 +197,17 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    rows = "\n".join(
-        f"| local[{c}] | {curve[c]['build_px_per_sec']:,.0f} | {curve[c]['build_sec']} "
-        f"| {curve[c]['pip_rows_per_sec']:,.0f} | {curve[c]['pip_sec']} | {curve[c]['steal_pct']} |"
-        for c in cpus_list
-    )
+    def row(cfg):
+        c = curve[cfg]
+        return (
+            f"| local[{cfg[0]}] | {cfg[1]} | {c['tasks']} | {c['build_px_per_sec']:,.0f} "
+            f"| {c['build_sec']} | {c['pip_rows_per_sec']:,.0f} | {c['pip_sec']} "
+            f"| {c['steal_pct']} |"
+        )
+
+    rows = "\n".join(row(primary[c]) for c in cpus_list)
+    over = [cfg for cfg in configs if cfg[0] >= 16 and cfg[1] == 1 and primary.get(cfg[0]) != cfg]
+    orow = "\n".join(row(cfg) for cfg in over)
     prow = "\n".join(
         f"| {lo} -> {hi} (x{hi // lo}) | {summary['pairs'][f'{lo}->{hi}']['build_eff']} "
         f"| {summary['pairs'][f'{lo}->{hi}']['pip_eff']} |"
@@ -185,22 +223,38 @@ cores grow (a real cluster's executors bring their own disks; this box's
 single shared vda does not scale and 32-way writes measured SLOWER than
 8-way — that limiter is analyzed separately in BASELINE.md).
 
+**Primary table: `spark.task.cpus=2` at >= 16 threads.** Every task runs
+one JVM thread plus one python UDF worker, so at task.cpus=1 a local[32]
+run puts 64+ hot threads on 32 vCPUs and collapses on kernel contention
+(the r2 diagnostic; rows reproduced below). task.cpus=2 keeps hot threads
+== vCPUs — exactly how a real multi-executor cluster is provisioned
+(executor cores budget the python worker), so it is the configuration the
+N->4N criterion is about.
+
 Workloads: (1) pyramid build, mean reducer, float32 levels, levels-only,
 G={args.g} mosaic ({args.g * args.g} images, {args.g * args.g * 65536 / 1e6:.0f} Mpx);
 (2) point-in-polygon join, {args.side}x{args.side} lattice
 ({args.side * args.side / 1e6:.1f} M points) + 5 fixture polygons incl. the dense
 hotspot corner.
 
-| config | build px/s | build s | PIP rows/s | PIP s | steal% |
-|---|---|---|---|---|---|
+| config | task.cpus | tasks | build px/s | build s | PIP rows/s | PIP s | steal% |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 | pair (N -> 4N) | build eff | PIP eff |
 |---|---|---|
 {prow}
 
+Oversubscribed comparison (task.cpus=1 at the same thread counts — the
+collapse the primary config removes):
+
+| config | task.cpus | tasks | build px/s | build s | PIP rows/s | PIP s | steal% |
+|---|---|---|---|---|---|---|---|
+{orow}
+
 Host control (`tools/host_scaling_control.py`): pure-CPU spin loops in
-independent processes — the upper bound any job can reach on this shared VM.
+independent processes — the upper bound any job can reach on this shared VM
+(measured 0.79-0.80 per 4x step at 8->32 even for pure CPU).
 
 Raw JSON: see `BENCH/scaling.json`.
 """
