@@ -2,9 +2,10 @@
 
 The sandbox has no Pillow/ffmpeg, but several standard formats need no
 library at all — their specs are a fixed header plus raw samples. Decoding
-them here (and providing encoders for test fixtures) turns the multimodal
-codec registry from all-stubs into *real decode for every uncompressed
-format*, leaving only entropy-coded formats (jpeg/png/mp4) stubbed:
+them here (and providing encoders for test fixtures) gives real decode
+for every uncompressed format; the entropy-coded image formats are real
+too (PNG below via stdlib zlib; baseline JPEG in ``functions/jpeg.py``),
+leaving only video containers (mp4) stubbed:
 
 - **PGM (P5) / PPM (P6)** — NetPBM binary: ASCII header, raw 8-bit samples.
 - **BMP** — Windows bitmap, BITMAPINFOHEADER, uncompressed 8-bit
@@ -196,8 +197,8 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 # PNG (RFC 2083) — stdlib zlib inflate + numpy row un-filtering
 # ---------------------------------------------------------------------------
 #
-# PNG's only entropy coder is DEFLATE, which the stdlib provides, so unlike
-# jpeg this format needs no external library: chunk parsing is struct, and
+# PNG's only entropy coder is DEFLATE, which the stdlib provides, so this
+# format needs no external library: chunk parsing is struct, and
 # the five scanline filters (None/Sub/Up/Average/Paeth) invert with numpy
 # row math. Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3
 # (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes real

@@ -2,14 +2,15 @@
 metadata (training-data-pipeline surface).
 
 Codec registry status (r3): ``raw`` passthrough, pure-numpy PGM/PPM/BMP
-image decoders, a RIFF/PCM WAV audio decoder, and a real **PNG** decoder
-(stdlib zlib inflate + numpy scanline un-filtering — PNG's only entropy
-coder is DEFLATE, so no external library is needed; see
-``functions/media_codecs.py``). Only formats whose entropy coder has no
-stdlib implementation (jpeg/mp4) remain stubbed behind
-``NotImplementedError`` (no Pillow/ffmpeg in the sandbox; a deterministic
-fake exercises their pipeline shape). Dropping in real libs later means
-registering codecs — no plan shape changes.
+image decoders, a RIFF/PCM WAV audio decoder, a real **PNG** decoder
+(stdlib zlib inflate + numpy scanline un-filtering,
+``functions/media_codecs.py``), and a real **baseline JPEG** codec
+(``functions/jpeg.py``: canonical-Huffman entropy coding with a 16-bit
+prefix LUT, all 8x8 DCT/quant math vectorized across blocks — gray/RGB,
+4:4:4/4:2:0, restart intervals). Only video containers (mp4) remain
+stubbed behind ``NotImplementedError`` (frame demux + H.264 needs ffmpeg;
+a deterministic fake exercises the pipeline shape). Dropping in faster
+native codecs later means registering them — no plan shape changes.
 """
 
 from __future__ import annotations
@@ -59,10 +60,11 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool = False) -> np.ndarray:
-    """Codec registry. ``raw``/``pgm``/``ppm``/``bmp``/``png`` decode for
-    real (png: stdlib zlib inflate + numpy un-filtering — VERDICT r2 #2);
-    only formats whose entropy coder has no stdlib implementation (jpeg,
-    mp4) remain stubbed.
+    """Codec registry. ``raw``/``pgm``/``ppm``/``bmp``/``png``/``jpeg``
+    decode for real (png: stdlib zlib inflate + numpy un-filtering; jpeg:
+    pure-numpy baseline-sequential codec in ``functions/jpeg.py`` —
+    Huffman tables read from the file, all block math vectorized); only
+    video containers (mp4) remain stubbed.
 
     Returns ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8. For the real
     file formats, shape comes from the file header (the bytes are the
@@ -74,7 +76,8 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
     """
     if fmt == "raw":
         return decode_tile(buf, h, w, "uint8")
-    if fmt in ("pgm", "ppm", "bmp", "png"):
+    if fmt in ("pgm", "ppm", "bmp", "png", "jpeg", "jpg"):
+        from ..functions.jpeg import decode_jpeg
         from ..functions.media_codecs import (
             decode_bmp,
             decode_pgm,
@@ -84,6 +87,7 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
 
         return {
             "pgm": decode_pgm, "ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png,
+            "jpeg": decode_jpeg, "jpg": decode_jpeg,
         }[fmt](bytes(buf))
     if deterministic_fake:
         seed = int.from_bytes(hashlib.sha256(buf[:64]).digest()[:4], "big")

@@ -1,0 +1,220 @@
+"""Baseline JPEG codec tests.
+
+The decoder is pinned against HAND-ASSEMBLED files whose pixels follow in
+closed form from the T.81 spec (a DC-only block is a constant plane; a
+single AC coefficient is a cosine ramp computed here with the naive
+double-sum IDCT definition) — so decoder correctness does not depend on
+the encoder sharing its transform code. Round-trips then pin the encoder
+via the BASELINE.json lossy invariant (PSNR >= 40 dB).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    psnr,
+)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _minimal_gray(quant: int, dht_dc, dht_ac, scan: bytes) -> bytes:
+    """Assemble an 8x8 single-component baseline JPEG by hand."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes([quant] * 64))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    bits_dc, vals_dc = dht_dc
+    bits_ac, vals_ac = dht_ac
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc))
+    out += _seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac))
+    out += _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_dc_only_constant_plane():
+    # DC Huffman: single 1-bit code '0' -> symbol 5 (size-5 magnitude).
+    # AC Huffman: single 1-bit code '0' -> EOB.
+    # Scan bits: 0 | 10101 | 0, 1-padded -> 0101_0101 = 0x55.
+    # DC = EXTEND(0b10101=21, 5) = 21; dequant x8 -> 168; IDCT of a lone
+    # DC coefficient c is the constant c/8 -> 21 + 128 = 149 everywhere.
+    buf = _minimal_gray(
+        quant=8,
+        dht_dc=([1] + [0] * 15, [5]),
+        dht_ac=([1] + [0] * 15, [0x00]),
+        scan=bytes([0b01010101]),
+    )
+    img = decode_jpeg(buf)
+    assert img.shape == (8, 8)
+    assert (img == 149).all()
+
+
+def test_decode_single_ac_matches_spec_idct():
+    # DC symbol 0 (no magnitude bits, DC=0). AC codes: '00' -> (run 0,
+    # size 2), '01' -> EOB. Scan bits: 0 | 00 11 | 01, 1-padded ->
+    # 0001_1011 = 0x1b. Coefficient: zigzag index 1 = S(v=0, u=1), value
+    # EXTEND(0b11=3, 2) = 3, dequant x16 -> 48.
+    buf = _minimal_gray(
+        quant=16,
+        dht_dc=([1] + [0] * 15, [0]),
+        dht_ac=([0, 2] + [0] * 14, [0x02, 0x00]),
+        scan=bytes([0b00011011]),
+    )
+    img = decode_jpeg(buf)
+    # naive T.81 A.3.3 inverse transform, straight from the spec text
+    S = np.zeros((8, 8))
+    S[0, 1] = 48.0
+    expect = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * S[v, u]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            expect[y, x] = acc / 4 + 128
+    np.testing.assert_array_equal(
+        img, np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    )
+
+
+@pytest.fixture(scope="module")
+def photo_gray():
+    """Smooth photo-like content (gradients + mild texture) — the regime
+    the PSNR >= 40 dB lossy invariant is stated for."""
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:96, 0:120]
+    return (
+        128 + 80 * np.sin(xx / 25.0) * np.cos(yy / 19.0) + rng.randn(96, 120) * 3
+    ).clip(0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def photo_rgb(photo_gray):
+    g = photo_gray.astype(np.float64)
+    return np.stack(
+        [g, np.roll(g, 7, axis=1), (0.3 * g + 90)], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_roundtrip_gray_psnr40(photo_gray):
+    dec = decode_jpeg(encode_jpeg(photo_gray, quality=90))
+    assert dec.shape == photo_gray.shape
+    assert psnr(photo_gray, dec) >= 40.0
+
+
+def test_roundtrip_rgb_444_psnr40(photo_rgb):
+    dec = decode_jpeg(encode_jpeg(photo_rgb, quality=95))
+    assert dec.shape == photo_rgb.shape
+    assert psnr(photo_rgb, dec) >= 40.0
+
+
+def test_roundtrip_rgb_420_psnr40(photo_gray, photo_rgb):
+    # 4:2:0 halves chroma resolution, so its PSNR ceiling is set by the
+    # image's chroma bandwidth, not by quality. Photo-like content has
+    # smooth chroma -> >= 40 dB; the deliberately chroma-textured fixture
+    # (rolled channel) still bounds >= 36 dB.
+    g = photo_gray.astype(np.float64)
+    smooth = np.stack([g, 0.8 * g + 20, 0.6 * g + 40], axis=-1).clip(0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth, quality=95, subsample=True))
+    assert dec.shape == smooth.shape
+    assert psnr(smooth, dec) >= 40.0
+    dec = decode_jpeg(encode_jpeg(photo_rgb, quality=97, subsample=True))
+    assert psnr(photo_rgb, dec) >= 36.0
+
+
+def test_quality_100_near_lossless(photo_gray):
+    assert psnr(photo_gray, decode_jpeg(encode_jpeg(photo_gray, quality=100))) >= 50.0
+
+
+def test_quality_monotone(photo_gray):
+    sizes = [len(encode_jpeg(photo_gray, quality=q)) for q in (50, 75, 90, 100)]
+    assert sizes == sorted(sizes)
+    p = [psnr(photo_gray, decode_jpeg(encode_jpeg(photo_gray, quality=q))) for q in (50, 90)]
+    assert p[0] < p[1]
+
+
+def test_restart_interval_identical_pixels(photo_rgb):
+    """RSTn markers change the byte stream, not the pixels."""
+    plain = decode_jpeg(encode_jpeg(photo_rgb, quality=92, subsample=True))
+    rst = decode_jpeg(
+        encode_jpeg(photo_rgb, quality=92, subsample=True, restart_interval=3)
+    )
+    np.testing.assert_array_equal(plain, rst)
+
+
+def test_odd_dimensions_roundtrip(photo_gray):
+    odd = photo_gray[:61, :53]
+    dec = decode_jpeg(encode_jpeg(odd, quality=95))
+    assert dec.shape == (61, 53)
+    assert psnr(odd, dec) >= 40.0
+    oddc = np.dstack([odd, odd, 255 - odd])
+    dec = decode_jpeg(encode_jpeg(oddc, quality=97, subsample=True))
+    assert dec.shape == (61, 53, 3)
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"PNG? nope")
+
+
+def test_progressive_raises(photo_gray):
+    buf = bytearray(encode_jpeg(photo_gray, quality=90))
+    # rewrite the SOF0 marker (FF C0) to SOF2 (progressive)
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_missing_huffman_table_raises():
+    buf = _minimal_gray(
+        quant=8,
+        dht_dc=([1] + [0] * 15, [5]),
+        dht_ac=([1] + [0] * 15, [0x00]),
+        scan=bytes([0b01010101]),
+    )
+    # drop the AC DHT segment (second FF C4)
+    first = buf.find(b"\xff\xc4")
+    second = buf.find(b"\xff\xc4", first + 2)
+    seglen = struct.unpack(">H", buf[second + 2 : second + 4])[0]
+    cut = buf[:second] + buf[second + 2 + seglen :]
+    with pytest.raises(ValueError, match="Huffman table"):
+        decode_jpeg(cut)
+
+
+def test_image_features_jpeg_spark(spark):
+    """fmt='jpeg' rows decode for REAL through the registry; features land
+    within the lossy tolerance of the raw-path features on the same pixels."""
+    from pyramidscheme_jl_spark.operators.multimodal import image_features
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    img = image_pixels(0, 0)  # 256x256 uint8
+    rgb = np.dstack([img, img // 2, img // 3])
+    rows = [
+        ("raw-0", img.tobytes(), 256, 256, "raw", "c", 0),
+        ("jpg-g", encode_jpeg(img, quality=95), 256, 256, "jpeg", "c", 0),
+        ("jpg-c", encode_jpeg(rgb, quality=95), 256, 256, "jpeg", "c", 0),
+        ("jpg-s", encode_jpeg(rgb, quality=95, subsample=True), 256, 256, "jpg", "c", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    assert feats["jpg-g"]["mean_luma"] == pytest.approx(feats["raw-0"]["mean_luma"], abs=1.0)
+    lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for k in ("jpg-c", "jpg-s"):
+        assert feats[k]["mean_luma"] == pytest.approx(float(lum.mean()), abs=1.5)
