@@ -438,108 +438,103 @@ def _encode_block(
 
 
 class _HuffLUT:
-    """16-bit prefix lookup: one array read per symbol instead of a per-bit
-    tree walk — the standard fast-decode structure (lengths <= 16)."""
+    """16-bit prefix lookup: one list read per symbol instead of a per-bit
+    tree walk — the standard fast-decode structure (lengths <= 16).
+    Stored as a plain Python list of ``(length << 8) | symbol`` ints:
+    list indexing is C-speed, where numpy scalar indexing costs ~10x in
+    the per-symbol loop (measured 2x whole-decode difference)."""
 
-    __slots__ = ("sym", "len")
+    __slots__ = ("packed",)
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.sym = np.zeros(1 << 16, dtype=np.int16)
-        self.len = np.zeros(1 << 16, dtype=np.uint8)
+        packed = np.zeros(1 << 16, dtype=np.int32)
         codes = _canonical_codes(bits)
         if len(vals) != len(codes):
             raise ValueError("DHT bits/values length mismatch")
         for (code, length), val in zip(codes, vals):
             lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
-            self.sym[lo:hi] = val
-            self.len[lo:hi] = length
-
-
-class _BitReader:
-    """MSB-first reader over de-stuffed scan bytes with 16-bit peek."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        while self.nbits <= 48:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc = self.acc << 8  # zero-pad past the end (spec: pad bits)
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        if self.nbits < 16:
-            self._fill()
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.skip(n)
-        return v
-
-
-def _extend(bits: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: magnitude bits -> signed value."""
-    if size == 0:
-        return 0
-    if bits < (1 << (size - 1)):
-        return bits - (1 << size) + 1
-    return bits
+            packed[lo:hi] = (length << 8) | val
+        self.packed = packed.tolist()
 
 
 def _decode_block_scan(
-    reader: _BitReader, dc: _HuffLUT, ac: _HuffLUT, pred: int, out: np.ndarray
-) -> int:
-    """Decode one block's 64 zigzag coefficients into ``out``; returns the
-    new DC predictor."""
-    p16 = reader.peek16()
-    size = int(dc.sym[p16])
-    length = int(dc.len[p16])
+    data: bytes,
+    dpos: int,
+    acc: int,
+    nbits: int,
+    dc_lut: list[int],
+    ac_lut: list[int],
+    pred: int,
+    out: list[int],
+) -> tuple[int, int, int, int]:
+    """Decode one block's 64 zigzag coefficients into list ``out`` (already
+    zeroed). Bit-reader state lives in locals — the per-symbol loop runs
+    ~25 symbol reads per block and method-call dispatch measured as half
+    the whole decode time. Returns (dpos, acc, nbits, new DC pred)."""
+    ndata = len(data)
+    # --- DC ---
+    if nbits < 16:
+        while nbits <= 48:
+            acc = (acc << 8) | (data[dpos] if dpos < ndata else 0)
+            dpos += 1 if dpos < ndata else 0
+            nbits += 8
+    v = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+    length = v >> 8
     if length == 0:
         raise ValueError("invalid Huffman code in DC scan")
-    reader.skip(length)
-    pred += _extend(reader.read(size), size)
+    size = v & 0xFF
+    nbits -= length
+    if size:
+        if nbits < size:
+            while nbits <= 48:
+                acc = (acc << 8) | (data[dpos] if dpos < ndata else 0)
+                dpos += 1 if dpos < ndata else 0
+                nbits += 8
+        bits = (acc >> (nbits - size)) & ((1 << size) - 1)
+        nbits -= size
+        pred += bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+    acc &= (1 << nbits) - 1
     out[0] = pred
+    # --- AC ---
     k = 1
     while k < 64:
-        p16 = reader.peek16()
-        sym = int(ac.sym[p16])
-        length = int(ac.len[p16])
+        if nbits < 16:
+            while nbits <= 48:
+                acc = (acc << 8) | (data[dpos] if dpos < ndata else 0)
+                dpos += 1 if dpos < ndata else 0
+                nbits += 8
+        v = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+        length = v >> 8
         if length == 0:
             raise ValueError("invalid Huffman code in AC scan")
-        reader.skip(length)
+        sym = v & 0xFF
+        nbits -= length
         if sym == 0x00:  # EOB
+            acc &= (1 << nbits) - 1
             break
         run = sym >> 4
         size = sym & 0x0F
         if size == 0:
             if run != 15:
                 raise ValueError("invalid AC symbol (run/size 0)")
+            acc &= (1 << nbits) - 1
             k += 16  # ZRL
             continue
         k += run
         if k > 63:
             raise ValueError("AC run past end of block")
-        out[k] = _extend(reader.read(size), size)
+        if nbits < size:
+            while nbits <= 48:
+                acc = (acc << 8) | (data[dpos] if dpos < ndata else 0)
+                dpos += 1 if dpos < ndata else 0
+                nbits += 8
+        bits = (acc >> (nbits - size)) & ((1 << size) - 1)
+        nbits -= size
+        acc &= (1 << nbits) - 1
+        out[k] = bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
         k += 1
-    return pred
+    return dpos, acc, nbits, pred
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
@@ -679,15 +674,17 @@ def _decode_scan(
     mcu_done = 0
     total_mcus = mcux * mcuy
     scan_bytes, next_pos = _find_scan_end(buf, pos)
-    reader = _BitReader(scan_bytes)
-    coef = np.zeros(64, dtype=np.int32)
+    dpos, acc, nbits = 0, 0, 0
+    zero64 = [0] * 64
+    dc_packed = [t.packed for t in dc_lut]
+    ac_packed = [t.packed for t in ac_lut]
 
     while mcu_done < total_mcus:
         if restart_interval and mcu_done and mcu_done % restart_interval == 0:
             # byte-align, consume the RSTn marker, reset DC predictors
             if 0xD0 <= buf[next_pos + 1] <= 0xD7:
                 scan_bytes, next_pos = _find_scan_end(buf, next_pos + 2)
-                reader = _BitReader(scan_bytes)
+                dpos, acc, nbits = 0, 0, 0
                 preds = [0] * len(comps)
             else:
                 raise ValueError("missing restart marker")
@@ -695,9 +692,10 @@ def _decode_scan(
         for ci, (_, hi, vi, _) in enumerate(comps):
             for by in range(vi):
                 for bx in range(hi):
-                    coef[:] = 0
-                    preds[ci] = _decode_block_scan(
-                        reader, dc_lut[ci], ac_lut[ci], preds[ci], coef
+                    coef = zero64.copy()
+                    dpos, acc, nbits, preds[ci] = _decode_block_scan(
+                        scan_bytes, dpos, acc, nbits,
+                        dc_packed[ci], ac_packed[ci], preds[ci], coef,
                     )
                     bidx = (my * vi + by) * bw[ci] + (mx * hi + bx)
                     zz[ci][bidx] = coef
