@@ -149,22 +149,57 @@ def _grid_dims(G) -> tuple[int, int]:
     return int(G), int(G)
 
 
+# Formats the build path decodes for real (functions/media_codecs.py +
+# functions/jpeg.py). Rows in other formats (e.g. mp4 stills) are filtered
+# out of the pyramid, mirroring the reference's raster-only ingestion.
+SUPPORTED_IMAGE_FMTS = ("raw", "pgm", "ppm", "bmp", "png", "jpeg", "jpg")
+
+
+def _decode_payload(buf, w: int, h: int, fmt: str, image_id: str) -> np.ndarray:
+    """Decode one image payload to (h, w[, c]) uint8. For file formats the
+    bytes are the source of truth; the metadata columns are cross-checked
+    (input_hint: decoded-pixel invariants are per-row) and a mismatch is a
+    data-quality error naming the row."""
+    if fmt == "raw":
+        # channels inferred from payload size (input_hint schema has no
+        # channel column); bands pass through aggregation untouched
+        # (reference test/runtests.jl:145-166)
+        c = len(buf) // (int(w) * int(h))
+        return decode_tile(buf, int(h), int(w), "uint8", c)
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.media_codecs import decode_bmp, decode_pgm, decode_png, decode_ppm
+
+    arr = {
+        "pgm": decode_pgm, "ppm": decode_ppm, "bmp": decode_bmp,
+        "png": decode_png, "jpeg": decode_jpeg, "jpg": decode_jpeg,
+    }[fmt](bytes(buf))
+    if arr.shape[0] != int(h) or arr.shape[1] != int(w):
+        raise ValueError(
+            f"{image_id}: decoded {fmt} shape {arr.shape[:2]} contradicts "
+            f"metadata (h={h}, w={w})"
+        )
+    return arr
+
+
 def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> DataFrame:
     """images (input_hint schema) -> level-0 tile rows.
 
     Grid slot is derived from ``image_id`` (``img-{i:08d}``, FIXTURES.md §1)
-    JVM-side; decoding + per-tile stats run in one narrow mapInPandas pass.
+    JVM-side; decoding (any SUPPORTED_IMAGE_FMTS payload — raw, netpbm,
+    bmp, png, jpeg) + per-tile stats run in one narrow mapInPandas pass.
     """
     idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
     src = (
-        images.where(F.col("fmt") == F.lit("raw"))
+        images.where(F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS))
         .where(idx.isNotNull())
         .select(
             (idx % _grid_dims(G)[0]).cast("int").alias("tx"),
             (idx / _grid_dims(G)[0]).cast("int").alias("ty"),
+            "image_id",
             "bytes",
             "w",
             "h",
+            "fmt",
         )
         .where(F.col("tx").isNotNull())
     )
@@ -172,12 +207,11 @@ def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> Data
     def gen(batches):
         for pdf in batches:
             rows = []
-            for tx, ty, buf, w, h in zip(pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]):
-                # channels inferred from payload size (input_hint schema has
-                # no channel column); bands pass through aggregation
-                # untouched (reference test/runtests.jl:145-166)
-                c = len(buf) // (int(w) * int(h))
-                arr = decode_tile(buf, int(h), int(w), "uint8", c)
+            for tx, ty, iid, buf, w, h, fmt in zip(
+                pdf["tx"], pdf["ty"], pdf["image_id"], pdf["bytes"],
+                pdf["w"], pdf["h"], pdf["fmt"],
+            ):
+                arr = _decode_payload(buf, w, h, fmt, iid)
                 rows.append(_tile_row(spec, 0, int(tx), int(ty), arr))
             if rows:
                 yield _rows_to_pdf(rows)
@@ -267,14 +301,16 @@ def build_level1_from_images(
     """
     idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
     src = (
-        images.where(F.col("fmt") == F.lit("raw"))
+        images.where(F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS))
         .where(idx.isNotNull())
         .select(
             (idx % _grid_dims(G)[0]).cast("int").alias("tx"),
             (idx / _grid_dims(G)[0]).cast("int").alias("ty"),
+            "image_id",
             "bytes",
             "w",
             "h",
+            "fmt",
         )
         .where(F.col("tx").isNotNull())
     )
@@ -282,9 +318,12 @@ def build_level1_from_images(
     def gen(batches):
         for pdf in batches:
             out = {k: [] for k in ("ptx", "pty", "qx", "qy", "bytes", "w", "h", "c", "dtype")}
-            for tx, ty, buf, w, h in zip(pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]):
-                c = len(buf) // (int(w) * int(h))  # channels from payload size
-                arr = decode_tile(buf, int(h), int(w), "uint8", c)
+            for tx, ty, iid, buf, w, h, fmt in zip(
+                pdf["tx"], pdf["ty"], pdf["image_id"], pdf["bytes"],
+                pdf["w"], pdf["h"], pdf["fmt"],
+            ):
+                arr = _decode_payload(buf, w, h, fmt, iid)
+                c = int(arr.shape[2]) if arr.ndim == 3 else 1
                 red = _cast_level(block_reduce(arr, reducer), level_dtype)
                 out["ptx"].append(int(tx) >> 1)
                 out["pty"].append(int(ty) >> 1)

@@ -286,3 +286,62 @@ def test_tile_columns_cell_extent(spark, images_g4, tmp_path):
     blk = l1[0:256, 256:512]
     assert r["vmin"] == blk.min() and r["vmax"] == blk.max()
     np.testing.assert_allclose(r["vmean"], blk.mean())
+
+
+def test_build_mixed_format_corpus(spark, tmp_path):
+    """A corpus mixing raw/pgm/png/jpeg payloads builds the SAME pyramid as
+    raw rows carrying the identical decoded pixels — the codec registry is
+    part of the base stage, not a separate preprocessing job. The jpeg
+    oracle rows use the decoder's own pixels (lossy codec; bytes are the
+    source of truth), so equality is exact, not allclose."""
+    from pyramidscheme_jl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_pgm, encode_png
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    G = 4
+    fmt_cycle = ["raw", "pgm", "png", "jpeg"]
+    rows_enc, rows_raw = [], []
+    for i in range(G * G):
+        img = image_pixels(i % G, i // G)
+        fmt = fmt_cycle[i % 4]
+        if fmt == "raw":
+            payload, pixels = img.tobytes(), img
+        elif fmt == "pgm":
+            payload, pixels = encode_pgm(img), img
+        elif fmt == "png":
+            payload, pixels = encode_png(img, filter_type=4), img
+        else:
+            payload = encode_jpeg(img, quality=95)
+            pixels = decode_jpeg(payload)
+        iid = f"img-{i:08d}"
+        common = {"w": 256, "h": 256, "caption": "c", "phash": 0}
+        rows_enc.append({"image_id": iid, "bytes": payload, "fmt": fmt, **common})
+        rows_raw.append({"image_id": iid, "bytes": pixels.tobytes(), "fmt": "raw", **common})
+
+    enc_df = spark.createDataFrame(rows_enc, IMAGES_DDL)
+    raw_df = spark.createDataFrame(rows_raw, IMAGES_DDL)
+    p_enc, p_raw = str(tmp_path / "enc"), str(tmp_path / "raw")
+    spec = build_pyramid(spark, enc_df, p_enc, G=G, reducer="mean", run_id="mx")
+    build_pyramid(spark, raw_df, p_raw, G=G, reducer="mean", run_id="mx")
+    for z in range(1, spec.nlevels + 1):
+        np.testing.assert_array_equal(
+            assemble_level(spark, p_enc, z, spec), assemble_level(spark, p_raw, z, spec)
+        )
+
+
+def test_build_metadata_mismatch_raises(spark, tmp_path):
+    """A row whose metadata contradicts the file header is a data-quality
+    error naming the row, not a silent mis-tile."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_pgm
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    img = image_pixels(0, 0)
+    rows = [
+        {"image_id": "img-00000000", "bytes": encode_pgm(img), "w": 128, "h": 256,
+         "fmt": "pgm", "caption": "c", "phash": 0}
+    ]
+    df = spark.createDataFrame(rows, IMAGES_DDL)
+    with pytest.raises(PythonException, match="contradicts"):
+        build_pyramid(spark, df, str(tmp_path / "bad"), G=1, reducer="mean", run_id="mm")
