@@ -178,6 +178,65 @@ def resize_images(images: DataFrame, factor: int = 2, deterministic_fake: bool =
     return images.mapInPandas(gen, RESIZED_SCHEMA)
 
 
+def transcode_images(
+    images: DataFrame,
+    to_fmt: str = "jpeg",
+    quality: int = 90,
+    subsample: bool = False,
+) -> DataFrame:
+    """Re-encode every image row to ``to_fmt`` — the corpus-normalization
+    op of a training-data pipeline (mixed formats -> one codec; raw scans
+    -> compressed storage tier; lossy re-encode at a target quality).
+
+    Decode uses the full registry (any SUPPORTED format in); encode
+    targets ``raw``, ``png`` (lossless), or ``jpeg`` (``quality``/
+    ``subsample`` forwarded). Output keeps the input_hint images schema
+    (caption/phash pass through untouched — the per-row invariant pair).
+    One Arrow-batched Python stage, no shuffle: Catalyst sees a narrow
+    mapInPandas whatever the codec mix is.
+    """
+    if to_fmt not in ("raw", "png", "jpeg"):
+        raise ValueError(f"transcode target {to_fmt!r} not in ('raw','png','jpeg')")
+    # fix the column set and order (input_hint schema); extra caller
+    # columns would silently vanish from the mapInPandas output otherwise
+    src = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+    def gen(batches):
+        from ..functions.jpeg import encode_jpeg
+        from ..functions.media_codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for iid, buf, w, h, fmt, cap, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+                pdf["caption"], pdf["phash"],
+            ):
+                img = decode_image(buf, int(w), int(h), fmt)
+                if to_fmt == "raw":
+                    out = np.ascontiguousarray(img).tobytes()
+                elif to_fmt == "png":
+                    out = encode_png(img)
+                else:
+                    if img.ndim == 3 and img.shape[2] not in (1, 3):
+                        img = img[:, :, :3]  # drop alpha for jpeg
+                    if img.ndim == 3 and img.shape[2] == 1:
+                        img = img[:, :, 0]
+                    out = encode_jpeg(img, quality=quality, subsample=subsample)
+                rows.append(
+                    {
+                        "image_id": iid, "bytes": out,
+                        "w": int(img.shape[1]), "h": int(img.shape[0]),
+                        "fmt": to_fmt, "caption": cap, "phash": ph,
+                    }
+                )
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["w"] = pdf_out["w"].astype("int32")
+            pdf_out["h"] = pdf_out["h"].astype("int32")
+            yield pdf_out
+
+    return src.mapInPandas(gen, src.schema)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),

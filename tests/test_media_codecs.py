@@ -186,3 +186,41 @@ def test_image_features_png_spark(spark):
     # opaque alpha must not change luma features
     assert feats["png-rgba"]["mean_luma"] == feats["png-rgb"]["mean_luma"]
     assert feats["png-rgba"]["phash"] == feats["png-rgb"]["phash"]
+
+
+def test_transcode_images_spark(spark):
+    """Corpus normalization: mixed formats -> png is pixel-lossless; raw ->
+    jpeg meets the PSNR>=40 lossy invariant; captions/phash pass through."""
+    from pyramidscheme_jl_spark.functions.jpeg import psnr
+    from pyramidscheme_jl_spark.operators.multimodal import decode_image, transcode_images
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    img = image_pixels(0, 0)
+    rgb = np.dstack([img, img // 2, img // 3])
+    rows = [
+        ("t-raw", img.tobytes(), 256, 256, "raw", "cap-a", 7),
+        ("t-pgm", encode_pgm(img), 256, 256, "pgm", "cap-b", 8),
+        ("t-ppm", encode_ppm(rgb), 256, 256, "ppm", "cap-c", 9),
+    ]
+    ddl = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(rows, ddl)
+
+    # lossless: png round-trips every pixel
+    out = {r["image_id"]: r for r in transcode_images(df, to_fmt="png").collect()}
+    assert all(r["fmt"] == "png" for r in out.values())
+    assert out["t-raw"]["caption"] == "cap-a" and out["t-raw"]["phash"] == 7
+    np.testing.assert_array_equal(
+        decode_image(out["t-pgm"]["bytes"], 256, 256, "png"), img
+    )
+    np.testing.assert_array_equal(
+        decode_image(out["t-ppm"]["bytes"], 256, 256, "png"), rgb
+    )
+
+    # lossy: jpeg at q95 meets the invariant
+    out = {r["image_id"]: r for r in transcode_images(df, to_fmt="jpeg", quality=95).collect()}
+    dec = decode_image(out["t-raw"]["bytes"], 256, 256, "jpeg")
+    assert psnr(img, dec) >= 40.0
+    assert len(out["t-raw"]["bytes"]) < img.nbytes  # actually compressed
+
+    with pytest.raises(ValueError, match="transcode target"):
+        transcode_images(df, to_fmt="gif")
