@@ -378,3 +378,81 @@ def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (Motion JPEG) — RIFF container demux, no ffmpeg needed
+# ---------------------------------------------------------------------------
+#
+# MJPEG is the one mainstream video format with no inter-frame codec: every
+# frame is an independent baseline JPEG, and the AVI wrapper is the same
+# RIFF chunk grammar as WAV above. Together with functions/jpeg.py this
+# makes frame sampling REAL for '.avi' MJPEG inputs; inter-frame codecs
+# (H.264/mp4) still need ffmpeg and stay stubbed.
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], w: int, h: int, fps: int = 30) -> bytes:
+    """Wrap pre-encoded JPEG frames in a minimal standards-shaped AVI."""
+    if not jpeg_frames:
+        raise ValueError("no frames")
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    # fccType/handler, flags, prio+lang, initframes, scale, rate (fps =
+    # rate/scale), start, length, bufsize, quality, samplesize, rcFrame
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 10000, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(buf: bytes) -> tuple[list[bytes], int, int, float]:
+    """AVI bytes -> (jpeg frame payloads, width, height, fps).
+
+    Walks the RIFF chunk tree; frames are the '..dc'/'..db' chunks of the
+    'movi' list. Dims/fps come from the 'avih' header (advisory — each
+    frame's own JPEG header is the per-frame source of truth)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = 0
+    fps = 0.0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload_start = pos + 8
+            if fourcc == b"LIST":
+                walk(payload_start + 4, payload_start + size)
+            elif fourcc == b"avih" and size >= 40:
+                usec, _, _, _, _nf, _, _, _, w0, h0 = struct.unpack(
+                    "<IIIIIIIIII", buf[payload_start : payload_start + 40]
+                )
+                w, h = int(w0), int(h0)
+                fps = 1e6 / usec if usec else 0.0
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(buf[payload_start : payload_start + size])
+            pos = payload_start + size + (size % 2)
+
+    walk(12, len(buf))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    return frames, w, h, fps

@@ -296,18 +296,46 @@ def audio_features(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video-like binaries.
 
-    Stub container format (real plumbing, fake codec): the binary is a
-    concatenation of fixed-size raw frames; ``w``/``h``/``n_frames`` come
-    from metadata columns. A real demuxer (ffmpeg) slots in here.
-    Expected input columns: (media_id, bytes, w, h, n_frames).
+    Two container paths, dispatched per row on the optional ``fmt`` column:
+
+    - ``fmt='avi'`` — REAL demux: MJPEG-in-AVI (the one mainstream video
+      format with no inter-frame codec) via the pure-struct RIFF walker in
+      ``functions/media_codecs.py``; each sampled frame is decoded with the
+      baseline-JPEG codec and emitted as raw pixels. ``every_n`` applies to
+      the container's frame sequence.
+    - anything else (or no ``fmt`` column) — the stub container (binary =
+      concatenation of fixed-size raw frames; ``w``/``h``/``n_frames``
+      from metadata). Inter-frame codecs (H.264/mp4) need ffmpeg and slot
+      in here.
+
+    Expected input columns: (media_id, bytes, w, h, n_frames[, fmt]).
     """
+    has_fmt = "fmt" in media.columns
 
     def gen(batches):
+        from ..functions.jpeg import decode_jpeg
+        from ..functions.media_codecs import decode_avi_mjpeg
+
         for pdf in batches:
             rows = []
-            for mid, buf, w, h, n in zip(
-                pdf["media_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["n_frames"]
+            fmts = pdf["fmt"] if has_fmt else ["rawcat"] * len(pdf)
+            for mid, buf, w, h, n, fmt in zip(
+                pdf["media_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["n_frames"], fmts
             ):
+                if fmt == "avi":
+                    jpegs, _, _, _ = decode_avi_mjpeg(bytes(buf))
+                    for i in range(0, len(jpegs), every_n):
+                        arr = decode_jpeg(jpegs[i])
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_index": i,
+                                "bytes": np.ascontiguousarray(arr).tobytes(),
+                                "w": int(arr.shape[1]),
+                                "h": int(arr.shape[0]),
+                            }
+                        )
+                    continue
                 fsz = int(w) * int(h)
                 for i in range(0, int(n), every_n):
                     rows.append(

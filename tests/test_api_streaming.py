@@ -152,13 +152,21 @@ def test_multimodal_features_and_resize(spark):
     out = sample_frames(media, every_n=2).collect()
     assert sorted(r["frame_index"] for r in out) == [0, 2]
     assert bytes(out[0]["bytes"]) == frames[out[0]["frame_index"]].tobytes()
-    # stubbed codec raises cleanly; deterministic fake passes through
+    # stubbed codec (mp4 — needs ffmpeg) raises cleanly; deterministic fake
+    # passes through for pipeline-shape tests
     bad = spark.createDataFrame(
-        [("x", b"\xff\xd8junk", 8, 8, "jpeg", "c", 0)], IMAGES_DDL
+        [("x", b"\x00\x00\x00 ftypmp42", 8, 8, "mp4", "c", 0)], IMAGES_DDL
     )
     with pytest.raises(Exception, match="codec|NotImplemented"):
         image_features(bad).collect()
     assert image_features(bad, deterministic_fake=True).count() == 1
+    # jpeg is a REAL codec now: garbage bytes are a loud parse error, never
+    # silently faked (deterministic_fake only covers stubbed formats)
+    junk = spark.createDataFrame(
+        [("y", b"\xff\xd8junk", 8, 8, "jpeg", "c", 0)], IMAGES_DDL
+    )
+    with pytest.raises(Exception, match="marker|JPEG"):
+        image_features(junk, deterministic_fake=True).collect()
 
 
 def test_dedup_module_spark(spark):

@@ -224,3 +224,59 @@ def test_transcode_images_spark(spark):
 
     with pytest.raises(ValueError, match="transcode target"):
         transcode_images(df, to_fmt="gif")
+
+
+def test_avi_mjpeg_roundtrip():
+    """RIFF mux/demux is exact on the frame payloads; advisory dims/fps
+    recovered from avih."""
+    from pyramidscheme_jl_spark.functions.media_codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [b"\xff\xd8 frame-%d payload \xff\xd9" % i for i in range(4)]
+    frames[1] += b"!"  # odd length exercises RIFF pad bytes
+    avi = encode_avi_mjpeg(frames, 96, 64, fps=24)
+    out, w, h, fps = decode_avi_mjpeg(avi)
+    assert out == frames
+    assert (w, h) == (96, 64)
+    assert abs(fps - 24) < 0.1
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"nope")
+    with pytest.raises(ValueError, match="no frames"):
+        encode_avi_mjpeg([], 1, 1)
+
+
+def test_sample_frames_avi_spark(spark):
+    """fmt='avi' rows demux + JPEG-decode for REAL; raw stub rows still work
+    in the same DataFrame. Sampled frames meet the lossy pixel invariant."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg, psnr
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_avi_mjpeg
+    from pyramidscheme_jl_spark.operators.multimodal import sample_frames
+
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:64, 0:96]
+    origs = [
+        (128 + 70 * np.sin(xx / 11.0 + i) * np.cos(yy / 7.0) + rng.randn(64, 96) * 2)
+        .clip(0, 255).astype(np.uint8)
+        for i in range(6)
+    ]
+    avi = encode_avi_mjpeg([encode_jpeg(f, quality=95) for f in origs], 96, 64)
+    raw = np.zeros((2, 8, 8), dtype=np.uint8)
+    raw[1, :, :] = 200
+    rows = [
+        ("vid-avi", avi, 96, 64, 6, "avi"),
+        ("vid-raw", raw.tobytes(), 8, 8, 2, "rawcat"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, bytes binary, w int, h int, n_frames int, fmt string"
+    )
+    out = sample_frames(df, every_n=2).collect()
+    by = {(r["media_id"], r["frame_index"]): r for r in out}
+    assert set(by) == {("vid-avi", 0), ("vid-avi", 2), ("vid-avi", 4), ("vid-raw", 0)}
+    for i in (0, 2, 4):
+        r = by[("vid-avi", i)]
+        assert (r["w"], r["h"]) == (96, 64)
+        dec = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(64, 96)
+        assert psnr(origs[i], dec) >= 40.0
+    assert bytes(by[("vid-raw", 0)]["bytes"]) == raw[0].tobytes()
