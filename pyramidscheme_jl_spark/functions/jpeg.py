@@ -285,12 +285,13 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JFIF bytes for a (h, w) gray or (h, w, 3) RGB
-    uint8 image. ``subsample=True`` uses 4:2:0 chroma (2x2 mean), else
-    4:4:4. Quality follows the libjpeg 1..100 convention.
+    uint8 image. ``subsample``: False/"444" = no chroma subsampling,
+    True/"420" = 2x2 chroma mean, "422" = horizontal-only chroma mean.
+    Quality follows the libjpeg 1..100 convention.
     ``restart_interval`` > 0 emits an RSTn marker every that many MCUs
     (resumable/parallel-decodable scans, and DC-error containment)."""
     if img.dtype != np.uint8:
@@ -299,6 +300,11 @@ def encode_jpeg(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    mode = {False: "444", True: "420", "444": "444", "420": "420", "422": "422"}.get(
+        subsample
+    )
+    if mode is None:
+        raise ValueError(f"subsample {subsample!r} not in (False, True, '444', '420', '422')")
 
     qluma = _quality_scale(QUANT_LUMA, quality)
     qchroma = _quality_scale(QUANT_CHROMA, quality)
@@ -310,11 +316,12 @@ def encode_jpeg(
     else:
         ycc = rgb_to_ycbcr(img)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if subsample:
-            ph2, pw2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
-            cb = _pad_to(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
-            cr = _pad_to(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
+        if mode != "444":
+            fx, fy = (2, 2) if mode == "420" else (2, 1)
+            ph2, pw2 = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+            cb = _pad_to(cb, ph2, pw2).reshape(ph2 // fy, fy, pw2 // fx, fx).mean(axis=(1, 3))
+            cr = _pad_to(cr, ph2, pw2).reshape(ph2 // fy, fy, pw2 // fx, fx).mean(axis=(1, 3))
+            samp = [(fx, fy), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         comps = [y, cb, cr]

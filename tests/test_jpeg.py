@@ -218,3 +218,20 @@ def test_image_features_jpeg_spark(spark):
     lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     for k in ("jpg-c", "jpg-s"):
         assert feats[k]["mean_luma"] == pytest.approx(float(lum.mean()), abs=1.5)
+
+
+def test_roundtrip_rgb_422(photo_gray):
+    """4:2:2 (horizontal-only chroma decimation) exercises the decoder's
+    asymmetric (2,1)-sampling upsample path."""
+    g = photo_gray.astype(np.float64)
+    smooth = np.stack([g, 0.8 * g + 20, 0.6 * g + 40], axis=-1).clip(0, 255).astype(np.uint8)
+    buf = encode_jpeg(smooth, quality=95, subsample="422")
+    dec = decode_jpeg(buf)
+    assert dec.shape == smooth.shape
+    assert psnr(smooth, dec) >= 40.0
+    # 4:2:2 carries 2x the chroma of 4:2:0 -> file sits between 444 and 420
+    s444 = len(encode_jpeg(smooth, quality=95, subsample="444"))
+    s420 = len(encode_jpeg(smooth, quality=95, subsample="420"))
+    assert s420 < len(buf) < s444
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(smooth, subsample="411")
