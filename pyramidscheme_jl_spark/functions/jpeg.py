@@ -7,13 +7,16 @@ canonical Huffman (tables carried in the file's DHT segments), and every
 block transform is an 8x8 DCT — whole-array numpy over all blocks at once.
 
 Scope (what real LAION-style image corpora overwhelmingly are):
-- decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-  sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals,
-  stuffed bytes; quant + Huffman tables read from the file itself.
+- decode: baseline sequential (SOF0/1) AND progressive (SOF2, full T.81
+  Annex G: spectral selection, successive approximation, EOB runs), 8-bit,
+  1 or 3 components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
+  restart intervals, stuffed bytes; quant + Huffman tables read from the
+  file itself.
 - encode (test fixtures + sink): quality-scaled Annex-K quant tables,
-  spec Huffman tables, 4:4:4 or 4:2:0, grayscale or RGB.
-- NOT: progressive (SOF2), arithmetic coding, 12-bit, hierarchical.
-  These raise with a clear message.
+  spec Huffman tables, 4:4:4/4:2:2/4:2:0, grayscale or RGB, sequential
+  (encode_jpeg) or progressive (encode_jpeg_progressive).
+- NOT: arithmetic coding, 12-bit, lossless, hierarchical. These raise
+  with a clear message.
 
 Performance shape: the per-symbol entropy loop is Python (unavoidable
 without a JIT — symbol boundaries are data-dependent), but it is O(one
@@ -25,12 +28,14 @@ Arrow-batched ``mapInPandas`` (operators/multimodal.py) — the distributed
 plan is unchanged; decode cost is the per-row payload.
 
 Correctness evidence (tests/test_jpeg.py): decoder pinned against
-hand-assembled single-block files with analytically known pixels
-(DC-only => constant plane; single-AC => closed-form cosine ramp from the
-T.81 IDCT definition), spec-conformance negatives, and encode->decode
-round-trips at PSNR >= 40 dB (the BASELINE.json lossy per-row invariant)
-for gray/RGB x 4:4:4/4:2:0 on smooth content, plus exactness bounds at
-quality=100.
+hand-assembled files with analytically known pixels (DC-only => constant
+plane; single-AC => closed-form cosine ramp from the T.81 IDCT
+definition; progressive EOBRUN>1 spans for first AND refinement scans,
+inexpressible with Annex-K tables, assembled with custom DHTs),
+spec-conformance negatives, encode->decode round-trips at PSNR >= 40 dB
+(the BASELINE.json lossy per-row invariant), exactness bounds at
+quality=100, and decode(progressive) == decode(sequential) bit-identity
+across gray/RGB x 4:4:4/4:2:2/4:2:0 and odd dims.
 """
 
 from __future__ import annotations
@@ -282,18 +287,10 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool | str = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline sequential JFIF bytes for a (h, w) gray or (h, w, 3) RGB
-    uint8 image. ``subsample``: False/"444" = no chroma subsampling,
-    True/"420" = 2x2 chroma mean, "422" = horizontal-only chroma mean.
-    Quality follows the libjpeg 1..100 convention.
-    ``restart_interval`` > 0 emits an RSTn marker every that many MCUs
-    (resumable/parallel-decodable scans, and DC-error containment)."""
+def _prepare_encode(img: np.ndarray, quality: int, subsample):
+    """Shared encoder front half: color transform, chroma decimation,
+    blocking, FDCT, quantization, zigzag — all vectorized. Returns
+    (gray, h, w, samp, qsel, qluma, qchroma, zz_comp, bw_comp, mcux, mcuy)."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     gray = img.ndim == 2
@@ -345,8 +342,11 @@ def encode_jpeg(
         qz = np.round(coef / q).astype(np.int64)
         zz_comp.append(qz.reshape(-1, 64)[:, ZIGZAG])
         bw_comp.append(pw // 8)
+    return gray, h, w, samp, qsel, qluma, qchroma, zz_comp, bw_comp, mcux, mcuy
 
-    # headers
+
+def _headers(gray, h, w, samp, qsel, qluma, qchroma, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF + the four Annex-K DHT segments."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += _seg(0xDB, b"\x00" + bytes(qluma[ZIGZAG].tolist()))
@@ -356,12 +356,32 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += _seg(0xC0, sof)
+    out += _seg(sof_marker, sof)
     out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_BITS, DC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_BITS, AC_LUMA_VALS))
     if not gray:
         out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
         out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JFIF bytes for a (h, w) gray or (h, w, 3) RGB
+    uint8 image. ``subsample``: False/"444" = no chroma subsampling,
+    True/"420" = 2x2 chroma mean, "422" = horizontal-only chroma mean.
+    Quality follows the libjpeg 1..100 convention.
+    ``restart_interval`` > 0 emits an RSTn marker every that many MCUs
+    (resumable/parallel-decodable scans, and DC-error containment)."""
+    gray, h, w, samp, qsel, qluma, qchroma, zz_comp, bw_comp, mcux, mcuy = (
+        _prepare_encode(img, quality, subsample)
+    )
+    ncomp = 1 if gray else 3
+    out = _headers(gray, h, w, samp, qsel, qluma, qchroma, 0xC0)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -545,13 +565,16 @@ def _decode_block_scan(
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
+    """JFIF/JPEG bytes -> (h, w) uint8 gray or (h, w, 3) uint8 RGB.
+    Baseline sequential (SOF0/1) and progressive (SOF2) frames."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     hufftables: dict[tuple[int, int], _HuffLUT] = {}  # (class, id)
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
+    progressive = False
+    prog = None  # _ProgState once the first progressive scan arrives
     restart_interval = 0
     n = len(buf)
 
@@ -561,6 +584,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog is not None:
+                break  # progressive: all scans accumulated, reconstruct
             raise ValueError("EOI before SOS — no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -586,7 +611,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + nv])
                 hufftables[(tc, th)] = _HuffLUT(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline/ext. seq., SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -595,9 +620,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0}: only baseline sequential JPEG is supported"
+                f"SOF{marker - 0xC0}: only baseline/progressive DCT JPEG is supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -609,11 +635,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
-            scan_start = pos + seglen
-            return _decode_scan(
-                buf, scan_start, frame, scan_sel, qtables, hufftables, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    buf, pos + seglen, frame, scan_sel, qtables, hufftables,
+                    restart_interval,
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgState(frame)
+            pos = prog.decode_scan(
+                buf, pos + seglen, scan_sel, ss, se, ahal >> 4, ahal & 0x0F,
+                hufftables, restart_interval,
             )
+            continue
         pos += seglen
+    if prog is not None:
+        return _finish_planes(frame, prog.zz, prog.bw, prog.bh, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -708,7 +746,21 @@ def _decode_scan(
                     zz[ci][bidx] = coef
         mcu_done += 1
 
-    # vectorized: dequant -> un-zigzag -> IDCT -> plane, per component
+    return _finish_planes(frame, zz, bw, bh, qtables)
+
+
+def _finish_planes(
+    frame: tuple,
+    zz: list[np.ndarray],
+    bw: list[int],
+    bh: list[int],
+    qtables: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Shared reconstruction: dequant -> un-zigzag -> IDCT -> planes ->
+    color, all vectorized across every block at once."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (_, hi, vi, tq) in enumerate(comps):
         if tq not in qtables:
@@ -730,6 +782,440 @@ def _decode_scan(
     if len(planes) == 3:
         return ycbcr_to_rgb(np.stack(planes, axis=-1))
     raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoding — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+
+def _default_scan_script(ncomp: int) -> list[tuple]:
+    """(component-index list, Ss, Se, Ah, Al) per scan — a libjpeg-shaped
+    script exercising spectral selection AND successive approximation on
+    both DC and AC."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),  # DC first, Al=1
+            ([0], 1, 5, 0, 2),  # AC band first, Al=2
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),  # AC refine 2->1
+            ([0], 0, 0, 1, 0),  # DC refine
+            ([0], 1, 63, 1, 0),  # AC refine 1->0
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),  # DC interleaved first
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool | str = False
+) -> bytes:
+    """Progressive (SOF2) JFIF bytes: spectral selection + successive
+    approximation per the default scan script. Same pixel math as
+    :func:`encode_jpeg` — only the scan order/entropy coding differs, so
+    decode(encode_progressive(x)) == decode(encode(x)) exactly."""
+    gray, h, w, samp, qsel, qluma, qchroma, zz_comp, bw_comp, mcux, mcuy = (
+        _prepare_encode(img, quality, subsample)
+    )
+    ncomp = 1 if gray else 3
+    out = _headers(gray, h, w, samp, qsel, qluma, qchroma, 0xC2)
+
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS) if ci == 0 else _canonical_codes(DC_CHROMA_BITS)
+        for ci in range(ncomp)
+    ]
+    ac_luts = [
+        dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS))) if ci == 0
+        else dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))
+        for ci in range(ncomp)
+    ]
+    # non-interleaved block-grid dims per component (ceil of the REAL
+    # component size — AC scans never cover the MCU padding blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    bwn, bhn = [], []
+    for ci in range(ncomp):
+        cw = -(-w * samp[ci][0] // hmax)
+        ch = -(-h * samp[ci][1] // vmax)
+        bwn.append(-(-cw // 8))
+        bhn.append(-(-ch // 8))
+
+    for cis, ss, se, ah, al in _default_scan_script(ncomp):
+        sos = bytes([len(cis)])
+        for ci in cis:
+            tbl = 0 if ci == 0 else 1
+            # Td used by DC-first scans, Ta by AC scans; the other half 0
+            td_ta = (tbl << 4) if ss == 0 else tbl
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        wtr = _BitWriter()
+        if ss == 0 and len(cis) > 1:  # interleaved DC scan
+            preds = [0] * len(cis)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, ci in enumerate(cis):
+                        hi, vi = samp[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                bidx = (my * vi + by) * bw_comp[ci] + (mx * hi + bx)
+                                preds[si] = _enc_dc_prog(
+                                    wtr, zz_comp[ci][bidx], dc_codes[ci], preds[si], ah, al
+                                )
+        else:
+            ci = cis[0]
+            preds1 = 0
+            for by in range(bhn[ci]):
+                for bx in range(bwn[ci]):
+                    bidx = by * bw_comp[ci] + bx
+                    row = zz_comp[ci][bidx]
+                    if ss == 0:
+                        preds1 = _enc_dc_prog(wtr, row, dc_codes[ci], preds1, ah, al)
+                    elif ah == 0:
+                        _enc_ac_first(wtr, row, ac_luts[ci], ss, se, al)
+                    else:
+                        _enc_ac_refine(wtr, row, ac_luts[ci], ss, se, al)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc_prog(wtr: _BitWriter, row, dc_codes, pred: int, ah: int, al: int) -> int:
+    if ah == 0:
+        v = int(row[0]) >> al  # arithmetic shift (T.81 G.1.1.1 point transform)
+        diff = v - pred
+        size, bits = _magnitude(diff)
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        return v
+    wtr.write((int(row[0]) >> al) & 1, 1)  # refinement: the next lower bit
+    return pred
+
+
+def _enc_ac_first(wtr: _BitWriter, row, ac_lut, ss: int, se: int, al: int) -> None:
+    """AC first scan for one block; EOB run of exactly 1 per block (a legal
+    encoder choice — the decoder handles general EOBn)."""
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(row[k])
+        v = (abs(c) >> al) * (1 if c >= 0 else -1)  # toward-zero point transform
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_lut[0xF0]
+            wtr.write(code, length)
+            r -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_lut[(r << 4) | size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        r = 0
+    if r:
+        code, length = ac_lut[0x00]  # EOB (run length 1)
+        wtr.write(code, length)
+
+
+def _enc_ac_refine(wtr: _BitWriter, row, ac_lut, ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3 encoder; libjpeg
+    encode_mcu_AC_refine shape with per-block EOB)."""
+    p_abs = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1
+    for i, t in enumerate(p_abs):
+        if t != 0:
+            eob_idx = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(p_abs):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_idx:
+            code, length = ac_lut[0xF0]
+            wtr.write(code, length)
+            r -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:  # already significant: buffered correction bit
+            br.append(t & 1)
+            continue
+        # newly significant: run + sign, then the buffered correction bits
+        code, length = ac_lut[(r << 4) | 1]
+        wtr.write(code, length)
+        wtr.write(1 if int(row[ss + i]) >= 0 else 0, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        code, length = ac_lut[0x00]  # EOB (run 1) + trailing correction bits
+        wtr.write(code, length)
+        for b in br:
+            wtr.write(b, 1)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+
+class _PBits:
+    """Bit reader for progressive scans (clarity-first; progressive is the
+    long-tail path — the hot sequential loop stays inlined above)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < len(self.data) else 0
+            )
+            self.pos += 1 if self.pos < len(self.data) else 0
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, packed: list[int]) -> int:
+        while self.nbits < 16:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < len(self.data) else 0
+            )
+            self.pos += 1 if self.pos < len(self.data) else 0
+            self.nbits += 8
+        v = packed[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        length = v >> 8
+        if length == 0:
+            raise ValueError("invalid Huffman code in progressive scan")
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return v & 0xFF
+
+
+def _recv_extend(bits: _PBits, size: int) -> int:
+    if size == 0:
+        return 0
+    v = bits.read(size)
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+class _ProgState:
+    """Per-component coefficient accumulators shared by all progressive
+    scans of one frame; each SOS merges its band/bit-plane contribution
+    (T.81 G.1.2, bit semantics as libjpeg's jdphuff)."""
+
+    def __init__(self, frame: tuple) -> None:
+        fh, fw, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if self.hmax > 2 or self.vmax > 2:
+            raise NotImplementedError("sampling factors > 2 unsupported")
+        self.mcux = -(-fw // (8 * self.hmax))
+        self.mcuy = -(-fh // (8 * self.vmax))
+        self.zz: list[np.ndarray] = []
+        self.bw: list[int] = []
+        self.bh: list[int] = []
+        # non-interleaved (single-component scan) block grid dims
+        self.bwn: list[int] = []
+        self.bhn: list[int] = []
+        for _, hi, vi, _ in comps:
+            self.bw.append(self.mcux * hi)
+            self.bh.append(self.mcuy * vi)
+            cw = -(-fw * hi // self.hmax)
+            ch = -(-fh * vi // self.vmax)
+            self.bwn.append(-(-cw // 8))
+            self.bhn.append(-(-ch // 8))
+            self.zz.append(
+                np.zeros((self.mcuy * vi * self.mcux * hi, 64), dtype=np.int32)
+            )
+
+    def decode_scan(
+        self,
+        buf: bytes,
+        pos: int,
+        scan_sel: list[tuple[int, int, int]],
+        ss: int,
+        se: int,
+        ah: int,
+        al: int,
+        hufftables: dict,
+        restart_interval: int,
+    ) -> int:
+        """Decode one scan's entropy data; returns the stream position of
+        the marker that ended it."""
+        fh, fw, comps = self.frame
+        idx_by_id = {c[0]: i for i, c in enumerate(comps)}
+        cis = [idx_by_id[cs] for cs, _, _ in scan_sel]
+        dc_scan = ss == 0
+        if not dc_scan and len(cis) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if dc_scan and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+
+        luts = []
+        for (cs, td, ta), ci in zip(scan_sel, cis):
+            if dc_scan:
+                if ah > 0:
+                    luts.append(None)  # DC refinement reads raw bits only
+                    continue
+                key = (0, td)
+            else:
+                key = (1, ta)
+            if key not in hufftables:
+                raise ValueError("scan references missing Huffman table")
+            luts.append(hufftables[key].packed)
+
+        scan_bytes, next_pos = _find_scan_end(buf, pos)
+        bits = _PBits(scan_bytes)
+
+        # unit iteration: MCUs for interleaved DC scans, single blocks for
+        # non-interleaved scans (T.81 G: AC scans are never interleaved)
+        interleaved = dc_scan and len(cis) > 1
+        if interleaved:
+            units = self.mcux * self.mcuy
+        else:
+            ci = cis[0]
+            units = self.bwn[ci] * self.bhn[ci]
+
+        preds = [0] * len(cis)
+        eobrun = 0
+        unit = 0
+        while unit < units:
+            if restart_interval and unit and unit % restart_interval == 0:
+                if next_pos + 1 < len(buf) and 0xD0 <= buf[next_pos + 1] <= 0xD7:
+                    scan_bytes, next_pos = _find_scan_end(buf, next_pos + 2)
+                    bits = _PBits(scan_bytes)
+                    preds = [0] * len(cis)
+                    eobrun = 0
+                else:
+                    raise ValueError("missing restart marker")
+            if interleaved:
+                my, mx = divmod(unit, self.mcux)
+                for si, ci in enumerate(cis):
+                    _, hi, vi, _ = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bidx = (my * vi + by) * self.bw[ci] + (mx * hi + bx)
+                            preds[si] = self._dc_block(
+                                bits, self.zz[ci], bidx, luts[si], preds[si], ah, al
+                            )
+            else:
+                ci = cis[0]
+                by, bx = divmod(unit, self.bwn[ci])
+                bidx = by * self.bw[ci] + bx
+                if dc_scan:
+                    preds[0] = self._dc_block(
+                        bits, self.zz[ci], bidx, luts[0], preds[0], ah, al
+                    )
+                elif ah == 0:
+                    eobrun = self._ac_first_block(
+                        bits, self.zz[ci], bidx, luts[0], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = self._ac_refine_block(
+                        bits, self.zz[ci], bidx, luts[0], ss, se, al, eobrun
+                    )
+            unit += 1
+        return next_pos
+
+    @staticmethod
+    def _dc_block(bits, zzc, bidx, lut, pred, ah, al) -> int:
+        if ah == 0:  # first DC scan: huffman diff, scaled by the point transform
+            size = bits.huff(lut)
+            pred += _recv_extend(bits, size)
+            zzc[bidx, 0] = pred << al
+        else:  # refinement: one raw bit per block (libjpeg: bitwise OR)
+            if bits.read(1):
+                zzc[bidx, 0] |= 1 << al
+        return pred
+
+    @staticmethod
+    def _ac_first_block(bits, zzc, bidx, lut, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        row = zzc[bidx]
+        k = ss
+        while k <= se:
+            rs = bits.huff(lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)-1 MORE all-zero bands
+                    return (1 << r) - 1 + (bits.read(r) if r else 0)
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            row[k] = _recv_extend(bits, s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine_block(bits, zzc, bidx, lut, ss, se, al, eobrun) -> int:
+        """T.81 G.1.2.3 correction-bit algorithm (libjpeg jdphuff
+        decode_mcu_AC_refine semantics)."""
+        p1 = 1 << al
+        m1 = -1 << al
+        row = zzc[bidx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = bits.huff(lut)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOBn: includes THIS block
+                        eobrun = (1 << r) + (bits.read(r) if r else 0)
+                        break
+                    # r == 15: ZRL — advance over 16 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement symbol")
+                    newval = p1 if bits.read(1) else m1
+                # advance over r zero-history coefficients, emitting
+                # correction bits for every nonzero-history one passed
+                while k <= se:
+                    if row[k]:
+                        if bits.read(1) and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+        if eobrun > 0:
+            # correct every remaining nonzero coefficient in the band
+            while k <= se:
+                if row[k]:
+                    if bits.read(1) and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

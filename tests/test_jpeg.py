@@ -170,12 +170,12 @@ def test_not_a_jpeg_raises():
         decode_jpeg(b"PNG? nope")
 
 
-def test_progressive_raises(photo_gray):
+def test_unsupported_sof_raises(photo_gray):
     buf = bytearray(encode_jpeg(photo_gray, quality=90))
-    # rewrite the SOF0 marker (FF C0) to SOF2 (progressive)
+    # rewrite SOF0 (FF C0) to SOF3 (lossless sequential — out of scope)
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    buf[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(buf))
 
 
@@ -235,3 +235,130 @@ def test_roundtrip_rgb_422(photo_gray):
     assert s420 < len(buf) < s444
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(smooth, subsample="411")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_sequential(photo_gray, photo_rgb):
+    """decode(encode_progressive(x)) is BIT-IDENTICAL to decode(encode(x)):
+    same quant pipeline, different scan order — pins interleaved DC scans,
+    spectral selection, and successive approximation (DC + AC refinement
+    with correction bits) in one shot."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg_progressive
+
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(photo_gray, quality=90)),
+        decode_jpeg(encode_jpeg_progressive(photo_gray, quality=90)),
+    )
+    for ss in ("444", "420", "422"):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(photo_rgb, quality=92, subsample=ss)),
+            decode_jpeg(encode_jpeg_progressive(photo_rgb, quality=92, subsample=ss)),
+        )
+    odd = photo_gray[:61, :53]
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(odd, quality=95)),
+        decode_jpeg(encode_jpeg_progressive(odd, quality=95)),
+    )
+
+
+def _prog_file(scans: list[bytes], dhts: list[tuple[int, list, list]], quant: int = 16):
+    """Hand-assemble a 16x16 single-component progressive JPEG: four 8x8
+    blocks in a 2x2 grid."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes([quant] * 64))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    for tc_th, bits, vals in dhts:
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    out += b"".join(scans)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _sos(ss, se, ah, al, td_ta=0x00):
+    return _seg(0xDA, bytes([1, 1, td_ta, ss, se, (ah << 4) | al]))
+
+
+def _bits_to_bytes(bitstr: str) -> bytes:
+    """MSB-first bit string -> 1-padded, 0xFF-stuffed scan bytes."""
+    bitstr = bitstr + "1" * (-len(bitstr) % 8)
+    raw = bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+    return raw.replace(b"\xff", b"\xff\x00")
+
+
+def test_progressive_ac_first_eobrun():
+    """EOBn with run > 1 in an AC first scan: block 0 carries a coefficient
+    then EOB2 (r=1, appended bit 1 => skip 2 more blocks); block 3 carries
+    its own coefficient. Annex-K tables can't express EOBn>0, so this path
+    only appears in optimized-table files — pinned here by hand."""
+    from pyramidscheme_jl_spark.functions.jpeg import ZIGZAG  # noqa: F401
+
+    dhts = [
+        (0x00, [1] + [0] * 15, [0]),  # DC: '0' -> size 0 (DC stays 0)
+        # AC: '00'->0x02 (r=0,s=2), '01'->0x10 (EOBn r=1), '10'->0x00 (EOB1)
+        (0x10, [0, 3] + [0] * 14, [0x02, 0x10, 0x00]),
+    ]
+    dc_scan = _sos(0, 0, 0, 0) + _bits_to_bytes("0" * 4)  # 4 blocks, DC=0
+    # block0: (r0,s2)+'11'(=3) then EOBn r=1 + extra bit '1' -> EOBRUN=2
+    # blocks 1,2: skipped. block3: (r0,s2)+'10'(=2) then EOB1.
+    ac_scan = _sos(1, 63, 0, 0, td_ta=0x00) + _bits_to_bytes(
+        "00" + "11" + "01" + "1" + "00" + "10" + "10"
+    )
+    img = decode_jpeg(_prog_file([dc_scan, ac_scan], dhts))
+    assert img.shape == (16, 16)
+
+    # expected: per block, coefficient S(0,1) = val*16 via the naive IDCT
+    def block(val):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                out[y, x] = (
+                    (1 / np.sqrt(2)) * val * 16 * np.cos((2 * x + 1) * np.pi / 16) / 4
+                    + 128
+                )
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    np.testing.assert_array_equal(img[:8, :8], block(3))
+    np.testing.assert_array_equal(img[:8, 8:], block(0))
+    np.testing.assert_array_equal(img[8:, :8], block(0))
+    np.testing.assert_array_equal(img[8:, 8:], block(2))
+
+
+def test_progressive_ac_refine_eobrun():
+    """EOBn spanning blocks in an AC REFINEMENT scan: the run includes the
+    current block, and every nonzero coefficient inside the span reads a
+    correction bit (T.81 G.1.2.3)."""
+    dhts = [
+        (0x00, [1] + [0] * 15, [0]),  # DC size 0
+        # first-scan AC: '0'->0x01 (r=0,s=1), '10'->0x00 EOB, '11'->0x10 EOBn r=1
+        (0x10, [1, 2] + [0] * 14, [0x01, 0x00, 0x10]),
+    ]
+    dc_scan = _sos(0, 0, 0, 0) + _bits_to_bytes("0" * 4)
+    # AC first scan at Al=1: every block gets coefficient 1<<1 = 2 at k=1:
+    # per block: '0' (r0,s1) + sign bit '1' (=+1) + '10' (EOB1)
+    ac_first = _sos(1, 63, 0, 1) + _bits_to_bytes(("0" + "1" + "10") * 4)
+    # refinement scan Ah=1, Al=0: block0 emits EOBn r=1 + bit '1' ->
+    # EOBRUN=3 (blocks 0,1,2): correction bits 1,0,1 for their coefficients
+    # (2 -> 3, 2, 3). block3: EOB1 + correction bit '0' (2 stays 2).
+    ac_refine = _sos(1, 63, 1, 0) + _bits_to_bytes(
+        "11" + "1" + "1" + "0" + "1" + "10" + "0"
+    )
+    img = decode_jpeg(_prog_file([dc_scan, ac_first, ac_refine], dhts))
+
+    def block(val):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                out[y, x] = (
+                    (1 / np.sqrt(2)) * val * 16 * np.cos((2 * x + 1) * np.pi / 16) / 4
+                    + 128
+                )
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    np.testing.assert_array_equal(img[:8, :8], block(3))
+    np.testing.assert_array_equal(img[:8, 8:], block(2))
+    np.testing.assert_array_equal(img[8:, :8], block(3))
+    np.testing.assert_array_equal(img[8:, 8:], block(2))
