@@ -98,10 +98,25 @@ class PyramidDataset:
         are recovered from the stored base level's tile columns."""
         ms = read_multiscales(path)
         if ms is not None and all(k in ms for k in ("base_w", "base_h", "tilesize")):
+            # honor the stored level count: prebuilt imports may carry fewer
+            # overviews than the geometry plans, and levels()/save() must
+            # not read nonexistent tiles/z=... paths. A cap equal to the
+            # geometric plan is redundant — omit it so opened complete
+            # pyramids compare equal to their build-time spec.
+            from .plans.grid import compute_nlevels
+
+            cap = int(ms["nlevels"]) if "nlevels" in ms else None
+            if cap is not None and cap >= compute_nlevels(
+                (int(ms["base_w"]), int(ms["base_h"])), int(ms["tilesize"])
+            ):
+                cap = None
             return cls(
                 spark,
                 path,
-                PyramidSpec(int(ms["base_w"]), int(ms["base_h"]), int(ms["tilesize"])),
+                PyramidSpec(
+                    int(ms["base_w"]), int(ms["base_h"]), int(ms["tilesize"]),
+                    nlevels_cap=cap,
+                ),
                 reducer=ms.get("resampling_method"),
             )
         base = read_level(spark, path, 0)

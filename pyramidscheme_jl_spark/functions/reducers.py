@@ -60,24 +60,63 @@ def is_decomposable(reducer) -> bool:
     return reducer in DECOMPOSABLE
 
 
+def _stable_repr(v) -> str:
+    """repr that never embeds a memory address (default object reprs would
+    make the digest change every process, forcing spurious rebuilds)."""
+    r = repr(v)
+    return f"<{type(v).__name__}>" if " at 0x" in r else r
+
+
+def _norm_const(c):
+    """Normalize a code const to a position-independent token — repr of a
+    nested code object embeds its file/line, which would change the hash
+    when unrelated edits shift the definition."""
+    import types
+
+    if isinstance(c, types.CodeType):
+        return (
+            "code",
+            c.co_code,
+            tuple(_norm_const(x) for x in c.co_consts),
+            c.co_names,
+        )
+    return _stable_repr(c)
+
+
 def _callable_digest(reducer) -> str:
     """Content digest for a callable reducer. ``__name__`` alone is not
     identity (every lambda is ``'<lambda>'`` — ADVICE r2: resume=True could
-    skip levels committed by a *different* callable with the same name), so
-    fold in the cloudpickle bytes, falling back to bytecode+consts, then to
-    repr. Digest differences only ever force a rebuild, never skip one."""
+    skip levels committed by a *different* callable with the same name).
+    The digest hashes behavior, not position: bytecode + normalized consts
+    + closure cell values + defaults — NOT cloudpickle bytes, whose
+    embedded filename/line numbers made the identical source hash
+    differently across definition sites (so pixel-identical pyramids
+    compared unequal and resume=True rebuilt committed levels after any
+    edit shifted a lambda's line). Digest differences only ever force a
+    rebuild, never skip one."""
+    code = getattr(reducer, "__code__", None)
+    if code is not None:
+        parts = [
+            code.co_code,
+            repr(tuple(_norm_const(c) for c in code.co_consts)).encode(),
+            repr(code.co_names).encode(),
+        ]
+        try:
+            cells = [c.cell_contents for c in (reducer.__closure__ or ())]
+            parts.append(repr([_stable_repr(v) for v in cells]).encode())
+        except ValueError:  # unresolved cell (building its own closure)
+            parts.append(b"<unresolved-cells>")
+        parts.append(
+            repr([_stable_repr(v) for v in (reducer.__defaults__ or ())]).encode()
+        )
+        return hashlib.sha256(b"|".join(parts)).hexdigest()[:12]
+    # non-function callables (partials, class instances): cloudpickle, repr
     try:
         from pyspark import cloudpickle
 
         return hashlib.sha256(cloudpickle.dumps(reducer)).hexdigest()[:12]
     except Exception:
-        pass
-    code = getattr(reducer, "__code__", None)
-    if code is not None:
-        return hashlib.sha256(
-            code.co_code + repr(code.co_consts).encode()
-        ).hexdigest()[:12]
-    return hashlib.sha256(repr(reducer).encode()).hexdigest()[:12]
+        return hashlib.sha256(repr(reducer).encode()).hexdigest()[:12]
 
 
 def reducer_hash(reducer, factor: int = 2) -> str:

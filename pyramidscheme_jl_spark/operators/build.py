@@ -76,21 +76,31 @@ QUARTER_SCHEMA = T.StructType(
 
 @dataclass(frozen=True)
 class PyramidSpec:
-    """Driver-side plan constants for one pyramid (all closed-form)."""
+    """Driver-side plan constants for one pyramid (all closed-form).
+
+    ``nlevels_cap`` limits the advertised level count for pyramids that
+    physically carry fewer overviews than the geometry plans (prebuilt
+    imports whose source stopped early — ``from_prebuilt_levels`` records
+    the real extent in ``_multiscales.json`` and ``open()`` passes it
+    here). The cell index (``res0``/``world``) stays a function of the
+    GEOMETRY alone so cell ids are identical however many levels exist."""
 
     base_w: int
     base_h: int
     tilesize: int = 256
+    nlevels_cap: int | None = None
 
     @property
     def nlevels(self) -> int:
-        return compute_nlevels((self.base_w, self.base_h), self.tilesize)
+        n = compute_nlevels((self.base_w, self.base_h), self.tilesize)
+        return min(n, self.nlevels_cap) if self.nlevels_cap is not None else n
 
     @property
     def res0(self) -> int:
         """Cell resolution of base tiles: tile grid == cell grid at z=0."""
+        n_geom = compute_nlevels((self.base_w, self.base_h), self.tilesize)
         nx, ny = tile_count((self.base_w, self.base_h), 0, self.tilesize)
-        return max(self.nlevels, math.ceil(math.log2(max(nx, ny))) if max(nx, ny) > 1 else 0)
+        return max(n_geom, math.ceil(math.log2(max(nx, ny))) if max(nx, ny) > 1 else 0)
 
     @property
     def world(self) -> float:
@@ -156,24 +166,17 @@ SUPPORTED_IMAGE_FMTS = ("raw", "pgm", "ppm", "bmp", "png", "jpeg", "jpg")
 
 
 def _decode_payload(buf, w: int, h: int, fmt: str, image_id: str) -> np.ndarray:
-    """Decode one image payload to (h, w[, c]) uint8. For file formats the
-    bytes are the source of truth; the metadata columns are cross-checked
-    (input_hint: decoded-pixel invariants are per-row) and a mismatch is a
-    data-quality error naming the row."""
-    if fmt == "raw":
-        # channels inferred from payload size (input_hint schema has no
-        # channel column); bands pass through aggregation untouched
-        # (reference test/runtests.jl:145-166)
-        c = len(buf) // (int(w) * int(h))
-        return decode_tile(buf, int(h), int(w), "uint8", c)
-    from ..functions.jpeg import decode_jpeg
-    from ..functions.media_codecs import decode_bmp, decode_pgm, decode_png, decode_ppm
+    """Decode one image payload to (h, w[, c]) uint8 via the ONE codec
+    registry (``operators.multimodal.decode_image`` — raw payloads infer
+    channels from size; bands pass through aggregation untouched, reference
+    test/runtests.jl:145-166). For file formats the bytes are the source
+    of truth; the metadata columns are cross-checked (input_hint:
+    decoded-pixel invariants are per-row) and a mismatch is a data-quality
+    error naming the row."""
+    from .multimodal import decode_image
 
-    arr = {
-        "pgm": decode_pgm, "ppm": decode_ppm, "bmp": decode_bmp,
-        "png": decode_png, "jpeg": decode_jpeg, "jpg": decode_jpeg,
-    }[fmt](bytes(buf))
-    if arr.shape[0] != int(h) or arr.shape[1] != int(w):
+    arr = decode_image(bytes(buf), int(w), int(h), fmt)
+    if fmt != "raw" and (arr.shape[0] != int(h) or arr.shape[1] != int(w)):
         raise ValueError(
             f"{image_id}: decoded {fmt} shape {arr.shape[:2]} contradicts "
             f"metadata (h={h}, w={w})"

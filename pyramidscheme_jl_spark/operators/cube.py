@@ -193,9 +193,10 @@ def cat_cubes_t(cubes: list[DataFrame]) -> DataFrame:
     if len(cubes) < 2:
         raise ValueError("cat_cubes_t needs >= 2 cubes")
     out = cubes[0]
-    offset = 0
     for nxt in cubes[1:]:
-        offset += int(out.agg(F.max("t")).collect()[0][0]) + 1
+        # max over the accumulated union — NOT a compounding += (that gapped
+        # the third and later cubes' t ranges)
+        offset = int(out.agg(F.max("t")).collect()[0][0]) + 1
         out = out.unionByName(
             nxt.withColumn("t", (F.col("t") + F.lit(offset)).cast("int"))
         )

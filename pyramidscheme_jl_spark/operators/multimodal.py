@@ -66,16 +66,19 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
     Huffman tables read from the file, all block math vectorized); only
     video containers (mp4) remain stubbed.
 
-    Returns ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8. For the real
+    Returns ``(h, w)`` grayscale or ``(h, w, c)`` uint8. For the real
     file formats, shape comes from the file header (the bytes are the
-    source of truth; the metadata columns are advisory).
+    source of truth; the metadata columns are advisory). ``raw`` payloads
+    infer channels from the payload size (the input_hint schema has no
+    channel column), matching the pyramid-build registry.
 
     ``deterministic_fake=True`` substitutes a seeded pseudo-decode (stable
     bytes->pixels hash expansion) so pipelines exercising the stubbed
     formats stay deterministic and testable without codec libs.
     """
     if fmt == "raw":
-        return decode_tile(buf, h, w, "uint8")
+        c = len(buf) // (int(w) * int(h))
+        return decode_tile(buf, h, w, "uint8", c)
     if fmt in ("pgm", "ppm", "bmp", "png", "jpeg", "jpg"):
         from ..functions.jpeg import decode_jpeg
         from ..functions.media_codecs import (
@@ -217,10 +220,12 @@ def transcode_images(
                 elif to_fmt == "png":
                     out = encode_png(img)
                 else:
-                    if img.ndim == 3 and img.shape[2] not in (1, 3):
-                        img = img[:, :, :3]  # drop alpha for jpeg
-                    if img.ndim == 3 and img.shape[2] == 1:
+                    # jpeg is gray or RGB only: c=2 is gray+alpha (keep the
+                    # gray plane), c=4 is RGBA (drop alpha), c=1 squeezes
+                    if img.ndim == 3 and img.shape[2] in (1, 2):
                         img = img[:, :, 0]
+                    elif img.ndim == 3 and img.shape[2] == 4:
+                        img = img[:, :, :3]
                     out = encode_jpeg(img, quality=quality, subsample=subsample)
                 rows.append(
                     {

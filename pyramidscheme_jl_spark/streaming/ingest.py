@@ -180,6 +180,16 @@ def ingest_images(
     """
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
+    # streamed pyramids get the same interchange document built pyramids
+    # get — maintenance jobs (compact_pyramid) and foreign readers recover
+    # the reducer from the pyramid itself instead of guessing
+    from ..functions.reducers import reducer_hash
+    from ..sources.catalog import write_multiscales
+
+    write_multiscales(
+        path, spec.nlevels, tilesize, spec.base_w, spec.base_h,
+        reducer, reducer_hash(reducer),
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         tiles0 = base_tiles_from_images(batch_df, G, spec).collect()
@@ -202,7 +212,7 @@ def ingest_images(
 def compact_pyramid(
     spark: SparkSession,
     path: str,
-    reducer: str = "mean",
+    reducer: str | None = None,
     run_id: str = "compact-0",
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict[int, int]:
@@ -232,7 +242,12 @@ def compact_pyramid(
     import shutil
 
     from ..functions.reducers import reducer_hash
-    from ..sources.catalog import append_manifest, manifest_lineage
+    from ..sources.catalog import (
+        append_manifest,
+        manifest_lineage,
+        read_manifest,
+        read_multiscales,
+    )
 
     tiles_root = f"{path}/tiles"
     zs = sorted(
@@ -240,7 +255,33 @@ def compact_pyramid(
         for d in os.listdir(tiles_root)
         if d.startswith("z=")
     )
-    rhash = reducer_hash(reducer)
+    if reducer is None:
+        # maintenance jobs must not guess lineage: recover the reducer (and
+        # its exact hash) from what actually built this pyramid
+        row = None
+        try:
+            row = (
+                read_manifest(spark, path)
+                .orderBy(F.col("committed_at_ordinal").desc())
+                .select("reducer", "reducer_hash")
+                .first()
+            )
+        except Exception:
+            pass
+        if row is not None:
+            reducer, rhash = row["reducer"], row["reducer_hash"]
+        else:
+            ms = read_multiscales(path)
+            if ms and ms.get("resampling_method"):
+                reducer = ms["resampling_method"]
+                rhash = ms.get("reducer_hash") or reducer_hash(reducer)
+            else:
+                raise ValueError(
+                    f"{path}: no manifest or multiscales to infer the reducer "
+                    "from — pass reducer= explicitly"
+                )
+    else:
+        rhash = reducer_hash(reducer)
     compacted: dict[int, int] = {}
     for z in zs:
         d = level_path(path, z)

@@ -398,8 +398,17 @@ def test_streaming_compaction_roundtrip(spark, tmp_path):
     spec = PyramidSpec(1024, 1024)
     before = {z: assemble_level(spark, q_path, z, spec) for z in (0, 1, 2)}
 
-    done = compact_pyramid(spark, q_path, reducer="mean", run_id="c0")
+    # no reducer passed: compaction recovers it (and its exact hash) from
+    # the ingest's own manifest rows instead of guessing a default
+    done = compact_pyramid(spark, q_path, run_id="c0")
     assert set(done) == {0, 1, 2}
+    from pyramidscheme_jl_spark.sources.catalog import read_manifest
+
+    reds = {
+        r["reducer"]
+        for r in read_manifest(spark, q_path).select("reducer").distinct().collect()
+    }
+    assert reds == {"mean"}  # the stream's reducer, not a stamped-over default
     for z in (0, 1, 2):
         d = level_path(q_path, z)
         assert not glob.glob(f"{d}/tile-*.parquet")  # no per-tile files left
@@ -407,7 +416,7 @@ def test_streaming_compaction_roundtrip(spark, tmp_path):
         np.testing.assert_array_equal(assemble_level(spark, q_path, z, spec), before[z])
 
     # second compact is a no-op (already bulk)
-    assert compact_pyramid(spark, q_path, reducer="mean", run_id="c1") == {}
+    assert compact_pyramid(spark, q_path, run_id="c1") == {}
 
     # manifest rows committed -> resume sees every level as done and
     # continues without recomputing (no-op completes, pixels unchanged)

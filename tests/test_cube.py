@@ -117,6 +117,12 @@ def test_cat_cubes_t(spark, cube):
     assert ts == list(range(2 * T_SLICES))
     # shifted copy equals the original slice-for-slice
     assert pyramids_equal(cube_slice(doubled, T_SLICES), cube_slice(tiles, 0))
+    # three or more cubes stay CONTIGUOUS (a compounding offset once gapped
+    # the third cube's t range)
+    tripled = cat_cubes_t([tiles, tiles, tiles])
+    ts = sorted(r["t"] for r in tripled.select("t").distinct().collect())
+    assert ts == list(range(3 * T_SLICES))
+    assert pyramids_equal(cube_slice(tripled, 2 * T_SLICES), cube_slice(tiles, 0))
 
 
 def test_cube_resume_and_reducer_guard(spark, tmp_path):

@@ -362,3 +362,18 @@ def test_progressive_ac_refine_eobrun():
     np.testing.assert_array_equal(img[:8, 8:], block(2))
     np.testing.assert_array_equal(img[8:, :8], block(3))
     np.testing.assert_array_equal(img[8:, 8:], block(2))
+
+
+def test_truncated_restart_is_value_error(photo_gray):
+    """A baseline file with DRI truncated at a restart boundary must fail
+    with the decoder's loud ValueError, not an IndexError."""
+    buf = encode_jpeg(photo_gray, quality=85, restart_interval=2)
+    # cut just after the first RSTn marker's predecessor segment: find the
+    # first restart marker and truncate before it
+    for m in range(0xD0, 0xD8):
+        i = buf.find(bytes([0xFF, m]))
+        if i > 0:
+            break
+    assert i > 0
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(buf[:i])

@@ -280,3 +280,38 @@ def test_sample_frames_avi_spark(spark):
         dec = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(64, 96)
         assert psnr(origs[i], dec) >= 40.0
     assert bytes(by[("vid-raw", 0)]["bytes"]) == raw[0].tobytes()
+
+
+def test_transcode_gray_alpha_and_raw_rgb(spark):
+    """Review regressions: (a) gray+alpha PNG -> jpeg keeps the gray plane
+    instead of crashing in the color transform; (b) multi-channel raw rows
+    decode through the unified registry (channels inferred from size)."""
+    from pyramidscheme_jl_spark.functions.jpeg import psnr
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_png
+    from pyramidscheme_jl_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+        transcode_images,
+    )
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    img = image_pixels(0, 0)
+    ga = np.dstack([img, np.full_like(img, 200)])  # gray + alpha
+    rgb = np.dstack([img, img // 2, img // 3])
+    ddl = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(
+        [
+            ("ga", encode_png(ga), 256, 256, "png", "c", 0),
+            ("rgbraw", rgb.tobytes(), 256, 256, "raw", "c", 0),
+        ],
+        ddl,
+    )
+    out = {r["image_id"]: r for r in transcode_images(df, to_fmt="jpeg", quality=95).collect()}
+    dec = decode_image(out["ga"]["bytes"], 256, 256, "jpeg")
+    assert dec.ndim == 2 and psnr(img, dec) >= 40.0  # gray plane survived
+    dec = decode_image(out["rgbraw"]["bytes"], 256, 256, "jpeg")
+    assert dec.shape == (256, 256, 3)
+    # raw RGB also flows through image_features (was: reshape crash)
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert feats["rgbraw"]["mean_luma"] == pytest.approx(float(lum.mean()))

@@ -165,3 +165,29 @@ def test_multiscales_roundtrip(spark, tmp_path):
     os.remove(os.path.join(path, "_multiscales.json"))
     fallback = PyramidDataset.open(spark, path)
     assert fallback.spec == p.spec and fallback.reducer is None
+
+
+def test_open_respects_stored_nlevels(spark, tmp_path):
+    """open() honors _multiscales.json's nlevels: a partial import (fewer
+    overviews than the geometry plans) must not advertise — and then read —
+    levels that do not exist. Cell geometry (res0/world) stays a function
+    of the base dims alone so cell ids are unaffected by the cap."""
+    from pyramidscheme_jl_spark.api import PyramidDataset
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+
+    base = mosaic_pixels(G=3)
+    planes = _overview_chain(base.astype(np.float64), 1)  # base + z=1 only
+    src = str(tmp_path / "srcn")
+    spark.createDataFrame(_rows({0: planes}), PREBUILT_SCHEMA).write.parquet(src)
+    dest = str(tmp_path / "pyrn")
+    spec_full = from_prebuilt_levels(spark, src, dest, run_id="imp")
+    assert spec_full.nlevels == 2  # what the geometry plans
+
+    p = PyramidDataset.open(spark, dest)
+    assert p.nlevels == 1  # what the pyramid actually carries
+    # every advertised level is readable (z=2 would raise AnalysisException)
+    arrays = p.read()
+    assert sorted(arrays) == [0, 1]
+    # the cap never changes the cell index
+    full = PyramidSpec(spec_full.base_w, spec_full.base_h, spec_full.tilesize)
+    assert p.spec.res0 == full.res0 and p.spec.world == full.world

@@ -160,3 +160,26 @@ def test_reducer_dtype_table():
     assert reducer_dtype("max", "float32") == "float32"
     assert reducer_dtype("sum", "uint8") == "int64"
     assert reducer_dtype("sum", "float32") == "float64"
+
+
+def test_callable_digest_position_independent():
+    """The identical reducer source hashes the same wherever it's defined
+    (cloudpickle bytes embedded file/line and made pixel-identical pyramids
+    compare unequal across scripts); different closure VALUES still hash
+    differently (they change behavior)."""
+    from pyramidscheme_jl_spark.functions.reducers import reducer_hash
+
+    ns1, ns2 = {}, {}
+    exec("f = lambda a: a.mean(axis=2)", ns1)
+    exec("# padding\n# shifts\n# lines\nf = lambda a: a.mean(axis=2)", ns2)
+    assert reducer_hash(ns1["f"]) == reducer_hash(ns2["f"])
+
+    def make(z):
+        return lambda a: a.mean(axis=2) * z
+
+    assert reducer_hash(make(2)) != reducer_hash(make(3))
+    # stable across calls in one process
+    g = make(2)
+    assert reducer_hash(g) == reducer_hash(g)
+    # distinct from a named reducer
+    assert reducer_hash(ns1["f"]) != reducer_hash("mean")
