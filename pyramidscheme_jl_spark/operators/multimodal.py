@@ -186,6 +186,7 @@ def transcode_images(
     to_fmt: str = "jpeg",
     quality: int = 90,
     subsample: bool = False,
+    progressive: bool = False,
 ) -> DataFrame:
     """Re-encode every image row to ``to_fmt`` — the corpus-normalization
     op of a training-data pipeline (mixed formats -> one codec; raw scans
@@ -193,7 +194,8 @@ def transcode_images(
 
     Decode uses the full registry (any SUPPORTED format in); encode
     targets ``raw``, ``png`` (lossless), or ``jpeg`` (``quality``/
-    ``subsample`` forwarded). Output keeps the input_hint images schema
+    ``subsample`` forwarded; ``progressive=True`` emits SOF2 scans — the
+    web-delivery encoding). Output keeps the input_hint images schema
     (caption/phash pass through untouched — the per-row invariant pair).
     One Arrow-batched Python stage, no shuffle: Catalyst sees a narrow
     mapInPandas whatever the codec mix is.
@@ -205,8 +207,10 @@ def transcode_images(
     src = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
     def gen(batches):
-        from ..functions.jpeg import encode_jpeg
+        from ..functions.jpeg import encode_jpeg, encode_jpeg_progressive
         from ..functions.media_codecs import encode_png
+
+        enc_jpeg = encode_jpeg_progressive if progressive else encode_jpeg
 
         for pdf in batches:
             rows = []
@@ -226,7 +230,7 @@ def transcode_images(
                         img = img[:, :, 0]
                     elif img.ndim == 3 and img.shape[2] == 4:
                         img = img[:, :, :3]
-                    out = encode_jpeg(img, quality=quality, subsample=subsample)
+                    out = enc_jpeg(img, quality=quality, subsample=subsample)
                 rows.append(
                     {
                         "image_id": iid, "bytes": out,

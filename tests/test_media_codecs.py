@@ -222,6 +222,17 @@ def test_transcode_images_spark(spark):
     assert psnr(img, dec) >= 40.0
     assert len(out["t-raw"]["bytes"]) < img.nbytes  # actually compressed
 
+    # progressive target decodes to the SAME pixels as sequential
+    outp = {
+        r["image_id"]: r
+        for r in transcode_images(df, to_fmt="jpeg", quality=95, progressive=True).collect()
+    }
+    pb = bytes(outp["t-raw"]["bytes"])
+    assert b"\xff\xc2" in pb and b"\xff\xc0" not in pb  # SOF2 file, not SOF0
+    np.testing.assert_array_equal(
+        decode_image(outp["t-raw"]["bytes"], 256, 256, "jpeg"), dec
+    )
+
     with pytest.raises(ValueError, match="transcode target"):
         transcode_images(df, to_fmt="gif")
 
