@@ -89,13 +89,51 @@ class PyramidDataset:
         return cls(spark, path, spec)
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str, tilesize: int = 256) -> "PyramidDataset":
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        tilesize: int = 256,
+        asof_ordinal: int | None = None,
+    ) -> "PyramidDataset":
         """Open an existing pyramid (the reference's path constructor,
         src/PyramidScheme.jl:50-63). When the pyramid carries a
         ``_multiscales.json`` interchange document (every built/imported
         pyramid does — VERDICT r2 #4), plan constants and the resampling
         method come from it with ZERO Spark jobs; otherwise level extents
-        are recovered from the stored base level's tile columns."""
+        are recovered from the stored base level's tile columns.
+
+        ``asof_ordinal`` is the Iceberg time-travel analog over the
+        append-only manifest (``catalog.snapshots`` is the snapshot log):
+        the dataset advertises exactly the levels committed at ordinal <=
+        N — open a half-built pyramid as the valid prefix a reader at that
+        commit would have seen. Scope: SNAPSHOT OF LEVELS. Bulk builds
+        only append levels, so the as-of view is exact for them; streaming
+        patches rewrite tile files in place, which no manifest can undo —
+        pixel-level MVCC needs a versioned store (real Iceberg data files)
+        underneath."""
+        if asof_ordinal is not None:
+            from .sources.catalog import read_manifest
+
+            zs = [
+                r["z"]
+                for r in read_manifest(spark, path)
+                .where(F.col("committed_at_ordinal") <= asof_ordinal)
+                .select("z")
+                .distinct()
+                .collect()
+            ]
+            if not zs:
+                raise ValueError(
+                    f"{path}: no level committed at ordinal <= {asof_ordinal}"
+                )
+            base = cls.open(spark, path, tilesize=tilesize)
+            cap = max(zs)
+            spec = PyramidSpec(
+                base.spec.base_w, base.spec.base_h, base.spec.tilesize,
+                nlevels_cap=min(cap, base.spec.nlevels),
+            )
+            return cls(spark, path, spec, reducer=base.reducer)
         ms = read_multiscales(path)
         if ms is not None and all(k in ms for k in ("base_w", "base_h", "tilesize")):
             # honor the stored level count: prebuilt imports may carry fewer

@@ -162,6 +162,22 @@ def committed_levels(spark: SparkSession, path: str, run_id: str | None = None) 
     return sorted(r[0] for r in m.select("z").distinct().collect())
 
 
+def snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """The Iceberg-snapshot-log analog: one row per level commit, ordered
+    by ``committed_at_ordinal`` — (ordinal, run_id, z, reducer,
+    reducer_hash, tiles, bytes). Drives as-of reads
+    (``PyramidDataset.open(asof_ordinal=...)``) and audit queries."""
+    m = read_manifest(spark, path)
+    return (
+        m.groupBy("committed_at_ordinal", "run_id", "z", "reducer", "reducer_hash")
+        .agg(
+            F.sum(F.when(F.col("tile_count") >= 0, F.col("tile_count"))).alias("tiles"),
+            F.sum(F.when(F.col("bytes") >= 0, F.col("bytes"))).alias("bytes"),
+        )
+        .orderBy("committed_at_ordinal")
+    )
+
+
 def manifest_lineage(
     path: str, z: int, run_id: str, reducer: str, rhash: str, ordinal: int
 ) -> list[dict]:

@@ -191,3 +191,33 @@ def test_open_respects_stored_nlevels(spark, tmp_path):
     # the cap never changes the cell index
     full = PyramidSpec(spec_full.base_w, spec_full.base_h, spec_full.tilesize)
     assert p.spec.res0 == full.res0 and p.spec.world == full.world
+
+
+def test_open_asof_ordinal_snapshot(spark, tmp_path):
+    """Iceberg-snapshot analog: open(asof_ordinal=N) advertises exactly the
+    level prefix committed at ordinal <= N (catalog.snapshots is the log)."""
+    from pyramidscheme_jl_spark.api import PyramidDataset
+    from pyramidscheme_jl_spark.operators.build import build_pyramid
+    from pyramidscheme_jl_spark.sources.catalog import snapshots
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    path = str(tmp_path / "snap")
+    images = spark.createDataFrame(synth_images(G=4), IMAGES_DDL)
+    build_pyramid(spark, images, path, G=4, reducer="mean", run_id="s")
+
+    log = snapshots(spark, path).collect()
+    # one commit per level, ordinals strictly increasing, z follows ordinal
+    assert [r["committed_at_ordinal"] for r in log] == list(range(len(log)))
+    assert [r["z"] for r in log] == list(range(len(log)))
+    assert all(r["reducer"] == "mean" for r in log)
+
+    # as of the level-1 commit: only z<=1 advertised, and it reads
+    p1 = PyramidDataset.open(spark, path, asof_ordinal=1)
+    assert p1.nlevels == 1
+    assert sorted(p1.read()) == [0, 1]
+    # as of the latest commit == the full pyramid
+    full = PyramidDataset.open(spark, path)
+    plast = PyramidDataset.open(spark, path, asof_ordinal=log[-1]["committed_at_ordinal"])
+    assert plast.nlevels == full.nlevels and plast.spec.res0 == full.spec.res0
+    with pytest.raises(ValueError, match="no level committed"):
+        PyramidDataset.open(spark, path, asof_ordinal=-1)

@@ -124,3 +124,36 @@ def test_agg_axis_and_level_shape_consistent(n_points, fac):
     assert (lw, lh) == (n_points, n_points)
     nx, ny = tile_count((n_points, n_points), 0, 256)
     assert nx == -(-n_points // 256)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(60, 100),
+    mode=st.sampled_from(["gray", "rgb444", "rgb420", "rgb422"]),
+    prog=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_properties(h, w, quality, mode, prog, seed):
+    """Any dims x quality x sampling x scan-order: decode succeeds with the
+    input shape, stays in range, and progressive == sequential pixels."""
+    import numpy as np
+
+    from pyramidscheme_jl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    if mode == "gray":
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    else:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    ss = {"gray": False, "rgb444": "444", "rgb420": "420", "rgb422": "422"}[mode]
+    seq = decode_jpeg(encode_jpeg(img, quality=quality, subsample=ss))
+    assert seq.shape == img.shape and seq.dtype == np.uint8
+    if prog:
+        pr = decode_jpeg(encode_jpeg_progressive(img, quality=quality, subsample=ss))
+        np.testing.assert_array_equal(seq, pr)
