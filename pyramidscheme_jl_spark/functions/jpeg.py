@@ -676,22 +676,19 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 def _find_scan_end(buf: bytes, start: int) -> tuple[bytes, int]:
     """De-stuffed entropy bytes from ``start`` up to (not including) the
     next marker — a restart marker or the end of the scan. The caller
-    splits restart segments on the original stream (predictor reset)."""
-    out = bytearray()
+    splits restart segments on the original stream (predictor reset).
+    C-speed: ``bytes.find`` hops between 0xFF bytes (rare in entropy data)
+    and one ``replace`` de-stuffs the slice."""
     i = start
     n = len(buf)
-    while i < n:
-        b = buf[i]
-        if b == 0xFF:
-            nxt = buf[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:  # stuffed byte
-                out.append(0xFF)
-                i += 2
-                continue
-            return bytes(out), i
-        out.append(b)
-        i += 1
-    return bytes(out), n
+    while True:
+        j = buf.find(b"\xff", i)
+        if j == -1 or j + 1 >= n:  # no marker: scan runs to end of stream
+            return buf[start:n].replace(b"\xff\x00", b"\xff"), n
+        if buf[j + 1] == 0x00:  # stuffed byte — keep scanning
+            i = j + 2
+            continue
+        return buf[start:j].replace(b"\xff\x00", b"\xff"), j
 
 
 def _decode_scan(
