@@ -7,11 +7,13 @@ canonical Huffman (tables carried in the file's DHT segments), and every
 block transform is an 8x8 DCT — whole-array numpy over all blocks at once.
 
 Scope (what real LAION-style image corpora overwhelmingly are):
-- decode: baseline sequential (SOF0/1) AND progressive (SOF2, full T.81
-  Annex G: spectral selection, successive approximation, EOB runs), 8-bit,
-  1 or 3 components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
-  restart intervals, stuffed bytes; quant + Huffman tables read from the
-  file itself.
+- decode: baseline sequential (SOF0/1, interleaved or T.81-legal
+  multi-SOS per-component scans) AND progressive (SOF2, full Annex G:
+  spectral selection, successive approximation, EOB runs), 8-bit, 1 or 3
+  components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart
+  intervals, stuffed bytes; quant + Huffman tables read from the file
+  itself; EXIF orientation parsed (jpeg_orientation/apply_orientation —
+  the codec registry uprights pixels).
 - encode (test fixtures + sink): quality-scaled Annex-K quant tables,
   spec Huffman tables, 4:4:4/4:2:2/4:2:0, grayscale or RGB, sequential
   (encode_jpeg) or progressive (encode_jpeg_progressive).
@@ -654,10 +656,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
             if not progressive:
-                return _decode_scan(
-                    buf, pos + seglen, frame, scan_sel, qtables, hufftables,
-                    restart_interval,
+                covers_all = {cs for cs, _, _ in scan_sel} == {
+                    c[0] for c in frame[2]
+                }
+                if covers_all and prog is None:
+                    # the overwhelmingly common single full scan: fast path
+                    return _decode_scan(
+                        buf, pos + seglen, frame, scan_sel, qtables, hufftables,
+                        restart_interval,
+                    )
+                # spec-legal multi-SOS sequential file (per-component
+                # scans): accumulate into the shared store until EOI
+                if prog is None:
+                    prog = _ProgState(frame)
+                pos = prog.decode_scan_sequential(
+                    buf, pos + seglen, scan_sel, hufftables, restart_interval
                 )
+                continue
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             if prog is None:
@@ -797,6 +812,44 @@ def _finish_planes(
     if len(planes) == 3:
         return ycbcr_to_rgb(np.stack(planes, axis=-1))
     raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+
+
+def encode_jpeg_noninterleaved(
+    img: np.ndarray, quality: int = 90, subsample: bool | str = False
+) -> bytes:
+    """Baseline file with one SEQUENTIAL scan per component — a T.81-legal
+    multi-SOS layout some encoders emit. Pixel math identical to
+    :func:`encode_jpeg`; scans cover each component's REAL block grid (MCU
+    padding blocks are never coded in non-interleaved scans)."""
+    gray, h, w, samp, qsel, qluma, qchroma, zz_comp, bw_comp, mcux, mcuy = (
+        _prepare_encode(img, quality, subsample)
+    )
+    ncomp = 1 if gray else 3
+    out = _headers(gray, h, w, samp, qsel, qluma, qchroma, 0xC0)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_l = _canonical_codes(DC_LUMA_BITS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS)
+    ac_l = dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS)))
+    ac_c = dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))
+    for ci in range(ncomp):
+        sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+        out += _seg(0xDA, sos)
+        cw = -(-w * samp[ci][0] // hmax)
+        ch = -(-h * samp[ci][1] // vmax)
+        bwn, bhn = -(-cw // 8), -(-ch // 8)
+        wtr = _BitWriter()
+        pred = 0
+        dc = dc_l if ci == 0 else dc_c
+        ac = ac_l if ci == 0 else ac_c
+        for by in range(bhn):
+            for bx in range(bwn):
+                pred = _encode_block(
+                    wtr, zz_comp[ci][by * bw_comp[ci] + bx], dc, ac, pred
+                )
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1154,6 +1207,72 @@ class _ProgState:
             unit += 1
         return next_pos
 
+    def decode_scan_sequential(
+        self,
+        buf: bytes,
+        pos: int,
+        scan_sel: list[tuple[int, int, int]],
+        hufftables: dict,
+        restart_interval: int,
+    ) -> int:
+        """A SEQUENTIAL scan (full DC+AC per block) that covers only some
+        of the frame's components — spec-legal multi-SOS baseline files
+        (T.81 allows any partition of components across scans). Decodes
+        into the shared store; returns the position of the ending marker."""
+        fh, fw, comps = self.frame
+        idx_by_id = {c[0]: i for i, c in enumerate(comps)}
+        cis = [idx_by_id[cs] for cs, _, _ in scan_sel]
+        dc_lut, ac_lut = [], []
+        for (cs, td, ta) in scan_sel:
+            if (0, td) not in hufftables or (1, ta) not in hufftables:
+                raise ValueError("scan references missing Huffman table")
+            dc_lut.append(hufftables[(0, td)].packed)
+            ac_lut.append(hufftables[(1, ta)].packed)
+
+        scan_bytes, next_pos = _find_scan_end(buf, pos)
+        dpos, acc, nbits = 0, 0, 0
+        preds = [0] * len(cis)
+        interleaved = len(cis) > 1
+        if interleaved:
+            units = self.mcux * self.mcuy
+        else:
+            ci = cis[0]
+            units = self.bwn[ci] * self.bhn[ci]
+        zero64 = [0] * 64
+        unit = 0
+        while unit < units:
+            if restart_interval and unit and unit % restart_interval == 0:
+                if next_pos + 1 < len(buf) and 0xD0 <= buf[next_pos + 1] <= 0xD7:
+                    scan_bytes, next_pos = _find_scan_end(buf, next_pos + 2)
+                    dpos, acc, nbits = 0, 0, 0
+                    preds = [0] * len(cis)
+                else:
+                    raise ValueError("missing restart marker")
+            if interleaved:
+                my, mx = divmod(unit, self.mcux)
+                for si, ci in enumerate(cis):
+                    _, hi, vi, _ = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            coef = zero64.copy()
+                            dpos, acc, nbits, preds[si] = _decode_block_scan(
+                                scan_bytes, dpos, acc, nbits,
+                                dc_lut[si], ac_lut[si], preds[si], coef,
+                            )
+                            bidx = (my * vi + by) * self.bw[ci] + (mx * hi + bx)
+                            self.zz[ci][bidx] = coef
+            else:
+                ci = cis[0]
+                by, bx = divmod(unit, self.bwn[ci])
+                coef = zero64.copy()
+                dpos, acc, nbits, preds[0] = _decode_block_scan(
+                    scan_bytes, dpos, acc, nbits,
+                    dc_lut[0], ac_lut[0], preds[0], coef,
+                )
+                self.zz[ci][by * self.bw[ci] + bx] = coef
+            unit += 1
+        return next_pos
+
     @staticmethod
     def _dc_block(bits, zzc, bidx, lut, pred, ah, al) -> int:
         if ah == 0:  # first DC scan: huffman diff, scaled by the point transform
@@ -1239,6 +1358,74 @@ class _ProgState:
             eobrun -= 1
         row[:] = vals
         return eobrun
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (APP1/TIFF tag 0x0112)
+# ---------------------------------------------------------------------------
+
+
+def jpeg_orientation(buf: bytes) -> int:
+    """The EXIF orientation (1..8) from the first APP1 segment, or 1.
+    Pure header walk — no entropy decode, safe on truncated files."""
+    if buf[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    n = len(buf)
+    try:
+        while pos + 4 <= n:
+            if buf[pos] != 0xFF:
+                return 1
+            marker = buf[pos + 1]
+            if marker == 0xD9 or marker == 0xDA:  # EOI / scan data begins
+                return 1
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            if marker == 0xE1 and buf[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = buf[pos + 10 : pos + 2 + seglen]
+                if tiff[:2] == b"II":
+                    end = "<"
+                elif tiff[:2] == b"MM":
+                    end = ">"
+                else:
+                    return 1
+                (ifd,) = struct.unpack(end + "I", tiff[4:8])
+                (count,) = struct.unpack(end + "H", tiff[ifd : ifd + 2])
+                for i in range(count):
+                    e = ifd + 2 + 12 * i
+                    tag, typ = struct.unpack(end + "HH", tiff[e : e + 4])
+                    if tag == 0x0112 and typ == 3:
+                        (val,) = struct.unpack(end + "H", tiff[e + 8 : e + 10])
+                        return val if 1 <= val <= 8 else 1
+                return 1
+            pos += 2 + seglen
+    except (struct.error, IndexError):
+        return 1
+    return 1
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Upright a decoded image per EXIF orientation (PIL exif_transpose
+    semantics). 1 or unknown -> unchanged."""
+    if orientation == 2:
+        out = arr[:, ::-1]
+    elif orientation == 3:
+        out = arr[::-1, ::-1]
+    elif orientation == 4:
+        out = arr[::-1, :]
+    elif orientation == 5:  # transpose (TL-BR diagonal flip)
+        out = arr.swapaxes(0, 1)
+    elif orientation == 6:  # stored rotated 90 CCW -> rotate CW to upright
+        out = np.rot90(arr, k=3)
+    elif orientation == 7:  # transverse (TR-BL diagonal flip)
+        out = arr[::-1, ::-1].swapaxes(0, 1)
+    elif orientation == 8:
+        out = np.rot90(arr, k=1)
+    else:
+        return arr
+    return np.ascontiguousarray(out)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -80,7 +80,7 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
         c = len(buf) // (int(w) * int(h))
         return decode_tile(buf, h, w, "uint8", c)
     if fmt in ("pgm", "ppm", "bmp", "png", "jpeg", "jpg"):
-        from ..functions.jpeg import decode_jpeg
+        from ..functions.jpeg import apply_orientation, decode_jpeg, jpeg_orientation
         from ..functions.media_codecs import (
             decode_bmp,
             decode_pgm,
@@ -88,10 +88,14 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
             decode_ppm,
         )
 
+        raw = bytes(buf)
+        if fmt in ("jpeg", "jpg"):
+            # EXIF orientation is part of the bytes (the per-row source of
+            # truth): a pipeline ignoring it trains on rotated images
+            return apply_orientation(decode_jpeg(raw), jpeg_orientation(raw))
         return {
             "pgm": decode_pgm, "ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png,
-            "jpeg": decode_jpeg, "jpg": decode_jpeg,
-        }[fmt](bytes(buf))
+        }[fmt](raw)
     if deterministic_fake:
         seed = int.from_bytes(hashlib.sha256(buf[:64]).digest()[:4], "big")
         rng = np.random.RandomState(seed)

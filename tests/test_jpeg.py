@@ -377,3 +377,69 @@ def test_truncated_restart_is_value_error(photo_gray):
     assert i > 0
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg(buf[:i])
+
+
+def _exif_app1(orientation: int, motorola: bool = False) -> bytes:
+    """Minimal APP1/EXIF segment carrying only the orientation tag."""
+    end = ">" if motorola else "<"
+    tiff = (
+        (b"MM" if motorola else b"II")
+        + struct.pack(end + "HI", 42, 8)
+        + struct.pack(end + "H", 1)  # one IFD0 entry
+        + struct.pack(end + "HHI", 0x0112, 3, 1)
+        + struct.pack(end + "H", orientation) + b"\x00\x00"
+        + struct.pack(end + "I", 0)  # next IFD
+    )
+    return _seg(0xE1, b"Exif\x00\x00" + tiff)
+
+
+def test_exif_orientation(photo_gray):
+    """EXIF orientation is parsed from APP1 (both byte orders) and the
+    codec-registry decode uprights the pixels; plain files stay 1."""
+    from pyramidscheme_jl_spark.functions.jpeg import (
+        apply_orientation,
+        jpeg_orientation,
+    )
+    from pyramidscheme_jl_spark.operators.multimodal import decode_image
+
+    plain = encode_jpeg(photo_gray[:48, :80], quality=90)  # asymmetric dims
+    assert jpeg_orientation(plain) == 1
+    base = decode_jpeg(plain)
+
+    for o, motorola in ((3, False), (6, True), (8, False), (5, True)):
+        tagged = plain[:2] + _exif_app1(o, motorola) + plain[2:]
+        assert jpeg_orientation(tagged) == o
+        got = decode_image(tagged, 0, 0, "jpeg")
+        np.testing.assert_array_equal(got, apply_orientation(base, o))
+    # orientation 6 swaps dims (stored 48x80 -> upright 80x48)
+    tagged = plain[:2] + _exif_app1(6) + plain[2:]
+    assert decode_image(tagged, 0, 0, "jpeg").shape == (80, 48)
+    # all 8 orientations are involutions or 4-cycles that preserve content
+    rgb = np.dstack([photo_gray, photo_gray // 2, 255 - photo_gray])
+    for o in range(1, 9):
+        out = apply_orientation(rgb, o)
+        assert sorted(out.shape) == sorted(rgb.shape)
+        assert out.sum() == rgb.sum()
+
+
+def test_noninterleaved_sequential_scans(photo_gray, photo_rgb):
+    """A T.81-legal multi-SOS baseline file (one sequential scan per
+    component) decodes to the SAME pixels as the interleaved layout —
+    per-component scans cover the real block grid, not the MCU padding."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg_noninterleaved
+
+    for ss in ("444", "420", "422"):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(photo_rgb, quality=92, subsample=ss)),
+            decode_jpeg(encode_jpeg_noninterleaved(photo_rgb, quality=92, subsample=ss)),
+        )
+    odd = photo_rgb[:61, :53]
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(odd, quality=95, subsample="420")),
+        decode_jpeg(encode_jpeg_noninterleaved(odd, quality=95, subsample="420")),
+    )
+    # gray single-component: non-interleaved == the plain single scan
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(photo_gray, quality=90)),
+        decode_jpeg(encode_jpeg_noninterleaved(photo_gray, quality=90)),
+    )
