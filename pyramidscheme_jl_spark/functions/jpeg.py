@@ -13,11 +13,12 @@ Scope (what real LAION-style image corpora overwhelmingly are):
   components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart
   intervals, stuffed bytes; quant + Huffman tables read from the file
   itself; EXIF orientation parsed (jpeg_orientation/apply_orientation —
-  the codec registry uprights pixels).
+  the codec registry uprights pixels); Adobe 4-component CMYK/YCCK
+  (APP14 transform, inverted-ink semantics) converts to RGB.
 - encode (test fixtures + sink): quality-scaled Annex-K quant tables,
   spec Huffman tables, 4:4:4/4:2:2/4:2:0, grayscale or RGB, sequential
   (encode_jpeg) or progressive (encode_jpeg_progressive).
-- NOT: arithmetic coding, 12-bit, lossless, hierarchical. These raise
+- NOT: arithmetic coding, 12-bit, lossless, hierarchical — raise
   with a clear message.
 
 Performance shape: the per-symbol entropy loop is Python (unavoidable
@@ -280,13 +281,38 @@ def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
+def _ycbcr_to_rgb_f(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """float YCbCr planes -> (r, g, b) float planes (JFIF full-range)."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    return y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb
+
+
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     """float YCbCr -> (h, w, 3) uint8 RGB (JFIF full-range)."""
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    r, g, b = _ycbcr_to_rgb_f(ycc[..., 0], ycc[..., 1], ycc[..., 2])
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _cmyk_to_rgb(planes: list[np.ndarray], adobe_transform: int | None) -> np.ndarray:
+    """4-component reconstruction -> (h, w, 3) uint8 RGB.
+
+    Adobe writers store CMYK *inverted* (value = 255 - ink) and YCCK as
+    the YCbCr transform of that inverted CMY; files without an APP14
+    marker are taken as standard (non-inverted) CMYK — the same
+    heuristics libjpeg applies. RGB = (255-C)(255-K)/255 per channel."""
+    if adobe_transform == 2:  # YCCK
+        s_r, s_g, s_b = _ycbcr_to_rgb_f(planes[0], planes[1], planes[2])
+        s = [np.clip(s_r, 0, 255), np.clip(s_g, 0, 255), np.clip(s_b, 0, 255)]
+        ks = np.clip(planes[3], 0, 255)
+    elif adobe_transform is not None:  # Adobe CMYK: already inverted
+        s = [np.clip(p, 0, 255) for p in planes[:3]]
+        ks = np.clip(planes[3], 0, 255)
+    else:  # bare CMYK: invert ink values
+        s = [255.0 - np.clip(p, 0, 255) for p in planes[:3]]
+        ks = 255.0 - np.clip(planes[3], 0, 255)
+    rgb = [ch * ks / 255.0 for ch in s]
+    return np.clip(np.stack(rgb, axis=-1).round(), 0, 255).astype(np.uint8)
 
 
 def _prepare_encode(img: np.ndarray, quality: int, subsample):
@@ -596,6 +622,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     progressive = False
     prog = None  # _ProgState once the first progressive scan arrives
     restart_interval = 0
+    adobe_transform = None  # APP14 color-transform byte (CMYK/YCCK)
     n = len(buf)
 
     while pos < n:
@@ -647,6 +674,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xEE and payload[:5] == b"Adobe":  # APP14
+            adobe_transform = payload[11] if len(payload) > 11 else 0
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -663,7 +692,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     # the overwhelmingly common single full scan: fast path
                     return _decode_scan(
                         buf, pos + seglen, frame, scan_sel, qtables, hufftables,
-                        restart_interval,
+                        restart_interval, adobe_transform,
                     )
                 # spec-legal multi-SOS sequential file (per-component
                 # scans): accumulate into the shared store until EOI
@@ -684,7 +713,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             continue
         pos += seglen
     if prog is not None:
-        return _finish_planes(frame, prog.zz, prog.bw, prog.bh, qtables)
+        return _finish_planes(frame, prog.zz, prog.bw, prog.bh, qtables, adobe_transform)
     raise ValueError("no SOS marker found")
 
 
@@ -714,6 +743,7 @@ def _decode_scan(
     qtables: dict[int, np.ndarray],
     hufftables: dict[tuple[int, int], _HuffLUT],
     restart_interval: int,
+    adobe_transform: int | None = None,
 ) -> np.ndarray:
     fh, fw, comps = frame
     byid = {c[0]: c for c in comps}
@@ -776,7 +806,7 @@ def _decode_scan(
                     zz[ci][bidx] = coef
         mcu_done += 1
 
-    return _finish_planes(frame, zz, bw, bh, qtables)
+    return _finish_planes(frame, zz, bw, bh, qtables, adobe_transform)
 
 
 def _finish_planes(
@@ -785,6 +815,7 @@ def _finish_planes(
     bw: list[int],
     bh: list[int],
     qtables: dict[int, np.ndarray],
+    adobe_transform: int | None = None,
 ) -> np.ndarray:
     """Shared reconstruction: dequant -> un-zigzag -> IDCT -> planes ->
     color, all vectorized across every block at once."""
@@ -811,6 +842,8 @@ def _finish_planes(
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
     if len(planes) == 3:
         return ycbcr_to_rgb(np.stack(planes, axis=-1))
+    if len(planes) == 4:  # Adobe CMYK / YCCK -> RGB
+        return _cmyk_to_rgb(planes, adobe_transform)
     raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
 
 

@@ -443,3 +443,64 @@ def test_noninterleaved_sequential_scans(photo_gray, photo_rgb):
         decode_jpeg(encode_jpeg(photo_gray, quality=90)),
         decode_jpeg(encode_jpeg_noninterleaved(photo_gray, quality=90)),
     )
+
+
+def _cmyk_file(stored, transform=None):
+    """Hand-assemble an 8x8 4-component baseline JPEG: each component one
+    DC-only block holding a constant plane value from ``stored``.
+    ``transform`` writes an Adobe APP14 marker (0=CMYK, 2=YCCK)."""
+    from pyramidscheme_jl_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    if transform is not None:
+        out += _seg(0xEE, b"Adobe" + b"\x00\x64" + b"\x00\x00" * 2 + bytes([transform]))
+    out += _seg(0xDB, b"\x00" + bytes([8] * 64))
+    sof = struct.pack(">BHHB", 8, 8, 8, 4)
+    for cid in (1, 2, 3, 4):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = bytes([4]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
+    out += _seg(0xDA, sos + b"\x00\x3f\x00")
+    dc_codes = _canonical_codes(DC_LUMA_BITS)
+    ac_eob = dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS)))[0x00]
+    wtr = _BitWriter()
+    for v in stored:
+        diff = int(v) - 128  # pred 0 per component, quant 8 -> plane = v
+        size = abs(diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        wtr.write(*ac_eob)
+    out += wtr.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_cmyk_and_ycck_decode():
+    """4-component Adobe files decode to RGB with libjpeg's semantics:
+    APP14 CMYK is stored inverted (R = C_s * K_s / 255), YCCK runs the
+    shared YCbCr math over the inverted CMY, and a bare 4-component file
+    is standard ink-valued CMYK."""
+    # Adobe CMYK (transform 0): stored inverted values
+    img = decode_jpeg(_cmyk_file((200, 150, 100, 250), transform=0))
+    assert img.shape == (8, 8, 3)
+    assert (img[:, :, 0] == round(200 * 250 / 255)).all()
+    assert (img[:, :, 1] == round(150 * 250 / 255)).all()
+    assert (img[:, :, 2] == round(100 * 250 / 255)).all()
+    # YCCK (transform 2): neutral chroma -> all channels = Y * K / 255
+    img = decode_jpeg(_cmyk_file((135, 128, 128, 250), transform=2))
+    assert (img == round(135 * 250 / 255)).all()
+    # bare CMYK (no APP14): ink values, inverted by the decoder
+    img = decode_jpeg(_cmyk_file((55, 105, 155, 5), transform=None))
+    assert (img[:, :, 0] == round(200 * 250 / 255)).all()
+    assert (img[:, :, 1] == round(150 * 250 / 255)).all()
+    assert (img[:, :, 2] == round(100 * 250 / 255)).all()
