@@ -567,6 +567,8 @@ def _decode_block_scan(
         bits = (acc >> (nbits - size)) & ((1 << size) - 1)
         nbits -= size
         pred += bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+        if pred > 0x7FFFFFFF or pred < -0x80000000:  # corrupt-stream clamp
+            pred = max(-0x80000000, min(0x7FFFFFFF, pred))
     acc &= (1 << nbits) - 1
     out[0] = pred
     # --- AC ---
@@ -612,7 +614,21 @@ def _decode_block_scan(
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """JFIF/JPEG bytes -> (h, w) uint8 gray or (h, w, 3) uint8 RGB.
-    Baseline sequential (SOF0/1) and progressive (SOF2) frames."""
+    Baseline sequential (SOF0/1) and progressive (SOF2) frames.
+
+    Corrupt/truncated streams always raise ``ValueError`` (or
+    ``NotImplementedError`` for unsupported-but-valid features) — the
+    catchable per-row contract a 10^12-row decode stage needs; stray
+    parser exceptions never escape (fuzz-pinned)."""
+    try:
+        return _decode_jpeg_impl(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -662,10 +678,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            if fh == 0 or fw == 0:
+                raise ValueError("zero frame dimensions")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):  # T.81 B.2.2 range
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -778,6 +799,12 @@ def _decode_scan(
     preds = [0] * len(comps)
     mcu_done = 0
     total_mcus = mcux * mcuy
+    # every coded block consumes >= 1 bit, so a frame whose block count
+    # exceeds 8x the remaining stream bytes is corrupt (flipped SOF dims)
+    # — reject before looping over millions of phantom blocks
+    blocks_per_mcu = sum(hi * vi for _, hi, vi, _ in comps)
+    if total_mcus * blocks_per_mcu > 8 * (len(buf) - pos) + 64:
+        raise ValueError("scan data too short for the declared frame size")
     scan_bytes, next_pos = _find_scan_end(buf, pos)
     dpos, acc, nbits = 0, 0, 0
     zero64 = [0] * 64
@@ -1167,8 +1194,14 @@ class _ProgState:
         the marker that ended it."""
         fh, fw, comps = self.frame
         idx_by_id = {c[0]: i for i, c in enumerate(comps)}
+        if len(set(idx_by_id) | {cs for cs, _, _ in scan_sel}) > len(idx_by_id):
+            raise ValueError("scan references unknown component id")
         cis = [idx_by_id[cs] for cs, _, _ in scan_sel]
         dc_scan = ss == 0
+        if not 0 <= ss <= 63 or not 0 <= se <= 63 or (not dc_scan and ss > se):
+            raise ValueError("invalid spectral selection bounds")
+        if ah > 13 or al > 13:
+            raise ValueError("invalid successive-approximation shift")
         if not dc_scan and len(cis) != 1:
             raise ValueError("progressive AC scans must be single-component")
         if dc_scan and se != 0:
@@ -1198,6 +1231,10 @@ class _ProgState:
         else:
             ci = cis[0]
             units = self.bwn[ci] * self.bhn[ci]
+        if dc_scan and units > 8 * (len(buf) - pos) + 64:
+            # DC scans consume >= 1 bit per block (refinement exactly 1):
+            # corrupt SOF dims would otherwise loop over phantom blocks
+            raise ValueError("scan data too short for the declared frame size")
 
         preds = [0] * len(cis)
         eobrun = 0
@@ -1262,15 +1299,17 @@ class _ProgState:
             dc_lut.append(hufftables[(0, td)].packed)
             ac_lut.append(hufftables[(1, ta)].packed)
 
-        scan_bytes, next_pos = _find_scan_end(buf, pos)
-        dpos, acc, nbits = 0, 0, 0
-        preds = [0] * len(cis)
         interleaved = len(cis) > 1
         if interleaved:
             units = self.mcux * self.mcuy
         else:
             ci = cis[0]
             units = self.bwn[ci] * self.bhn[ci]
+        if units > 8 * (len(buf) - pos) + 64:
+            raise ValueError("scan data too short for the declared frame size")
+        scan_bytes, next_pos = _find_scan_end(buf, pos)
+        dpos, acc, nbits = 0, 0, 0
+        preds = [0] * len(cis)
         zero64 = [0] * 64
         unit = 0
         while unit < units:
@@ -1311,7 +1350,10 @@ class _ProgState:
         if ah == 0:  # first DC scan: huffman diff, scaled by the point transform
             size = bits.huff(lut)
             pred += _recv_extend(bits, size)
-            zzc[bidx, 0] = pred << al
+            v = pred << al
+            if v > 0x7FFFFFFF or v < -0x80000000:  # corrupt-stream clamp
+                v = max(-0x80000000, min(0x7FFFFFFF, v))
+            zzc[bidx, 0] = v
         else:  # refinement: one raw bit per block (libjpeg: bitwise OR)
             if bits.read(1):
                 zzc[bidx, 0] |= 1 << al

@@ -264,8 +264,18 @@ def decode_png(buf: bytes) -> np.ndarray:
     (h, w, 4) RGBA uint8. Palette images resolve through PLTE to RGB.
 
     8-bit, non-interlaced (the dominant web shapes); 16-bit, sub-byte
-    depths and Adam7 raise with a clear message.
+    depths and Adam7 raise with a clear message. Corrupt streams always
+    raise ``ValueError`` (fuzz-pinned; zlib/struct errors wrapped).
     """
+    try:
+        return _decode_png_impl(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_png_impl(buf: bytes) -> np.ndarray:
     if bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("not a PNG file")
     buf = bytes(buf)
@@ -427,7 +437,17 @@ def decode_avi_mjpeg(buf: bytes) -> tuple[list[bytes], int, int, float]:
 
     Walks the RIFF chunk tree; frames are the '..dc'/'..db' chunks of the
     'movi' list. Dims/fps come from the 'avih' header (advisory — each
-    frame's own JPEG header is the per-frame source of truth)."""
+    frame's own JPEG header is the per-frame source of truth). Corrupt
+    containers always raise ``ValueError``."""
+    try:
+        return _decode_avi_impl(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt AVI container ({type(e).__name__}: {e})") from e
+
+
+def _decode_avi_impl(buf: bytes) -> tuple[list[bytes], int, int, float]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = 0

@@ -117,12 +117,24 @@ def _luma(img: np.ndarray) -> np.ndarray:
     return f
 
 
-def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+def image_features(
+    images: DataFrame,
+    deterministic_fake: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
     """Decode + feature-extract per image (mapInPandas, Arrow-batched).
 
     Features are whole-array numpy: luma stats, a gradient edge-density, and
     the 64-bit block-mean phash (FIXTURES.md §1 definition).
+
+    ``on_error``: ``"raise"`` (default — one bad row fails the job, the
+    strict data-quality gate) or ``"skip"`` (drop undecodable rows — at
+    10^12 rows a handful of corrupt files must not kill the stage; the
+    decoders guarantee corrupt streams raise ``ValueError``, fuzz-pinned,
+    so skip never masks a code bug).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error {on_error!r} not in ('raise', 'skip')")
 
     def gen(batches):
         from ..sources.synth import phash64
@@ -132,7 +144,12 @@ def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataF
             for iid, buf, w, h, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
-                img = decode_image(buf, int(w), int(h), fmt, deterministic_fake)
+                try:
+                    img = decode_image(buf, int(w), int(h), fmt, deterministic_fake)
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 f = _luma(img)
                 gx = np.abs(np.diff(f, axis=1)).mean()
                 gy = np.abs(np.diff(f, axis=0)).mean()
@@ -147,6 +164,8 @@ def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataF
                         "phash": phash64(np.clip(np.rint(f), 0, 255).astype(np.uint8)),
                     }
                 )
+            if not rows:  # whole batch skipped
+                continue
             pdf_out = pd.DataFrame(rows)
             pdf_out["w"] = pdf_out["w"].astype("int32")
             pdf_out["h"] = pdf_out["h"].astype("int32")
@@ -191,6 +210,7 @@ def transcode_images(
     quality: int = 90,
     subsample: bool = False,
     progressive: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Re-encode every image row to ``to_fmt`` — the corpus-normalization
     op of a training-data pipeline (mixed formats -> one codec; raw scans
@@ -206,6 +226,8 @@ def transcode_images(
     """
     if to_fmt not in ("raw", "png", "jpeg"):
         raise ValueError(f"transcode target {to_fmt!r} not in ('raw','png','jpeg')")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error {on_error!r} not in ('raise', 'skip')")
     # fix the column set and order (input_hint schema); extra caller
     # columns would silently vanish from the mapInPandas output otherwise
     src = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
@@ -222,7 +244,12 @@ def transcode_images(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
                 pdf["caption"], pdf["phash"],
             ):
-                img = decode_image(buf, int(w), int(h), fmt)
+                try:
+                    img = decode_image(buf, int(w), int(h), fmt)
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 if to_fmt == "raw":
                     out = np.ascontiguousarray(img).tobytes()
                 elif to_fmt == "png":
@@ -242,6 +269,8 @@ def transcode_images(
                         "fmt": to_fmt, "caption": cap, "phash": ph,
                     }
                 )
+            if not rows:  # whole batch skipped
+                continue
             pdf_out = pd.DataFrame(rows)
             pdf_out["w"] = pdf_out["w"].astype("int32")
             pdf_out["h"] = pdf_out["h"].astype("int32")

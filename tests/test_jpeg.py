@@ -504,3 +504,36 @@ def test_cmyk_and_ycck_decode():
     assert (img[:, :, 0] == round(200 * 250 / 255)).all()
     assert (img[:, :, 1] == round(150 * 250 / 255)).all()
     assert (img[:, :, 2] == round(100 * 250 / 255)).all()
+
+
+def test_corrupt_streams_raise_value_error(photo_gray):
+    """Every mutation/truncation of a valid stream raises ValueError or
+    NotImplementedError — never a stray parser exception and never a
+    runaway loop (the per-row contract of a 10^12-row decode stage;
+    seeded slice of the 9k-case fuzz that hardened this)."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg_progressive
+    from pyramidscheme_jl_spark.functions.media_codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(99)
+    rgb = np.dstack([photo_gray, photo_gray // 2, 255 - photo_gray])
+    cases = [
+        (encode_jpeg(rgb[:48, :64], quality=80, subsample=True), decode_jpeg),
+        (encode_jpeg_progressive(rgb[:48, :64], quality=80), decode_jpeg),
+        (encode_png(photo_gray[:48, :64], filter_type="mixed"), decode_png),
+    ]
+    for buf, dec in cases:
+        for trial in range(120):
+            b = bytearray(buf)
+            kind = trial % 3
+            if kind == 0:
+                b = b[: rng.randint(2, len(b))]
+            elif kind == 1:
+                i = rng.randint(0, len(b))
+                b[i] ^= 1 << rng.randint(0, 8)
+            else:
+                i = rng.randint(0, len(b) - 4)
+                b[i : i + 4] = bytes(rng.randint(0, 256, 4).tolist())
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # the contract

@@ -326,3 +326,37 @@ def test_transcode_gray_alpha_and_raw_rgb(spark):
     feats = {r["image_id"]: r for r in image_features(df).collect()}
     lum = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     assert feats["rgbraw"]["mean_luma"] == pytest.approx(float(lum.mean()))
+
+
+def test_on_error_skip_drops_corrupt_rows(spark):
+    """on_error='skip': a corrupt row is dropped, the rest of the batch
+    (and job) survives — the 10^12-row tolerance knob. Default still
+    raises loudly."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg
+    from pyramidscheme_jl_spark.operators.multimodal import (
+        image_features,
+        transcode_images,
+    )
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+
+    img = image_pixels(0, 0)
+    good = encode_jpeg(img, quality=90)
+    # mid-scan truncation decodes by design (missing bits read as zero),
+    # so corrupt the HEADER: no SOS marker -> ValueError
+    corrupt = good[:20]
+    ddl = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(
+        [
+            ("good", good, 256, 256, "jpeg", "c", 0),
+            ("bad", corrupt, 256, 256, "jpeg", "c", 0),
+        ],
+        ddl,
+    )
+    with pytest.raises(Exception):
+        image_features(df).collect()
+    feats = image_features(df, on_error="skip").collect()
+    assert [r["image_id"] for r in feats] == ["good"]
+    out = transcode_images(df, to_fmt="png", on_error="skip").collect()
+    assert [r["image_id"] for r in out] == ["good"]
+    with pytest.raises(ValueError, match="on_error"):
+        image_features(df, on_error="ignore")
