@@ -113,8 +113,6 @@ class PyramidDataset:
         pixel-level MVCC needs a versioned store (real Iceberg data files)
         underneath."""
         if asof_ordinal is not None:
-            from .sources.catalog import read_manifest
-
             zs = [
                 r["z"]
                 for r in read_manifest(spark, path)

@@ -393,6 +393,30 @@ def _headers(gray, h, w, samp, qsel, qluma, qchroma, sof_marker: int) -> bytearr
     return out
 
 
+def _std_tables(ncomp: int):
+    """Per-component (DC canonical codes, AC symbol->code dict) from the
+    Annex-K tables — component 0 luma, the rest chroma."""
+    dc_l = _canonical_codes(DC_LUMA_BITS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS)
+    ac_l = dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS)))
+    ac_c = dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))
+    return (
+        [dc_l if ci == 0 else dc_c for ci in range(ncomp)],
+        [ac_l if ci == 0 else ac_c for ci in range(ncomp)],
+    )
+
+
+def _real_block_grid(w: int, h: int, samp: list, ci: int) -> tuple[int, int]:
+    """(bwn, bhn): a component's REAL block-grid dims (ceil of the true
+    component size — what non-interleaved scans cover, never the MCU
+    padding)."""
+    hmax = max(sx for sx, _ in samp)
+    vmax = max(sy for _, sy in samp)
+    cw = -(-w * samp[ci][0] // hmax)
+    ch = -(-h * samp[ci][1] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
@@ -420,12 +444,7 @@ def encode_jpeg(
     out += _seg(0xDA, sos)
 
     # entropy-coded scan, MCU-interleaved
-    dc_l = _canonical_codes(DC_LUMA_BITS)
-    dc_c = _canonical_codes(DC_CHROMA_BITS)
-    ac_l_codes = _canonical_codes(AC_LUMA_BITS)
-    ac_c_codes = _canonical_codes(AC_CHROMA_BITS)
-    ac_l = dict(zip(AC_LUMA_VALS, ac_l_codes))
-    ac_c = dict(zip(AC_CHROMA_VALS, ac_c_codes))
+    dc_tabs, ac_tabs = _std_tables(ncomp)
 
     writer = _BitWriter()
     preds = [0] * ncomp
@@ -442,8 +461,8 @@ def encode_jpeg(
                 hi, vi = samp[ci]
                 zz = zz_comp[ci]
                 bw = bw_comp[ci]
-                dc = dc_l if ci == 0 else dc_c
-                ac = ac_l if ci == 0 else ac_c
+                dc = dc_tabs[ci]
+                ac = ac_tabs[ci]
                 for by in range(vi):
                     for bx in range(hi):
                         bidx = (my * vi + by) * bw + (mx * hi + bx)
@@ -624,7 +643,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         return _decode_jpeg_impl(buf)
     except (ValueError, NotImplementedError):
         raise
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, MemoryError) as e:
         raise ValueError(f"corrupt JPEG stream ({type(e).__name__}: {e})") from e
 
 
@@ -718,7 +737,7 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
                 # spec-legal multi-SOS sequential file (per-component
                 # scans): accumulate into the shared store until EOI
                 if prog is None:
-                    prog = _ProgState(frame)
+                    prog = _ProgState(frame, len(buf))
                 pos = prog.decode_scan_sequential(
                     buf, pos + seglen, scan_sel, hufftables, restart_interval
                 )
@@ -726,7 +745,7 @@ def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             if prog is None:
-                prog = _ProgState(frame)
+                prog = _ProgState(frame, len(buf))
             pos = prog.decode_scan(
                 buf, pos + seglen, scan_sel, ss, se, ahal >> 4, ahal & 0x0F,
                 hufftables, restart_interval,
@@ -778,6 +797,15 @@ def _decode_scan(
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
 
+    # every coded block consumes >= 1 bit, so a frame whose block count
+    # exceeds 8x the remaining stream bytes is corrupt (flipped SOF dims)
+    # — reject BEFORE allocating the coefficient store or looping over
+    # millions of phantom blocks
+    total_mcus = mcux * mcuy
+    blocks_per_mcu = sum(hi * vi for _, hi, vi, _ in comps)
+    if total_mcus * blocks_per_mcu > 8 * (len(buf) - pos) + 64:
+        raise ValueError("scan data too short for the declared frame size")
+
     # per-component zigzag coefficient store (vectorized dequant+IDCT after
     # the entropy loop — the only Python-per-symbol stage is this loop)
     zz: list[np.ndarray] = []
@@ -798,13 +826,6 @@ def _decode_scan(
 
     preds = [0] * len(comps)
     mcu_done = 0
-    total_mcus = mcux * mcuy
-    # every coded block consumes >= 1 bit, so a frame whose block count
-    # exceeds 8x the remaining stream bytes is corrupt (flipped SOF dims)
-    # — reject before looping over millions of phantom blocks
-    blocks_per_mcu = sum(hi * vi for _, hi, vi, _ in comps)
-    if total_mcus * blocks_per_mcu > 8 * (len(buf) - pos) + 64:
-        raise ValueError("scan data too short for the declared frame size")
     scan_bytes, next_pos = _find_scan_end(buf, pos)
     dpos, acc, nbits = 0, 0, 0
     zero64 = [0] * 64
@@ -868,6 +889,8 @@ def _finish_planes(
     if len(planes) == 1:
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
     if len(planes) == 3:
+        if adobe_transform == 0:  # Adobe transform 0: literal RGB planes
+            return np.clip(np.stack(planes, axis=-1).round(), 0, 255).astype(np.uint8)
         return ycbcr_to_rgb(np.stack(planes, axis=-1))
     if len(planes) == 4:  # Adobe CMYK / YCCK -> RGB
         return _cmyk_to_rgb(planes, adobe_transform)
@@ -886,22 +909,15 @@ def encode_jpeg_noninterleaved(
     )
     ncomp = 1 if gray else 3
     out = _headers(gray, h, w, samp, qsel, qluma, qchroma, 0xC0)
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    dc_l = _canonical_codes(DC_LUMA_BITS)
-    dc_c = _canonical_codes(DC_CHROMA_BITS)
-    ac_l = dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS)))
-    ac_c = dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))
+    dc_tabs, ac_tabs = _std_tables(ncomp)
     for ci in range(ncomp):
         sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
         out += _seg(0xDA, sos)
-        cw = -(-w * samp[ci][0] // hmax)
-        ch = -(-h * samp[ci][1] // vmax)
-        bwn, bhn = -(-cw // 8), -(-ch // 8)
+        bwn, bhn = _real_block_grid(w, h, samp, ci)
         wtr = _BitWriter()
         pred = 0
-        dc = dc_l if ci == 0 else dc_c
-        ac = ac_l if ci == 0 else ac_c
+        dc = dc_tabs[ci]
+        ac = ac_tabs[ci]
         for by in range(bhn):
             for bx in range(bwn):
                 pred = _encode_block(
@@ -957,25 +973,10 @@ def encode_jpeg_progressive(
     ncomp = 1 if gray else 3
     out = _headers(gray, h, w, samp, qsel, qluma, qchroma, 0xC2)
 
-    dc_codes = [
-        _canonical_codes(DC_LUMA_BITS) if ci == 0 else _canonical_codes(DC_CHROMA_BITS)
-        for ci in range(ncomp)
-    ]
-    ac_luts = [
-        dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS))) if ci == 0
-        else dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))
-        for ci in range(ncomp)
-    ]
-    # non-interleaved block-grid dims per component (ceil of the REAL
-    # component size — AC scans never cover the MCU padding blocks)
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    bwn, bhn = [], []
-    for ci in range(ncomp):
-        cw = -(-w * samp[ci][0] // hmax)
-        ch = -(-h * samp[ci][1] // vmax)
-        bwn.append(-(-cw // 8))
-        bhn.append(-(-ch // 8))
+    dc_codes, ac_luts = _std_tables(ncomp)
+    grids = [_real_block_grid(w, h, samp, ci) for ci in range(ncomp)]
+    bwn = [g[0] for g in grids]
+    bhn = [g[1] for g in grids]
 
     for cis, ss, se, ah, al in _default_scan_script(ncomp):
         sos = bytes([len(cis)])
@@ -1152,7 +1153,7 @@ class _ProgState:
     scans of one frame; each SOS merges its band/bit-plane contribution
     (T.81 G.1.2, bit semantics as libjpeg's jdphuff)."""
 
-    def __init__(self, frame: tuple) -> None:
+    def __init__(self, frame: tuple, file_size: int) -> None:
         fh, fw, comps = frame
         self.frame = frame
         self.hmax = max(c[1] for c in comps)
@@ -1174,6 +1175,15 @@ class _ProgState:
             ch = -(-fh * vi // self.vmax)
             self.bwn.append(-(-cw // 8))
             self.bhn.append(-(-ch // 8))
+        # every block needs >= 1 bit of DC-scan data somewhere in the file
+        # (T.81: the first scan of each component is DC) — reject corrupt
+        # giant SOF dims BEFORE allocating the coefficient stores
+        total_blocks = sum(
+            self.mcuy * vi * self.mcux * hi for _, hi, vi, _ in comps
+        )
+        if total_blocks > 8 * file_size + 64:
+            raise ValueError("file too short for the declared frame size")
+        for _, hi, vi, _ in comps:
             self.zz.append(
                 np.zeros((self.mcuy * vi * self.mcux * hi, 64), dtype=np.int32)
             )

@@ -77,7 +77,12 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
     formats stay deterministic and testable without codec libs.
     """
     if fmt == "raw":
-        c = len(buf) // (int(w) * int(h))
+        w, h = int(w), int(h)
+        if w <= 0 or h <= 0:
+            raise ValueError(f"raw payload with non-positive dims {w}x{h}")
+        c = len(buf) // (w * h)
+        if c < 1:
+            raise ValueError(f"raw payload of {len(buf)} bytes smaller than {w}x{h}")
         return decode_tile(buf, h, w, "uint8", c)
     if fmt in ("pgm", "ppm", "bmp", "png", "jpeg", "jpg"):
         from ..functions.jpeg import apply_orientation, decode_jpeg, jpeg_orientation

@@ -537,3 +537,68 @@ def test_corrupt_streams_raise_value_error(photo_gray):
                 dec(bytes(b))
             except (ValueError, NotImplementedError):
                 pass  # the contract
+
+
+def test_adobe_rgb_three_component():
+    """A 3-component file with APP14 transform=0 stores literal RGB planes
+    (Photoshop 'RGB jpeg') — no YCbCr conversion."""
+    from pyramidscheme_jl_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xEE, b"Adobe" + b"\x00\x64" + b"\x00\x00" * 2 + b"\x00")
+    out += _seg(0xDB, b"\x00" + bytes([8] * 64))
+    sof = struct.pack(">BHHB", 8, 8, 8, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    out += _seg(0xDA, sos + b"\x00\x3f\x00")
+    dc_codes = _canonical_codes(DC_LUMA_BITS)
+    ac_eob = dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS)))[0x00]
+    wtr = _BitWriter()
+    for v in (10, 20, 30):  # constant R/G/B planes
+        diff = v - 128
+        size = abs(diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        wtr.write(*ac_eob)
+    out += wtr.flush() + b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert (img[:, :, 0] == 10).all()
+    assert (img[:, :, 1] == 20).all()
+    assert (img[:, :, 2] == 30).all()
+
+
+def test_giant_corrupt_dims_rejected_promptly(photo_gray):
+    """Flipped SOF dims (65k x 65k from a 4KB file) must raise ValueError
+    BEFORE allocating coefficient stores or looping over phantom blocks —
+    for sequential, progressive and non-interleaved layouts."""
+    import time
+
+    from pyramidscheme_jl_spark.functions.jpeg import (
+        encode_jpeg_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    for enc in (encode_jpeg, encode_jpeg_progressive, encode_jpeg_noninterleaved):
+        buf = bytearray(enc(photo_gray, quality=85))
+        i = buf.find(b"\xff\xc0")
+        if i < 0:
+            i = buf.find(b"\xff\xc2")
+        # SOF payload: len(2) prec(1) h(2) w(2) -> blow up the dims
+        buf[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+        t0 = time.perf_counter()
+        with pytest.raises(ValueError, match="too short"):
+            decode_jpeg(bytes(buf))
+        assert time.perf_counter() - t0 < 1.0  # prompt, no phantom loop

@@ -360,3 +360,24 @@ def test_on_error_skip_drops_corrupt_rows(spark):
     assert [r["image_id"] for r in out] == ["good"]
     with pytest.raises(ValueError, match="on_error"):
         image_features(df, on_error="ignore")
+
+
+def test_on_error_skip_covers_bad_raw_metadata(spark):
+    """A raw row with zero dims is a clean ValueError (skippable), not a
+    stray ZeroDivisionError that kills the stage."""
+    from pyramidscheme_jl_spark.operators.multimodal import decode_image, image_features
+
+    with pytest.raises(ValueError, match="non-positive dims"):
+        decode_image(b"xx", 0, 2, "raw")
+    with pytest.raises(ValueError, match="smaller than"):
+        decode_image(b"xx", 64, 64, "raw")
+    ddl = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(
+        [
+            ("ok", bytes(range(16)) * 16, 16, 16, "raw", "c", 0),
+            ("zero", b"xx", 0, 2, "raw", "c", 0),
+        ],
+        ddl,
+    )
+    feats = image_features(df, on_error="skip").collect()
+    assert [r["image_id"] for r in feats] == ["ok"]
