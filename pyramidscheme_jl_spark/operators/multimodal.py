@@ -4,13 +4,16 @@ metadata (training-data-pipeline surface).
 Codec registry status (r3): ``raw`` passthrough, pure-numpy PGM/PPM/BMP
 image decoders, a RIFF/PCM WAV audio decoder, a real **PNG** decoder
 (stdlib zlib inflate + numpy scanline un-filtering,
-``functions/media_codecs.py``), and a real **baseline JPEG** codec
-(``functions/jpeg.py``: canonical-Huffman entropy coding with a 16-bit
-prefix LUT, all 8x8 DCT/quant math vectorized across blocks — gray/RGB,
-4:4:4/4:2:0, restart intervals). Only video containers (mp4) remain
-stubbed behind ``NotImplementedError`` (frame demux + H.264 needs ffmpeg;
-a deterministic fake exercises the pipeline shape). Dropping in faster
-native codecs later means registering them — no plan shape changes.
+``functions/media_codecs.py``), a real **JPEG** codec
+(``functions/jpeg.py``: baseline sequential + multi-SOS + progressive
+SOF2, 4:4:4/4:2:2/4:2:0, restart intervals, EXIF orientation uprighting,
+Adobe CMYK/YCCK->RGB; corrupt streams always raise ValueError —
+fuzz-pinned), and MJPEG-AVI demux for frame sampling. Only inter-frame
+video codecs (mp4/H.264) remain stubbed behind ``NotImplementedError``
+(they need ffmpeg; a deterministic fake exercises the pipeline shape).
+Dropping in faster native codecs later means registering them — no plan
+shape changes. Row-level tolerance: ``on_error='skip'`` on
+features/transcode drops undecodable rows instead of failing the job.
 """
 
 from __future__ import annotations
@@ -62,9 +65,9 @@ FRAME_SCHEMA = T.StructType(
 def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool = False) -> np.ndarray:
     """Codec registry. ``raw``/``pgm``/``ppm``/``bmp``/``png``/``jpeg``
     decode for real (png: stdlib zlib inflate + numpy un-filtering; jpeg:
-    pure-numpy baseline-sequential codec in ``functions/jpeg.py`` —
-    Huffman tables read from the file, all block math vectorized); only
-    video containers (mp4) remain stubbed.
+    pure-numpy codec in ``functions/jpeg.py`` — baseline + progressive,
+    Huffman tables read from the file, all block math vectorized, EXIF
+    orientation applied); only video containers (mp4) remain stubbed.
 
     Returns ``(h, w)`` grayscale or ``(h, w, c)`` uint8. For the real
     file formats, shape comes from the file header (the bytes are the
