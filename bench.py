@@ -165,6 +165,41 @@ def main() -> None:
     pts.unpersist()
     spark.catalog.clearCache()
 
+    # multimodal codec throughput: REAL jpeg decode + feature extraction
+    # over a small corpus (the per-row cost driver for encoded corpora;
+    # scaling curve in BENCH/CODEC_SCALING.md — this records the absolute
+    # rate at the bench config each round)
+    from pyramidscheme_jl_spark.operators.multimodal import image_features
+
+    def _to_jpeg(batches):
+        import numpy as _np
+
+        from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["bytes"] = [
+                encode_jpeg(
+                    _np.frombuffer(b, dtype=_np.uint8).reshape(int(hh), int(ww)),
+                    quality=90,
+                )
+                for b, ww, hh in zip(pdf["bytes"], pdf["w"], pdf["h"])
+            ]
+            out["fmt"] = "jpeg"
+            yield out
+
+    jpegs = (
+        spark.createDataFrame(synth_images(G=16), IMAGES_DDL)
+        .repartition(cpus)
+        .mapInPandas(_to_jpeg, IMAGES_DDL)
+        .cache()
+    )
+    n_jpegs = jpegs.count()  # encode (prep) excluded from the timing
+    t0 = time.perf_counter()
+    assert image_features(jpegs).count() == n_jpegs
+    dt_codec = time.perf_counter() - t0
+    jpegs.unpersist()
+
     # headline relational queries last (they leave cached token sets etc.;
     # the build ran on pristine JVM state matching its standalone profile)
     for name in HEADLINE:
@@ -189,6 +224,9 @@ def main() -> None:
                 "pip_points": n_pts,
                 "pip_pairs": n_pairs,
                 "pip_rows_per_sec": round(n_pts / dt_pip, 1),
+                "jpeg_images": n_jpegs,
+                "jpeg_decode_px_per_sec": round(n_jpegs * 65536 / dt_codec, 1),
+                "jpeg_decode_imgs_per_sec": round(n_jpegs / dt_codec, 1),
             }
         )
     )

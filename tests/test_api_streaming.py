@@ -429,3 +429,43 @@ def test_streaming_compaction_roundtrip(spark, tmp_path):
     # the layout check fires before any row is written
     with pytest.raises(ValueError, match="bulk files"):
         _write_tiles_filewise([], q_path, 0)
+
+
+def test_streaming_ingest_encoded_formats(spark, tmp_path):
+    """The streaming path shares the fmt-aware base stage: a stream of
+    png/jpeg-encoded images builds the same pyramid as raw rows carrying
+    the identical decoded pixels."""
+    from pyramidscheme_jl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_png
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+    from pyramidscheme_jl_spark.sources.synth import image_pixels
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_images
+
+    G = 2
+    rows_enc, planes = [], {}
+    for i in range(G * G):
+        img = image_pixels(i % G, i // G)
+        if i % 2 == 0:
+            payload, pixels = encode_png(img), img
+        else:
+            payload = encode_jpeg(img, quality=95)
+            pixels = decode_jpeg(payload)
+        rows_enc.append(
+            {"image_id": f"img-{i:08d}", "bytes": payload, "w": 256, "h": 256,
+             "fmt": "png" if i % 2 == 0 else "jpeg", "caption": "c", "phash": 0}
+        )
+        planes[(i % G, i // G)] = pixels
+    src = tmp_path / "enc_src"
+    src.mkdir()
+    spark.createDataFrame(rows_enc, IMAGES_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "enc_pyr")
+    ingest_images(spark, f"{src}/*", q_path, G=G).awaitTermination(120)
+
+    spec = PyramidSpec(512, 512)
+    base = np.zeros((512, 512), dtype=np.uint8)
+    for (tx, ty), px in planes.items():
+        base[ty * 256 : (ty + 1) * 256, tx * 256 : (tx + 1) * 256] = px
+    got0 = assemble_level(spark, q_path, 0, spec)
+    np.testing.assert_array_equal(got0, base)
+    got1 = assemble_level(spark, q_path, 1, spec)
+    np.testing.assert_allclose(got1, oracle_levels(base, "mean", 1)[1], rtol=1e-12)
