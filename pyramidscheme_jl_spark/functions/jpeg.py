@@ -961,17 +961,25 @@ def _default_scan_script(ncomp: int) -> list[tuple]:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 90, subsample: bool | str = False
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JFIF bytes: spectral selection + successive
     approximation per the default scan script. Same pixel math as
     :func:`encode_jpeg` — only the scan order/entropy coding differs, so
-    decode(encode_progressive(x)) == decode(encode(x)) exactly."""
+    decode(encode_progressive(x)) == decode(encode(x)) exactly.
+    ``restart_interval`` > 0 emits RSTn every that many scan units (MCUs
+    for the interleaved DC scans, blocks for non-interleaved scans),
+    resetting predictors — the decoder's restart path per scan type."""
     gray, h, w, samp, qsel, qluma, qchroma, zz_comp, bw_comp, mcux, mcuy = (
         _prepare_encode(img, quality, subsample)
     )
     ncomp = 1 if gray else 3
     out = _headers(gray, h, w, samp, qsel, qluma, qchroma, 0xC2)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     dc_codes, ac_luts = _std_tables(ncomp)
     grids = [_real_block_grid(w, h, samp, ci) for ci in range(ncomp)]
@@ -988,10 +996,21 @@ def encode_jpeg_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         out += _seg(0xDA, sos)
         wtr = _BitWriter()
-        if ss == 0 and len(cis) > 1:  # interleaved DC scan
-            preds = [0] * len(cis)
+        rst = [0]  # RSTn marker index (mutable for the closure)
+        preds = [0] * len(cis)
+
+        def maybe_restart(unit: int) -> None:
+            if restart_interval and unit and unit % restart_interval == 0:
+                wtr.marker(0xD0 + rst[0])
+                rst[0] = (rst[0] + 1) % 8
+                preds[:] = [0] * len(preds)
+
+        if ss == 0 and len(cis) > 1:  # interleaved DC scan (unit = MCU)
+            unit = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    maybe_restart(unit)
+                    unit += 1
                     for si, ci in enumerate(cis):
                         hi, vi = samp[ci]
                         for by in range(vi):
@@ -1000,15 +1019,17 @@ def encode_jpeg_progressive(
                                 preds[si] = _enc_dc_prog(
                                     wtr, zz_comp[ci][bidx], dc_codes[ci], preds[si], ah, al
                                 )
-        else:
+        else:  # non-interleaved scan (unit = block)
             ci = cis[0]
-            preds1 = 0
+            unit = 0
             for by in range(bhn[ci]):
                 for bx in range(bwn[ci]):
+                    maybe_restart(unit)
+                    unit += 1
                     bidx = by * bw_comp[ci] + bx
                     row = zz_comp[ci][bidx]
                     if ss == 0:
-                        preds1 = _enc_dc_prog(wtr, row, dc_codes[ci], preds1, ah, al)
+                        preds[0] = _enc_dc_prog(wtr, row, dc_codes[ci], preds[0], ah, al)
                     elif ah == 0:
                         _enc_ac_first(wtr, row, ac_luts[ci], ss, se, al)
                     else:

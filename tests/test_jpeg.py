@@ -602,3 +602,21 @@ def test_giant_corrupt_dims_rejected_promptly(photo_gray):
         with pytest.raises(ValueError, match="too short"):
             decode_jpeg(bytes(buf))
         assert time.perf_counter() - t0 < 1.0  # prompt, no phantom loop
+
+
+def test_progressive_restart_identical_pixels(photo_rgb):
+    """RSTn markers in progressive scans (MCU units for interleaved DC,
+    block units otherwise) change the byte stream, not the pixels —
+    exercises the decoder's per-scan restart reset (preds + EOBRUN)."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg_progressive
+
+    plain = decode_jpeg(encode_jpeg_progressive(photo_rgb, quality=92, subsample=True))
+    rst = decode_jpeg(
+        encode_jpeg_progressive(photo_rgb, quality=92, subsample=True, restart_interval=3)
+    )
+    np.testing.assert_array_equal(plain, rst)
+    odd = photo_rgb[:61, :53]
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(odd, quality=95)),
+        decode_jpeg(encode_jpeg_progressive(odd, quality=95, restart_interval=2)),
+    )
