@@ -454,14 +454,23 @@ def _decode_avi_impl(buf: bytes) -> tuple[list[bytes], int, int, float]:
     fps = 0.0
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps
+    # iterative depth-first LIST descent (continuation stack preserves the
+    # recursive chunk order): a crafted deeply-nested container must raise
+    # ValueError (the per-row contract), never RecursionError
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(buf)
+    while True:
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             payload_start = pos + 8
+            nxt = payload_start + size + (size % 2)
             if fourcc == b"LIST":
-                walk(payload_start + 4, payload_start + size)
+                if len(stack) >= 64:
+                    raise ValueError("AVI LIST nesting exceeds depth 64")
+                stack.append((nxt, end))
+                pos, end = payload_start + 4, payload_start + size
+                continue
             elif fourcc == b"avih" and size >= 40:
                 usec, _, _, _, _nf, _, _, _, w0, h0 = struct.unpack(
                     "<IIIIIIIIII", buf[payload_start : payload_start + 40]
@@ -470,9 +479,10 @@ def _decode_avi_impl(buf: bytes) -> tuple[list[bytes], int, int, float]:
                 fps = 1e6 / usec if usec else 0.0
             elif fourcc[2:4] in (b"dc", b"db"):
                 frames.append(buf[payload_start : payload_start + size])
-            pos = payload_start + size + (size % 2)
-
-    walk(12, len(buf))
+            pos = nxt
+        if not stack:
+            break
+        pos, end = stack.pop()
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames, w, h, fps

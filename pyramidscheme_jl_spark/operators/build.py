@@ -177,11 +177,26 @@ def _decode_payload(buf, w: int, h: int, fmt: str, image_id: str) -> np.ndarray:
 
     arr = decode_image(bytes(buf), int(w), int(h), fmt)
     if fmt != "raw" and (arr.shape[0] != int(h) or arr.shape[1] != int(w)):
-        raise ValueError(
-            f"{image_id}: decoded {fmt} shape {arr.shape[:2]} contradicts "
-            f"metadata (h={h}, w={w})"
+        # EXIF orientations 5-8 transpose the stored SOF dims during
+        # uprighting; metadata recording the stored dims is still valid.
+        transposed_ok = (
+            fmt in ("jpeg", "jpg")
+            and arr.shape[0] == int(w)
+            and arr.shape[1] == int(h)
+            and _jpeg_is_transposing(bytes(buf))
         )
+        if not transposed_ok:
+            raise ValueError(
+                f"{image_id}: decoded {fmt} shape {arr.shape[:2]} contradicts "
+                f"metadata (h={h}, w={w})"
+            )
     return arr
+
+
+def _jpeg_is_transposing(buf: bytes) -> bool:
+    from ..functions.jpeg import jpeg_orientation
+
+    return jpeg_orientation(buf) >= 5
 
 
 def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> DataFrame:

@@ -45,8 +45,10 @@ from ..sources.catalog import (
 )
 from .build import (
     QUARTER_SCHEMA,
+    SUPPORTED_IMAGE_FMTS,
     PyramidSpec,
     _cast_level,
+    _decode_payload,
     _grid_dims,
     _rows_to_pdf,
     _tile_row,
@@ -77,26 +79,28 @@ def base_cube_tiles(
     gx, _ = _grid_dims(G)
     idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
     src = (
-        images.where(F.col("fmt") == F.lit("raw"))
+        images.where(F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS))
         .where(idx.isNotNull())
         .select(
             F.col(t_col).cast("int").alias("t"),
             (idx % gx).cast("int").alias("tx"),
             (idx / gx).cast("int").alias("ty"),
+            "image_id",
             "bytes",
             "w",
             "h",
+            "fmt",
         )
     )
 
     def gen(batches):
         for pdf in batches:
             rows = []
-            for t, tx, ty, buf, w, h in zip(
-                pdf["t"], pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"]
+            for t, tx, ty, iid, buf, w, h, fmt in zip(
+                pdf["t"], pdf["tx"], pdf["ty"], pdf["image_id"], pdf["bytes"],
+                pdf["w"], pdf["h"], pdf["fmt"],
             ):
-                c = len(buf) // (int(w) * int(h))
-                arr = decode_tile(buf, int(h), int(w), "uint8", c)
+                arr = _decode_payload(buf, w, h, fmt, iid)
                 rows.append(dict(_tile_row(spec, 0, int(tx), int(ty), arr), t=int(t)))
             if rows:
                 yield _cube_rows_to_pdf(rows)

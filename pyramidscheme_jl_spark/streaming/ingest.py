@@ -56,11 +56,39 @@ from ..sources.catalog import TILE_DATA_COLS, TILE_SCHEMA, level_path, read_leve
 from ..sources.synth import IMAGES_DDL
 
 
-def _write_tiles_filewise(rows: list[dict], path: str, z: int) -> None:
-    """One parquet file per tile — deterministic name => idempotent upsert."""
+def _tile_arrow_types():
+    import pyarrow as pa
+
+    arrow_types = {
+        "tx": pa.int32(), "ty": pa.int32(), "bytes": pa.binary(),
+        "w": pa.int32(), "h": pa.int32(), "c": pa.int32(), "dtype": pa.string(),
+        "vmin": pa.float64(), "vmax": pa.float64(), "vmean": pa.float64(),
+        "cell": pa.int64(),
+        "xmin": pa.float64(), "ymin": pa.float64(),
+        "xmax": pa.float64(), "ymax": pa.float64(),
+    }
+    assert list(arrow_types) == TILE_DATA_COLS
+    return arrow_types
+
+
+def _write_one_tile(d: str, r: dict, fname: str, with_t: bool = False) -> None:
+    """Atomic idempotent single-tile write: temp file + rename. A retried
+    task overwrites with identical content (deterministic name,
+    deterministic tile bytes) — last-writer-wins, no torn reads."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    types = _tile_arrow_types()
+    if with_t:
+        types = {"t": pa.int32(), **types}
+    t = pa.table({c: pa.array([r[c]], ty) for c, ty in types.items()})
+    tmp = os.path.join(d, f".{fname}.inprogress-{os.getpid()}")
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, fname))
+
+
+def _assert_filewise_layout(path: str, z: int) -> str:
+    """Refuse to patch bulk (build_pyramid) levels; returns the level dir."""
     d = level_path(path, z)
     os.makedirs(d, exist_ok=True)
     bulk = [f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")]
@@ -73,21 +101,48 @@ def _write_tiles_filewise(rows: list[dict], path: str, z: int) -> None:
             "would return duplicates. Bulk-backfill with build_pyramid(resume="
             "True) or copy out via PyramidDataset.write_to before streaming."
         )
-    arrow_types = {
-        "tx": pa.int32(), "ty": pa.int32(), "bytes": pa.binary(),
-        "w": pa.int32(), "h": pa.int32(), "c": pa.int32(), "dtype": pa.string(),
-        "vmin": pa.float64(), "vmax": pa.float64(), "vmean": pa.float64(),
-        "cell": pa.int64(),
-        "xmin": pa.float64(), "ymin": pa.float64(),
-        "xmax": pa.float64(), "ymax": pa.float64(),
-    }
-    assert list(arrow_types) == TILE_DATA_COLS
+    return d
+
+
+def _write_tiles_filewise(rows: list[dict], path: str, z: int) -> None:
+    """Driver-side file-per-tile write (small tile sets only; the streaming
+    hot path uses ``_write_tiles_distributed``)."""
+    d = _assert_filewise_layout(path, z)
     for r in rows:
-        t = pa.table({c: pa.array([r[c]], ty) for c, ty in arrow_types.items()})
-        pq.write_table(
-            t, os.path.join(d, f"tile-{r['tx']:06d}-{r['ty']:06d}.parquet"),
-            compression="zstd",
-        )
+        _write_one_tile(d, r, f"tile-{r['tx']:06d}-{r['ty']:06d}.parquet")
+
+
+def _write_tiles_distributed(
+    tiles: DataFrame, path: str, z: int, t_col: str | None = None
+) -> list[tuple[int, ...]]:
+    """Executor-side file-per-tile write; only the (small, integer) touched
+    keys return to the driver — decoded tile BYTES never do (VERDICT r3 #1:
+    the driver funnel was the last scale-killer pattern).
+
+    Each executor task writes its rows' files directly (atomic temp+rename,
+    deterministic names => idempotent under task retry/speculation) and
+    yields just the key columns. In local mode the driver and executors
+    share the filesystem; on a cluster the same code targets shared storage
+    (s3a/HDFS via pyarrow.fs — deterministic object names make retried PUTs
+    last-writer-wins).
+    """
+    d = _assert_filewise_layout(path, z)
+    key_cols = ([t_col] if t_col else []) + ["tx", "ty"]
+
+    def write_partition(batches):
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                key = tuple(int(r[c]) for c in key_cols)
+                fname = "tile-" + "-".join(
+                    ([f"t{key[0]:06d}"] if t_col else [])
+                    + [f"{k:06d}" for k in key[-2:]]
+                ) + ".parquet"
+                _write_one_tile(d, r, fname, with_t=bool(t_col))
+            yield pdf[key_cols]
+
+    schema = ", ".join(f"{c} int" for c in key_cols)
+    keys = tiles.mapInPandas(write_partition, schema).collect()
+    return sorted({tuple(int(getattr(k, c)) for c in key_cols) for k in keys})
 
 
 def _children_of(level_df: DataFrame, parents: list[tuple[int, int]]) -> DataFrame:
@@ -144,8 +199,9 @@ def _patch_ancestors(
     """Recompute the ancestor tiles of the given base-tile keys, bottom-up.
 
     Per level: pruned scan of the touched children (``_children_of``) ->
-    distributed ``groupBy(ptx,pty).applyInPandas`` recompute -> collect the
-    (micro-batch-sized) parent tiles -> idempotent file-per-tile write.
+    distributed ``groupBy(ptx,pty).applyInPandas`` recompute -> idempotent
+    file-per-tile write FROM THE EXECUTORS. Only the integer key list
+    returns to the driver; tile bytes never funnel through one process.
     """
     keys = base_keys
     for z in range(1, spec.nlevels + 1):
@@ -156,9 +212,26 @@ def _patch_ancestors(
         rebuilt = children.groupBy(
             F.shiftright("tx", 1).alias("ptx"), F.shiftright("ty", 1).alias("pty")
         ).applyInPandas(_repair_parents(spec, z, reducer), TILE_SCHEMA)
-        rows = [r.asDict() for r in rebuilt.collect()]
-        _write_tiles_filewise(rows, path, z)
+        _write_tiles_distributed(rebuilt, path, z)
         keys = parents
+
+
+def _commit_multiscales_once(
+    path: str, spec: PyramidSpec, tilesize: int, reducer: str
+) -> None:
+    """Write the interchange doc after the first successful micro-batch —
+    streamed pyramids get the same document built pyramids get, so
+    maintenance jobs (compact_pyramid) and foreign readers recover the
+    reducer from the pyramid itself instead of guessing."""
+    if os.path.exists(os.path.join(path, "_multiscales.json")):
+        return
+    from ..functions.reducers import reducer_hash
+    from ..sources.catalog import write_multiscales
+
+    write_multiscales(
+        path, spec.nlevels, tilesize, spec.base_w, spec.base_h,
+        reducer, reducer_hash(reducer),
+    )
 
 
 def ingest_images(
@@ -180,25 +253,19 @@ def ingest_images(
     """
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
-    # streamed pyramids get the same interchange document built pyramids
-    # get — maintenance jobs (compact_pyramid) and foreign readers recover
-    # the reducer from the pyramid itself instead of guessing
-    from ..functions.reducers import reducer_hash
-    from ..sources.catalog import write_multiscales
-
-    write_multiscales(
-        path, spec.nlevels, tilesize, spec.base_w, spec.base_h,
-        reducer, reducer_hash(reducer),
-    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tiles0 = base_tiles_from_images(batch_df, G, spec).collect()
-        if not tiles0:
-            return
-        _write_tiles_filewise([r.asDict() for r in tiles0], path, 0)
-        _patch_ancestors(
-            spark, path, spec, reducer, [(r["tx"], r["ty"]) for r in tiles0]
+        keys0 = _write_tiles_distributed(
+            base_tiles_from_images(batch_df, G, spec), path, 0
         )
+        if not keys0:
+            return
+        _patch_ancestors(spark, path, spec, reducer, keys0)
+        # the interchange doc is committed only once >=1 micro-batch has
+        # actually landed tiles — open() on a just-started or first-batch-
+        # failed stream target must fail loudly, not advertise a level
+        # stack whose paths don't exist (ADVICE r3)
+        _commit_multiscales_once(path, spec, tilesize, reducer)
 
     stream = spark.readStream.schema(IMAGES_DDL).parquet(source_dir)
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -469,3 +469,32 @@ def test_streaming_ingest_encoded_formats(spark, tmp_path):
     np.testing.assert_array_equal(got0, base)
     got1 = assemble_level(spark, q_path, 1, spec)
     np.testing.assert_allclose(got1, oracle_levels(base, "mean", 1)[1], rtol=1e-12)
+
+
+def test_streaming_multiscales_deferred_to_first_commit(spark, tmp_path):
+    """The interchange doc lands only after >=1 successful micro-batch;
+    open() on a just-started/empty stream target fails loudly instead of
+    advertising levels whose paths don't exist (ADVICE r3). Tile bytes
+    never transit the driver: the write stage yields only integer keys."""
+    import os
+
+    from pyramidscheme_jl_spark.api import PyramidDataset
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_images
+
+    src = tmp_path / "ms_src"
+    src.mkdir()
+    q_path = str(tmp_path / "ms_pyr")
+    # empty source: availableNow stream terminates with zero committed rows
+    spark.createDataFrame([], IMAGES_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    ingest_images(spark, f"{src}/*", q_path, G=2).awaitTermination(120)
+    assert not os.path.exists(os.path.join(q_path, "_multiscales.json"))
+    with pytest.raises(Exception):
+        PyramidDataset.open(spark, q_path)
+
+    spark.createDataFrame(synth_images(G=2), IMAGES_DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b0"))
+    ingest_images(spark, f"{src}/*", q_path, G=2).awaitTermination(120)
+    assert os.path.exists(os.path.join(q_path, "_multiscales.json"))
+    ds = PyramidDataset.open(spark, q_path)
+    assert ds.spec.nlevels == 1

@@ -138,3 +138,29 @@ def test_cube_resume_and_reducer_guard(spark, tmp_path):
     np.testing.assert_allclose(got, _slice_oracle(0)[2], rtol=1e-12)
     with pytest.raises(ValueError, match="not\\s+decomposable|decomposable"):
         build_cube(spark, images, str(tmp_path / "c3"), G=4, reducer="mode")
+
+
+def test_cube_base_decodes_encoded_formats(spark, tmp_path):
+    """build_cube ingests every SUPPORTED_IMAGE_FMTS payload like the flat
+    build — png/jpeg rows must decode, not silently drop (ADVICE r3)."""
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_png
+
+    G = 2
+    rows = []
+    for t in range(2):
+        for r in synth_images(G=G):
+            arr = (np.frombuffer(r["bytes"], dtype=np.uint8) + np.uint8(7 * t)).reshape(256, 256)
+            i = int(r["image_id"].split("-")[1])
+            if (i + t) % 2 == 0:
+                rows.append({**r, "bytes": encode_png(arr), "fmt": "png", "t": t})
+            else:
+                rows.append({**r, "bytes": arr.tobytes(), "t": t})
+    images = spark.createDataFrame(rows, CUBE_DDL)
+    path = str(tmp_path / "enc_cube")
+    spec = build_cube(spark, images, path, G=G, reducer="mean", run_id="ec")
+    for t in range(2):
+        base = mosaic_pixels(G=G) + np.uint8(7 * t)
+        got0 = _assemble_cube_level(spark, path, 0, spec, t)
+        np.testing.assert_array_equal(got0, base)
+        got1 = _assemble_cube_level(spark, path, 1, spec, t)
+        np.testing.assert_allclose(got1, oracle_levels(base, "mean", 1)[1], rtol=1e-12)

@@ -620,3 +620,22 @@ def test_progressive_restart_identical_pixels(photo_rgb):
         decode_jpeg(encode_jpeg_progressive(odd, quality=95)),
         decode_jpeg(encode_jpeg_progressive(odd, quality=95, restart_interval=2)),
     )
+
+
+def test_build_accepts_exif_transposed_metadata(photo_gray):
+    """EXIF orientations 5-8 transpose the stored SOF dims during
+    uprighting; metadata recording the stored dims must still validate
+    (ADVICE r3), while a genuinely wrong-size decode still raises."""
+    from pyramidscheme_jl_spark.operators.build import _decode_payload
+
+    plain = encode_jpeg(photo_gray[:48, :80], quality=90)  # stored h=48 w=80
+    tagged = plain[:2] + _exif_app1(6) + plain[2:]  # upright (80, 48)
+    arr = _decode_payload(tagged, 80, 48, "jpeg", "img-x")  # metadata = stored dims
+    assert arr.shape == (80, 48)
+    # upright metadata is accepted too (writer recorded post-rotation dims)
+    assert _decode_payload(tagged, 48, 80, "jpeg", "img-x").shape == (80, 48)
+    # an actual size contradiction still raises, oriented or not
+    with pytest.raises(ValueError, match="contradicts metadata"):
+        _decode_payload(tagged, 33, 77, "jpeg", "img-x")
+    with pytest.raises(ValueError, match="contradicts metadata"):
+        _decode_payload(plain, 48, 80, "jpeg", "img-x")  # plain: w/h swapped is wrong

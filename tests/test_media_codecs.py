@@ -381,3 +381,40 @@ def test_on_error_skip_covers_bad_raw_metadata(spark):
     )
     feats = image_features(df, on_error="skip").collect()
     assert [r["image_id"] for r in feats] == ["ok"]
+
+
+def test_avi_deep_nesting_raises_value_error_not_recursion():
+    """A crafted deeply-nested LIST container hits the iterative depth cap
+    and raises ValueError per the corrupt-container contract (ADVICE r3:
+    the recursive walk raised RecursionError, outside the caught set)."""
+    import struct as _s
+
+    from pyramidscheme_jl_spark.functions.media_codecs import decode_avi_mjpeg
+
+    inner = b""
+    for _ in range(5000):
+        inner = b"LIST" + _s.pack("<I", len(inner) + 4) + b"rec " + inner
+    body = b"AVI " + inner
+    buf = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="nesting|no video frame"):
+        decode_avi_mjpeg(buf)
+
+
+def test_avi_nested_rec_lists_preserve_frame_order():
+    """Frames split between a bare chunk and a nested 'rec ' LIST decode in
+    file order (the iterative walk is depth-first like the old recursion)."""
+    import struct as _s
+
+    from pyramidscheme_jl_spark.functions.media_codecs import decode_avi_mjpeg
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + _s.pack("<I", len(payload)) + payload + pad
+
+    f1, f2, f3 = b"frame-one!", b"frame-two!", b"frame-three"
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", f2))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", f1) + rec + chunk(b"00dc", f3))
+    body = b"AVI " + movi
+    buf = b"RIFF" + _s.pack("<I", len(body)) + body
+    frames, _, _, _ = decode_avi_mjpeg(buf)
+    assert frames == [f1, f2, f3]
