@@ -240,17 +240,53 @@ def quantized_centroids(centroids: np.ndarray) -> np.ndarray:
     return np.floor(centroids * QUANT + 0.5).astype(np.int64)
 
 
-def _assign_udf(qcent: np.ndarray):
-    """qvec -> nearest-centroid list id via one exact int64 matmul per batch."""
-    c_t = qcent.T
+def _packed_centroid_scores_sql(qcent: np.ndarray, qvec_col: str) -> str:
+    """SQL text for the per-centroid distance scores ``|c_j|^2 - 2 q.c_j``
+    packed as ``score * nlist + j`` so ties resolve to the lowest list id
+    exactly (VERDICT r3 #4: keeps the 10^12-row data-side scan free of
+    ArrowEvalPython stages).
+
+    Two deliberate choices, both measured on this shape (nlist=16, dim=64):
+
+    - unrolled ``qvec[i] * c`` multiply-add chains, NOT aggregate/zip_with —
+      the higher-order functions are CodegenFallback (interpreted per
+      element, ~3x slower end-to-end); plain element access + arithmetic
+      stays inside whole-stage codegen, and zero-weight terms are dropped
+      at plan-build time;
+    - ONE generated SQL string parsed JVM-side via ``F.expr``, NOT Column
+      algebra — building the same ~1000-term tree from Python Columns costs
+      ~12 s of py4j round-trips per query construction; the parser does it
+      in milliseconds.
+    """
+    nlist, dim = qcent.shape
     c_norm = (qcent * qcent).sum(axis=1)
+    parts = []
+    for j in range(nlist):
+        terms = " + ".join(
+            f"{qvec_col}[{i}] * {int(qcent[j, i])}L"
+            for i in range(dim)
+            if qcent[j, i] != 0
+        ) or "0L"
+        parts.append(f"({int(c_norm[j])}L - 2L * ({terms})) * {nlist}L + {j}L")
+    return "array(" + ", ".join(parts) + ")"
 
-    @F.pandas_udf("int")
-    def assign(qv: pd.Series) -> pd.Series:
-        m = np.array(qv.tolist(), dtype=np.int64)
-        return pd.Series((c_norm[None, :] - 2 * (m @ c_t)).argmin(axis=1).astype(np.int32))
 
-    return assign
+def _assign_expr(qcent: np.ndarray, qvec_col: str = "qvec"):
+    """qvec -> nearest-centroid list id, pure JVM (first-minimum = lowest
+    list id, matching np.argmin semantics; pmod because packed scores go
+    negative and Spark ``%`` is remainder)."""
+    packed = _packed_centroid_scores_sql(qcent, qvec_col)
+    return F.expr(f"cast(pmod(array_min({packed}), {len(qcent)}) as int)")
+
+
+def _probe_lists_expr(qcent: np.ndarray, nprobe: int, qvec_col: str = "qvec"):
+    """qvec -> the nprobe nearest list ids in distance order, pure JVM
+    (sorted packed scores; unique packing makes the order total)."""
+    packed = _packed_centroid_scores_sql(qcent, qvec_col)
+    return F.expr(
+        f"transform(slice(array_sort({packed}), 1, {int(nprobe)}), "
+        f"v -> cast(pmod(v, {len(qcent)}) as int))"
+    )
 
 
 def ivf_topk(
@@ -283,28 +319,17 @@ def ivf_topk(
     )
     centroids = train_ivf_centroids(np.array(sample, dtype=np.float64), nlist, seed)
     qcent = quantized_centroids(centroids)
-    assign = _assign_udf(qcent)
+    # data-side assignment + query-side probing are pure JVM array exprs
+    # (VERDICT r3 #4): the corpus scan carries no ArrowEvalPython stage
     d = quantized(data, vec_col).select(
         F.col(id_col).alias("n_id"),
         F.col("qvec").alias("n_qvec"),
-        assign(F.col("qvec")).alias("list_id"),
+        _assign_expr(qcent).alias("list_id"),
     )
-    # query side: nprobe nearest lists (same exact int metric, stable order)
-    c_t = qcent.T
-    c_norm = (qcent * qcent).sum(axis=1)
-    np_ = int(nprobe)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(qv: pd.Series) -> pd.Series:
-        m = np.array(qv.tolist(), dtype=np.int64)
-        d2 = c_norm[None, :] - 2 * (m @ c_t)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :np_].astype(np.int32)
-        return pd.Series(list(order))
-
     q = quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_qvec"),
-        F.explode(probe_lists(F.col("qvec"))).alias("list_id"),
+        F.explode(_probe_lists_expr(qcent, int(nprobe))).alias("list_id"),
     )
     scored = (
         d.join(q, "list_id")
