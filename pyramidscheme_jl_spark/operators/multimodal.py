@@ -9,7 +9,8 @@ image decoders, a RIFF/PCM WAV audio decoder, a real **PNG** decoder
 SOF2, 4:4:4/4:2:2/4:2:0, restart intervals, EXIF orientation uprighting,
 Adobe CMYK/YCCK->RGB; corrupt streams always raise ValueError —
 fuzz-pinned), and MJPEG-AVI demux for frame sampling. Only inter-frame
-video codecs (mp4/H.264) remain stubbed behind ``NotImplementedError``
+inter-frame video codecs (H.264/HEVC payloads) remain stubbed behind
+``NotImplementedError`` (the mp4 container itself is fully demuxed)
 (they need ffmpeg; a deterministic fake exercises the pipeline shape).
 Dropping in faster native codecs later means registering them — no plan
 shape changes. Row-level tolerance: ``on_error='skip'`` on
@@ -67,7 +68,7 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str, deterministic_fake: bool 
     decode for real (png: stdlib zlib inflate + numpy un-filtering; jpeg:
     pure-numpy codec in ``functions/jpeg.py`` — baseline + progressive,
     Huffman tables read from the file, all block math vectorized, EXIF
-    orientation applied); only video containers (mp4) remain stubbed.
+    orientation applied); only inter-frame video payloads remain stubbed.
 
     Returns ``(h, w)`` grayscale or ``(h, w, c)`` uint8. For the real
     file formats, shape comes from the file header (the bytes are the
@@ -348,15 +349,17 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     Two container paths, dispatched per row on the optional ``fmt`` column:
 
-    - ``fmt='avi'`` — REAL demux: MJPEG-in-AVI (the one mainstream video
-      format with no inter-frame codec) via the pure-struct RIFF walker in
-      ``functions/media_codecs.py``; each sampled frame is decoded with the
-      baseline-JPEG codec and emitted as raw pixels. ``every_n`` applies to
-      the container's frame sequence.
+    - ``fmt='avi'`` — REAL demux: MJPEG-in-AVI via the pure-struct RIFF
+      walker in ``functions/media_codecs.py``; each sampled frame is
+      decoded with the baseline-JPEG codec and emitted as raw pixels.
+      ``every_n`` applies to the container's frame sequence.
+    - ``fmt='mp4'`` — REAL demux: ISO BMFF sample tables (stsd/stsc/stsz/
+      stco) for MJPEG ('jpeg') and uncompressed ('raw ') sample entries;
+      inter-frame payloads (avc1/hev1/...) raise NotImplementedError —
+      the entropy decode needs ffmpeg, the CONTAINER is fully parsed.
     - anything else (or no ``fmt`` column) — the stub container (binary =
       concatenation of fixed-size raw frames; ``w``/``h``/``n_frames``
-      from metadata). Inter-frame codecs (H.264/mp4) need ffmpeg and slot
-      in here.
+      from metadata).
 
     Expected input columns: (media_id, bytes, w, h, n_frames[, fmt]).
     """
@@ -364,7 +367,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     def gen(batches):
         from ..functions.jpeg import decode_jpeg
-        from ..functions.media_codecs import decode_avi_mjpeg
+        from ..functions.media_codecs import decode_avi_mjpeg, decode_mp4_video
 
         for pdf in batches:
             rows = []
@@ -372,17 +375,26 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             for mid, buf, w, h, n, fmt in zip(
                 pdf["media_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["n_frames"], fmts
             ):
-                if fmt == "avi":
-                    jpegs, _, _, _ = decode_avi_mjpeg(bytes(buf))
-                    for i in range(0, len(jpegs), every_n):
-                        arr = decode_jpeg(jpegs[i])
+                if fmt in ("avi", "mp4"):
+                    if fmt == "avi":
+                        payloads, _, _, _ = decode_avi_mjpeg(bytes(buf))
+                        codec = "jpeg"
+                    else:
+                        payloads, cw, ch, _, codec = decode_mp4_video(bytes(buf))
+                    for i in range(0, len(payloads), every_n):
+                        if codec == "jpeg":
+                            arr = decode_jpeg(payloads[i])
+                            fb = np.ascontiguousarray(arr).tobytes()
+                            fw, fh = int(arr.shape[1]), int(arr.shape[0])
+                        else:  # raw sample entry: tightly packed plane
+                            fb, fw, fh = bytes(payloads[i]), int(cw), int(ch)
                         rows.append(
                             {
                                 "media_id": mid,
                                 "frame_index": i,
-                                "bytes": np.ascontiguousarray(arr).tobytes(),
-                                "w": int(arr.shape[1]),
-                                "h": int(arr.shape[0]),
+                                "bytes": fb,
+                                "w": fw,
+                                "h": fh,
                             }
                         )
                     continue

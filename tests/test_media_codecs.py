@@ -418,3 +418,93 @@ def test_avi_nested_rec_lists_preserve_frame_order():
     buf = b"RIFF" + _s.pack("<I", len(body)) + body
     frames, _, _, _ = decode_avi_mjpeg(buf)
     assert frames == [f1, f2, f3]
+
+
+def test_mp4_mux_demux_roundtrip():
+    from pyramidscheme_jl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from pyramidscheme_jl_spark.functions.media_codecs import (
+        decode_mp4_video,
+        encode_mp4_video,
+    )
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, size=(32, 48)).astype(np.uint8) for _ in range(5)]
+    jpegs = [encode_jpeg(im, quality=92) for im in imgs]
+    buf = encode_mp4_video(jpegs, 48, 32, fps=24, codec="jpeg")
+    frames, w, h, fps, codec = decode_mp4_video(buf)
+    assert (w, h, codec) == (48, 32, "jpeg") and abs(fps - 24) < 1e-9
+    assert frames == jpegs
+    np.testing.assert_array_equal(decode_jpeg(frames[3]), decode_jpeg(jpegs[3]))
+
+    raw = [im.tobytes() for im in imgs]
+    buf2 = encode_mp4_video(raw, 48, 32, fps=30, codec="raw")
+    frames2, w2, h2, _, codec2 = decode_mp4_video(buf2)
+    assert frames2 == raw and (w2, h2, codec2) == (48, 32, "raw")
+
+
+def test_mp4_avc1_payload_raises_not_implemented():
+    """The container parses; the inter-frame codec is the documented stub."""
+    import struct as _s
+
+    from pyramidscheme_jl_spark.functions.media_codecs import (
+        decode_mp4_video,
+        encode_mp4_video,
+    )
+
+    buf = bytearray(encode_mp4_video([b"xx"], 4, 4, codec="jpeg"))
+    i = bytes(buf).find(b"jpeg", bytes(buf).find(b"stsd"))
+    buf[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_video(bytes(buf))
+
+
+def test_mp4_corrupt_containers_raise_value_error():
+    import struct as _s
+
+    from pyramidscheme_jl_spark.functions.media_codecs import (
+        decode_mp4_video,
+        encode_mp4_video,
+    )
+
+    good = encode_mp4_video([b"abcd", b"efgh"], 2, 2, codec="raw")
+    for bad in (
+        b"",
+        b"\x00\x00\x00\x08ftyp"[:6],
+        good[: len(good) // 2],                      # truncated moov
+        good.replace(b"stsz", b"zzzz", 1),           # missing required table
+        b"\x00\x00\x00\x10mdat" + b"\x00" * 8,       # no moov at all
+    ):
+        with pytest.raises(ValueError):
+            decode_mp4_video(bad)
+    # stsz pointing past EOF
+    bad = bytearray(good)
+    i = bytes(bad).find(b"stsz")
+    _s.pack_into(">I", bad, i + 12, 1 << 30)  # fixed sample_size huge
+    with pytest.raises(ValueError):
+        decode_mp4_video(bytes(bad))
+
+
+def test_sample_frames_mp4_spark(spark):
+    from pyramidscheme_jl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from pyramidscheme_jl_spark.functions.media_codecs import encode_mp4_video
+    from pyramidscheme_jl_spark.operators.multimodal import sample_frames
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, size=(16, 24)).astype(np.uint8) for _ in range(6)]
+    jpegs = [encode_jpeg(im, quality=95) for im in imgs]
+    mp4 = encode_mp4_video(jpegs, 24, 16, codec="jpeg")
+    raw_mp4 = encode_mp4_video([im.tobytes() for im in imgs], 24, 16, codec="raw")
+    ddl = "media_id string, bytes binary, w int, h int, n_frames int, fmt string"
+    df = spark.createDataFrame(
+        [("vj", mp4, 24, 16, 6, "mp4"), ("vr", raw_mp4, 24, 16, 6, "mp4")], ddl
+    )
+    out = {(r["media_id"], r["frame_index"]): r for r in sample_frames(df, every_n=2).collect()}
+    assert sorted(out) == [("vj", 0), ("vj", 2), ("vj", 4), ("vr", 0), ("vr", 2), ("vr", 4)]
+    for i in (0, 2, 4):
+        rj = out[("vj", i)]
+        np.testing.assert_array_equal(
+            np.frombuffer(rj["bytes"], np.uint8).reshape(rj["h"], rj["w"]),
+            decode_jpeg(jpegs[i]),
+        )
+        rr = out[("vr", i)]
+        assert rr["bytes"] == imgs[i].tobytes() and (rr["w"], rr["h"]) == (24, 16)
