@@ -8,10 +8,10 @@ image decoders, a RIFF/PCM WAV audio decoder, a real **PNG** decoder
 (``functions/jpeg.py``: baseline sequential + multi-SOS + progressive
 SOF2, 4:4:4/4:2:2/4:2:0, restart intervals, EXIF orientation uprighting,
 Adobe CMYK/YCCK->RGB; corrupt streams always raise ValueError —
-fuzz-pinned), and MJPEG-AVI demux for frame sampling. Only inter-frame
-inter-frame video codecs (H.264/HEVC payloads) remain stubbed behind
-``NotImplementedError`` (the mp4 container itself is fully demuxed)
-(they need ffmpeg; a deterministic fake exercises the pipeline shape).
+fuzz-pinned), and MJPEG-AVI + mp4 (ISO BMFF) demux for frame sampling.
+Only inter-frame video codecs (H.264/HEVC payloads) remain stubbed
+behind ``NotImplementedError`` — the mp4 container itself is fully
+demuxed (they need ffmpeg; a deterministic fake exercises the shape).
 Dropping in faster native codecs later means registering them — no plan
 shape changes. Row-level tolerance: ``on_error='skip'`` on
 features/transcode drops undecodable rows instead of failing the job.
