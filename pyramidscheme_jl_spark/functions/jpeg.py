@@ -1252,7 +1252,6 @@ class _ProgState:
             luts.append(hufftables[key].packed)
 
         scan_bytes, next_pos = _find_scan_end(buf, pos)
-        bits = _PBits(scan_bytes)
 
         # unit iteration: MCUs for interleaved DC scans, single blocks for
         # non-interleaved scans (T.81 G: AC scans are never interleaved)
@@ -1267,8 +1266,30 @@ class _ProgState:
             # corrupt SOF dims would otherwise loop over phantom blocks
             raise ValueError("scan data too short for the declared frame size")
 
+        if not dc_scan:
+            # AC scans run as restart-marker segments through the inlined
+            # hot loops below; eobrun resets at each restart (T.81 G.1.2)
+            ci = cis[0]
+            bw, bwn = self.bw[ci], self.bwn[ci]
+            seg_fn = _ac_first_segment if ah == 0 else _ac_refine_segment
+            seg_len = restart_interval if restart_interval else units
+            unit = 0
+            while unit < units:
+                if unit:
+                    if next_pos + 1 < len(buf) and 0xD0 <= buf[next_pos + 1] <= 0xD7:
+                        scan_bytes, next_pos = _find_scan_end(buf, next_pos + 2)
+                    else:
+                        raise ValueError("missing restart marker")
+                n_seg = min(seg_len, units - unit)
+                blocks = [
+                    (u // bwn) * bw + (u % bwn) for u in range(unit, unit + n_seg)
+                ]
+                seg_fn(scan_bytes, self.zz[ci], luts[0], blocks, ss, se, al)
+                unit += n_seg
+            return next_pos
+
+        bits = _PBits(scan_bytes)
         preds = [0] * len(cis)
-        eobrun = 0
         unit = 0
         while unit < units:
             if restart_interval and unit and unit % restart_interval == 0:
@@ -1276,7 +1297,6 @@ class _ProgState:
                     scan_bytes, next_pos = _find_scan_end(buf, next_pos + 2)
                     bits = _PBits(scan_bytes)
                     preds = [0] * len(cis)
-                    eobrun = 0
                 else:
                     raise ValueError("missing restart marker")
             if interleaved:
@@ -1293,18 +1313,9 @@ class _ProgState:
                 ci = cis[0]
                 by, bx = divmod(unit, self.bwn[ci])
                 bidx = by * self.bw[ci] + bx
-                if dc_scan:
-                    preds[0] = self._dc_block(
-                        bits, self.zz[ci], bidx, luts[0], preds[0], ah, al
-                    )
-                elif ah == 0:
-                    eobrun = self._ac_first_block(
-                        bits, self.zz[ci], bidx, luts[0], ss, se, al, eobrun
-                    )
-                else:
-                    eobrun = self._ac_refine_block(
-                        bits, self.zz[ci], bidx, luts[0], ss, se, al, eobrun
-                    )
+                preds[0] = self._dc_block(
+                    bits, self.zz[ci], bidx, luts[0], preds[0], ah, al
+                )
             unit += 1
         return next_pos
 
@@ -1390,80 +1401,212 @@ class _ProgState:
                 zzc[bidx, 0] |= 1 << al
         return pred
 
-    @staticmethod
-    def _ac_first_block(bits, zzc, bidx, lut, ss, se, al, eobrun) -> int:
+    # NOTE: per-block AC decode lives in the module-level
+    # _ac_first_segment/_ac_refine_segment functions (bit reader inlined
+    # as locals — the method-call-per-bit version measured ~1.5x slower
+    # end-to-end on refine-heavy progressive files).
+
+
+def _ac_first_segment(data, zzc, lut, blocks, ss, se, al):
+    """AC first scan (T.81 G.1.2.2) for one restart segment. The bit
+    reader lives in locals (pos/acc/nbits) — ~200k method calls per image
+    otherwise. Semantics identical to the former _ac_first_block."""
+    n = len(data)
+    pos = acc = nbits = 0
+    eobrun = 0
+    for bidx in blocks:
         if eobrun > 0:
-            return eobrun - 1
+            eobrun -= 1
+            continue
         row = zzc[bidx]
         k = ss
         while k <= se:
-            rs = bits.huff(lut)
+            while nbits < 16:  # huff decode via the 16-bit prefix LUT
+                if pos < n:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                else:
+                    acc <<= 8
+                nbits += 8
+            v = lut[(acc >> (nbits - 16)) & 0xFFFF]
+            length = v >> 8
+            if length == 0:
+                raise ValueError("invalid Huffman code in progressive scan")
+            nbits -= length
+            acc &= (1 << nbits) - 1
+            rs = v & 0xFF
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r < 15:  # EOBn: run of (1<<r)-1 MORE all-zero bands
-                    return (1 << r) - 1 + (bits.read(r) if r else 0)
+                    if r:
+                        while nbits < r:
+                            if pos < n:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                            else:
+                                acc <<= 8
+                            nbits += 8
+                        ext = (acc >> (nbits - r)) & ((1 << r) - 1)
+                        nbits -= r
+                        acc &= (1 << nbits) - 1
+                    else:
+                        ext = 0
+                    eobrun = (1 << r) - 1 + ext
+                    break
                 k += 16  # ZRL
                 continue
             k += r
             if k > se:
                 raise ValueError("AC run past end of band")
-            row[k] = _recv_extend(bits, s) << al
-            k += 1
-        return 0
-
-    @staticmethod
-    def _ac_refine_block(bits, zzc, bidx, lut, ss, se, al, eobrun) -> int:
-        """T.81 G.1.2.3 correction-bit algorithm (libjpeg jdphuff
-        decode_mcu_AC_refine semantics). The correction walk touches up to
-        63 coefficients per block — it runs on a Python-list view of the
-        row (numpy scalar indexing measured ~3x the whole-block cost)."""
-        p1 = 1 << al
-        m1 = -1 << al
-        row = zzc[bidx]
-        vals = row.tolist()
-        huff = bits.huff
-        read = bits.read
-        k = ss
-        if eobrun == 0:
-            while k <= se:
-                rs = huff(lut)
-                r, s = rs >> 4, rs & 0x0F
-                newval = 0
-                if s == 0:
-                    if r < 15:  # EOBn: includes THIS block
-                        eobrun = (1 << r) + (read(r) if r else 0)
-                        break
-                    # r == 15: ZRL — advance over 16 zero-history coeffs
+            while nbits < s:  # receive + extend
+                if pos < n:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
                 else:
-                    if s != 1:
-                        raise ValueError("invalid refinement symbol")
-                    newval = p1 if read(1) else m1
-                # advance over r zero-history coefficients, emitting
-                # correction bits for every nonzero-history one passed
-                while k <= se:
-                    v = vals[k]
-                    if v:
-                        if read(1) and (v & p1) == 0:
-                            vals[k] = v + (p1 if v > 0 else m1)
+                    acc <<= 8
+                nbits += 8
+            val = (acc >> (nbits - s)) & ((1 << s) - 1)
+            nbits -= s
+            acc &= (1 << nbits) - 1
+            if val < 1 << (s - 1):
+                val += 1 - (1 << s)
+            row[k] = val << al
+            k += 1
+    return None
+
+
+def _ac_refine_segment(data, zzc, lut, blocks, ss, se, al):
+    """AC refinement scan (T.81 G.1.2.3, libjpeg jdphuff
+    decode_mcu_AC_refine semantics) for one restart segment.
+
+    Hot-path layout: bit reader in locals; the correction walk runs on a
+    Python-list view of the row (numpy scalar indexing measured ~3x the
+    whole-block cost); blocks fully covered by an EOB run touch only
+    their nonzero coefficients via flatnonzero — no tolist at all."""
+    n = len(data)
+    pos = acc = nbits = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    eobrun = 0
+    for bidx in blocks:
+        row = zzc[bidx]
+        if eobrun > 0:
+            # whole block inside the EOB run: one correction bit per
+            # nonzero-history coefficient in the band, nothing else
+            nz = np.flatnonzero(row[ss : se + 1])
+            for k in nz.tolist():
+                k += ss
+                v = int(row[k])
+                if not nbits:
+                    if pos < n:
+                        acc = data[pos]
+                        pos += 1
                     else:
-                        if r == 0:
-                            break
-                        r -= 1
-                    k += 1
-                if newval and k <= se:
-                    vals[k] = newval
+                        acc = 0
+                    nbits = 8
+                nbits -= 1
+                bit = (acc >> nbits) & 1
+                acc &= (1 << nbits) - 1
+                if bit and (v & p1) == 0:
+                    row[k] = v + (p1 if v > 0 else m1)
+            eobrun -= 1
+            continue
+        vals = row.tolist()
+        k = ss
+        while k <= se:
+            while nbits < 16:  # huff
+                if pos < n:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                else:
+                    acc <<= 8
+                nbits += 8
+            v = lut[(acc >> (nbits - 16)) & 0xFFFF]
+            length = v >> 8
+            if length == 0:
+                raise ValueError("invalid Huffman code in progressive scan")
+            nbits -= length
+            acc &= (1 << nbits) - 1
+            rs = v & 0xFF
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:  # EOBn: includes THIS block
+                    if r:
+                        while nbits < r:
+                            if pos < n:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                            else:
+                                acc <<= 8
+                            nbits += 8
+                        ext = (acc >> (nbits - r)) & ((1 << r) - 1)
+                        nbits -= r
+                        acc &= (1 << nbits) - 1
+                    else:
+                        ext = 0
+                    eobrun = (1 << r) + ext
+                    break
+                # r == 15: ZRL — advance over 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement symbol")
+                if not nbits:
+                    if pos < n:
+                        acc = data[pos]
+                        pos += 1
+                    else:
+                        acc = 0
+                    nbits = 8
+                nbits -= 1
+                newval = p1 if (acc >> nbits) & 1 else m1
+                acc &= (1 << nbits) - 1
+            # advance over r zero-history coefficients, emitting
+            # correction bits for every nonzero-history one passed
+            while k <= se:
+                v = vals[k]
+                if v:
+                    if not nbits:
+                        if pos < n:
+                            acc = data[pos]
+                            pos += 1
+                        else:
+                            acc = 0
+                        nbits = 8
+                    nbits -= 1
+                    bit = (acc >> nbits) & 1
+                    acc &= (1 << nbits) - 1
+                    if bit and (v & p1) == 0:
+                        vals[k] = v + (p1 if v > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
                 k += 1
+            if newval and k <= se:
+                vals[k] = newval
+            k += 1
         if eobrun > 0:
             # correct every remaining nonzero coefficient in the band
             while k <= se:
                 v = vals[k]
                 if v:
-                    if read(1) and (v & p1) == 0:
+                    if not nbits:
+                        if pos < n:
+                            acc = data[pos]
+                            pos += 1
+                        else:
+                            acc = 0
+                        nbits = 8
+                    nbits -= 1
+                    bit = (acc >> nbits) & 1
+                    acc &= (1 << nbits) - 1
+                    if bit and (v & p1) == 0:
                         vals[k] = v + (p1 if v > 0 else m1)
                 k += 1
             eobrun -= 1
         row[:] = vals
-        return eobrun
+    return None
 
 
 # ---------------------------------------------------------------------------
