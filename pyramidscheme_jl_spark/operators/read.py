@@ -176,6 +176,32 @@ def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFra
     return tiles.mapInPandas(gen, TILE_SCHEMA)
 
 
+#: stats predicate per threshold op: which tiles CAN contain a hit.
+#: Conservative by construction (vmin/vmax bound every pixel, build.py);
+#: NaN-only tiles have NULL-comparing stats and are skipped — their masks
+#: would be all-zero anyway (NaN compares false elementwise).
+_STATS_PRUNE = {
+    "gt": lambda s: F.col("vmax") > s,
+    "lt": lambda s: F.col("vmin") < s,
+}
+
+
+def prune_tiles_by_stats(tiles: DataFrame, op: str, scalar: float) -> DataFrame:
+    """Skip tiles that cannot satisfy a threshold query, WITHOUT decoding.
+
+    The per-tile ``vmin``/``vmax`` stats columns (written by the build,
+    operators/build.py) are plain parquet columns, so this predicate is
+    pushed into the scan (``PushedFilters``) and row-group min/max stats
+    skip whole chunks of the level — the F4 threshold query never reads
+    the pixel bytes of a tile it can prove empty. Compose with
+    ``map_tiles(op, scalar)`` for the exact elementwise mask over the
+    surviving candidates; pruned tiles are guaranteed all-zero masks.
+    """
+    if op not in _STATS_PRUNE:
+        raise KeyError(f"no stats prune for op {op!r}; have {sorted(_STATS_PRUNE)}")
+    return tiles.where(_STATS_PRUNE[op](float(scalar)))
+
+
 def _max_levels(a: DataFrame, b: DataFrame) -> tuple[int, int]:
     """Both sides' max(z) in ONE Spark job (two tiny aggregates unioned)."""
     rows = a.agg(F.max("z")).unionAll(b.agg(F.max("z"))).collect()

@@ -62,6 +62,24 @@ def main() -> None:
     out.write("```\n\n")
     shutil.rmtree(tmp2, ignore_errors=True)
 
+    # 1c) F4 threshold tile skipping: stats predicate pushed to the scan
+    from pyramidscheme_jl_spark.operators.read import prune_tiles_by_stats
+
+    tmp3 = tempfile.mkdtemp()
+    build_pyramid(spark, images, tmp3 + "/p", G=4, run_id="plans3")
+    pr = prune_tiles_by_stats(read_level(spark, tmp3 + "/p", 0), "gt", 200.0)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    out.write(
+        "## F4 threshold tile skip (prune_tiles_by_stats, vmax > 200)\n\n"
+        "The per-tile stats predicate reaches the parquet scan — row-group\n"
+        "min/max stats skip tiles whose pixel bytes are then never read:\n\n```\n"
+    )
+    for line in plan.splitlines():
+        if any(k in line for k in ("FileScan", "PushedFilters", "ReadSchema")):
+            out.write(line.strip()[:400] + "\n")
+    out.write("```\n\n")
+    shutil.rmtree(tmp3, ignore_errors=True)
+
     # 2) key relational queries: broadcast + codegen + python-free evidence
     for name in (
         "block_agg_mean",
