@@ -216,6 +216,116 @@ def _patch_ancestors(
         keys = parents
 
 
+def _children_of_cube(
+    level_df: DataFrame, parents: list[tuple[int, int, int]]
+) -> DataFrame:
+    """Cube variant of ``_children_of``: parents are ``(t, px, py)``.
+
+    Same two-tier filter — source-pushable IN-lists on the plain t/tx/ty
+    columns (parquet min/max row-group skipping), then the exact packed
+    ``(t, parent)`` membership test JVM-side on the survivors."""
+    ts = sorted({t for t, _, _ in parents})
+    txs = sorted({2 * px + dx for _, px, _ in parents for dx in (0, 1)})
+    tys = sorted({2 * py + dy for _, _, py in parents for dy in (0, 1)})
+    packed = [(t << 42) | (px << 21) | py for t, px, py in parents]
+    pushable = (
+        F.col("t").isin(ts) & F.col("tx").isin(txs) & F.col("ty").isin(tys)
+    )
+    pair = (
+        F.shiftleft(F.col("t").cast("long"), 42)
+        .bitwiseOR(F.shiftleft(F.shiftright("tx", 1).cast("long"), 21))
+        .bitwiseOR(F.shiftright("ty", 1).cast("long"))
+    )
+    return level_df.where(pushable).where(pair.isin(packed))
+
+
+def _repair_parents_cube(spec: PyramidSpec, z: int, reducer: str):
+    """Grouped recompute keyed by (t, ptx, pty): one t-slice's parent."""
+    from ..operators.cube import CUBE_TILE_SCHEMA  # noqa: F401 (schema used by caller)
+
+    flat = _repair_parents(spec, z, reducer)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = int(key[0])
+        out = flat((key[1], key[2]), pdf)
+        out.insert(0, "t", np.int32(t))
+        return out
+
+    return fn
+
+
+def _patch_ancestors_cube(
+    spark: SparkSession,
+    path: str,
+    spec: PyramidSpec,
+    reducer: str,
+    base_keys: list[tuple[int, int, int]],
+) -> None:
+    """Cube ancestor patch: identical shape to ``_patch_ancestors`` with
+    ``t`` riding every key (it joins the group-by, never the values —
+    the pass-through-dim semantics, incrementally)."""
+    from ..operators.cube import CUBE_TILE_SCHEMA, read_cube_level
+
+    keys = base_keys
+    for z in range(1, spec.nlevels + 1):
+        parents = sorted({(t, tx >> 1, ty >> 1) for t, tx, ty in keys})
+        if not parents:
+            return
+        children = _children_of_cube(read_cube_level(spark, path, z - 1), parents)
+        rebuilt = children.groupBy(
+            "t",
+            F.shiftright("tx", 1).alias("ptx"),
+            F.shiftright("ty", 1).alias("pty"),
+        ).applyInPandas(_repair_parents_cube(spec, z, reducer), CUBE_TILE_SCHEMA)
+        _write_tiles_distributed(rebuilt, path, z, t_col="t")
+        keys = parents
+
+
+def ingest_cube_images(
+    spark: SparkSession,
+    source_dir: str,
+    path: str,
+    G,
+    reducer: str = "mean",
+    tilesize: int = 256,
+    t_col: str = "t",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming build of an (x, y, t) cube (VERDICT r3 #8): the batch
+    path's ``build_cube`` semantics, incrementally — each micro-batch of
+    image rows (input_hint schema + integer ``t_col``) appends its base
+    tiles and patches exactly the ancestors of the touched
+    ``(t, tx, ty)`` keys. All tile writes happen on executors."""
+    from ..functions.reducers import is_decomposable, reducer_name
+    from ..operators.cube import base_cube_tiles
+
+    if not is_decomposable(reducer):
+        raise ValueError(
+            f"streaming cube ingest is recursive; reducer "
+            f"{reducer_name(reducer)!r} is not decomposable"
+        )
+    gx, gy = _grid_dims(G)
+    spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys0 = _write_tiles_distributed(
+            base_cube_tiles(batch_df, G, spec, t_col), path, 0, t_col="t"
+        )
+        if not keys0:
+            return
+        _patch_ancestors_cube(spark, path, spec, reducer, keys0)
+        _commit_multiscales_once(path, spec, tilesize, reducer)
+
+    stream = spark.readStream.schema(IMAGES_DDL + f", {t_col} int").parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir or f"{path}/_stream_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _commit_multiscales_once(
     path: str, spec: PyramidSpec, tilesize: int, reducer: str
 ) -> None:
