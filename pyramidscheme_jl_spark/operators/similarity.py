@@ -140,10 +140,13 @@ def lsh_bucket(
 
         # The bits x dim projection is ~1000 multiply-adds per row: Spark's
         # higher-order functions (aggregate/zip_with) are NOT whole-stage-
-        # codegen'd, so an expression formulation runs interpreted per
-        # element (measured ~1 ms/row). One Arrow-batched int64 matmul does
-        # the same exact arithmetic vectorized — here Python IS the fast
-        # path, and exactness is preserved (int64 matmul, no floats).
+        # codegen'd (interpreted, measured ~1 ms/row), and even the
+        # unrolled generated-SQL codegen formulation (the trick that closed
+        # the IVF assign stage, ivf_topk below) measured 1.7x SLOWER here
+        # at sf0.1 — 16 comparisons over 64-term scalar add chains lose to
+        # one BLAS int64 matmul when the projection dominates the query.
+        # Here Python IS the fast path, and exactness is preserved
+        # (int64 matmul, no floats).
         @F.pandas_udf("long")
         def bucket_udf(qv: pd.Series) -> pd.Series:
             m = np.array(qv.tolist(), dtype=np.int64)  # (n, dim)
