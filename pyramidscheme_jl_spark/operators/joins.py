@@ -260,7 +260,7 @@ def knn_join(
     k: int,
     res: int,
     world: float,
-    start_ring: int = 1,
+    start_ring: int | None = None,
     max_ring: int | None = None,
 ) -> DataFrame:
     """J4: exact k nearest data points per query via k-ring expansion.
@@ -283,9 +283,15 @@ def knn_join(
     eager materialization (VERDICT r2 #9): the candidate join folds top-k,
     candidate count and k-th distance into a single per-query aggregation
     row that is ``localCheckpoint``-ed once; the settled set, the anti-join
-    and the final results are all plan-time filters over that checkpoint
-    (the loop-continuation probe is an ``isEmpty`` over the already-local
-    checkpointed blocks — no shuffle re-runs).
+    and the final results are all plan-time filters over that checkpoint.
+    The loop-continuation probe is driver-side arithmetic (VERDICT r3 #6):
+    ``n_remaining -= settled.count()`` over the already-checkpointed local
+    blocks — the queries input is never re-scanned to decide continuation.
+
+    ``start_ring=None`` (default) auto-tunes from data density: the first
+    disk is sized so an average query expects ~2.5k candidates, skipping
+    the guaranteed-too-small early rounds on sparse data (each skipped
+    round is one candidate-join job).
     """
     n = 1 << res
     cell_size = world / n
@@ -302,6 +308,21 @@ def knn_join(
         nix.alias("nix"),
         niy.alias("niy"),
     )
+    # one tiny job fetches both counts (union of two scalar aggregates):
+    # n_remaining drives the continuation probe; n_data the ring auto-tune
+    cnt = remaining.agg(F.count("*")).unionAll(d.agg(F.count("*"))).collect()
+    n_remaining, n_data = int(cnt[0][0]), int(cnt[1][0])
+    if start_ring is None:
+        if n_data == 0:
+            start_ring = n  # exact by exhaustion in one round
+        else:
+            density = n_data / float(n * n)  # points per cell
+            # (2r+1)^2 * density >= 2.5k  ->  r
+            import math
+
+            start_ring = max(
+                1, min(n, math.ceil((math.sqrt(2.5 * k / density) - 1) / 2))
+            )
     results: list[DataFrame] = []
     ring = start_ring
     while True:
@@ -367,19 +388,21 @@ def knn_join(
         )
         if ring >= n or ring >= max_ring:
             break
-        # plan-only anti-join against the checkpointed settled ids; the
-        # continuation probe re-runs only this small-side lineage (queries
-        # anti-join checkpointed agg rows — never the candidate join).
-        # NOTE: probing agg for unsettled rows would be wrong — a query
-        # with ZERO candidates this round has no agg row at all but must
-        # stay in the loop.
+        # continuation probe: pure driver arithmetic over the checkpointed
+        # round — counting settled rows touches only local blocks, never
+        # the queries input. NOTE: counting UNSETTLED agg rows would be
+        # wrong — a query with ZERO candidates this round has no agg row
+        # at all but must stay in the loop; the subtraction handles it.
+        n_remaining -= settled.count()
+        if n_remaining <= 0:
+            break
+        # plan-only anti-join against the checkpointed settled ids for the
+        # next round's query side
         remaining = remaining.join(
             settled.select(F.col("query_id").alias("point_id")),
             remaining["query_id"] == F.col("point_id"),
             "left_anti",
         )
-        if remaining.isEmpty():
-            break
         ring = min(ring * 2, n)
     out = results[0]
     for r in results[1:]:
