@@ -416,3 +416,82 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pdf_out
 
     return media.mapInPandas(gen, FRAME_SCHEMA)
+
+
+REPACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def repack_video(media: DataFrame, to_fmt: str = "mp4", on_error: str = "raise") -> DataFrame:
+    """Container-normalize video rows (``transcode_images`` for video):
+    demux MJPEG payloads from either real container (``avi`` RIFF walk,
+    ``mp4`` ISO BMFF sample tables) and remux them into ``to_fmt`` —
+    frame payloads pass through BYTE-IDENTICAL (no re-encode, no
+    generation loss; the per-frame JPEGs are the invariant).
+
+    mp4 'raw ' sample entries can only target ``mp4`` (the AVI muxer is
+    MJPEG-only) — such rows raise ValueError (skippable). One
+    Arrow-batched Python stage, no shuffle.
+
+    Expected input columns: (media_id, bytes, fmt).
+    """
+    if to_fmt not in ("avi", "mp4"):
+        raise ValueError(f"repack target {to_fmt!r} not in ('avi', 'mp4')")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error {on_error!r} not in ('raise', 'skip')")
+
+    def gen(batches):
+        from ..functions.media_codecs import (
+            decode_avi_mjpeg,
+            decode_mp4_video,
+            encode_avi_mjpeg,
+            encode_mp4_video,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, buf, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    if fmt == "avi":
+                        frames, w, h, fps = decode_avi_mjpeg(bytes(buf))
+                        codec = "jpeg"
+                    elif fmt == "mp4":
+                        frames, w, h, fps, codec = decode_mp4_video(bytes(buf))
+                    else:
+                        raise ValueError(f"repack source {fmt!r} not in ('avi', 'mp4')")
+                    fps_i = max(1, int(round(fps))) if fps else 30
+                    if to_fmt == "mp4":
+                        out = encode_mp4_video(frames, w, h, fps=fps_i, codec=codec)
+                    else:
+                        if codec != "jpeg":
+                            raise ValueError(
+                                "AVI remux requires MJPEG payloads; "
+                                f"{mid} carries {codec!r} samples"
+                            )
+                        out = encode_avi_mjpeg(frames, w, h, fps=fps_i)
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.append(
+                    {
+                        "media_id": mid, "bytes": out, "fmt": to_fmt,
+                        "n_frames": len(frames), "w": int(w), "h": int(h),
+                    }
+                )
+            if not rows:
+                continue
+            pdf_out = pd.DataFrame(rows)
+            for c in ("n_frames", "w", "h"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return media.mapInPandas(gen, REPACKED_SCHEMA)

@@ -508,3 +508,45 @@ def test_sample_frames_mp4_spark(spark):
         )
         rr = out[("vr", i)]
         assert rr["bytes"] == imgs[i].tobytes() and (rr["w"], rr["h"]) == (24, 16)
+
+
+def test_repack_video_avi_mp4_spark(spark):
+    """Container normalization: avi<->mp4 with byte-identical MJPEG frame
+    payloads (no re-encode); raw-sample mp4 can only target mp4; corrupt
+    rows obey on_error='skip'."""
+    from pyramidscheme_jl_spark.functions.jpeg import encode_jpeg
+    from pyramidscheme_jl_spark.functions.media_codecs import (
+        decode_avi_mjpeg,
+        decode_mp4_video,
+        encode_avi_mjpeg,
+        encode_mp4_video,
+    )
+    from pyramidscheme_jl_spark.operators.multimodal import repack_video
+
+    rng = np.random.RandomState(9)
+    imgs = [rng.randint(0, 256, size=(16, 16)).astype(np.uint8) for _ in range(3)]
+    jpegs = [encode_jpeg(im, quality=90) for im in imgs]
+    avi = encode_avi_mjpeg(jpegs, 16, 16, fps=12)
+    raw_mp4 = encode_mp4_video([im.tobytes() for im in imgs], 16, 16, codec="raw")
+    ddl = "media_id string, bytes binary, fmt string"
+    df = spark.createDataFrame(
+        [("a", avi, "avi"), ("r", raw_mp4, "mp4"), ("bad", b"junk", "avi")], ddl
+    )
+    out = {r["media_id"]: r for r in repack_video(df, "mp4", on_error="skip").collect()}
+    assert sorted(out) == ["a", "r"]  # corrupt row skipped
+    fa, _, _, fps_a, codec_a = decode_mp4_video(bytes(out["a"]["bytes"]))
+    assert fa == jpegs and codec_a == "jpeg" and int(fps_a) == 12
+    fr, _, _, _, codec_r = decode_mp4_video(bytes(out["r"]["bytes"]))
+    assert fr == [im.tobytes() for im in imgs] and codec_r == "raw"
+
+    # round back: mp4 -> avi (MJPEG only; raw rows must raise/skip)
+    df2 = spark.createDataFrame(
+        [("a2", bytes(out["a"]["bytes"]), "mp4"), ("r2", bytes(out["r"]["bytes"]), "mp4")],
+        ddl,
+    )
+    back = {r["media_id"]: r for r in repack_video(df2, "avi", on_error="skip").collect()}
+    assert sorted(back) == ["a2"]  # raw-sample row not AVI-representable
+    fb, _, _, _ = decode_avi_mjpeg(bytes(back["a2"]["bytes"]))
+    assert fb == jpegs
+    with pytest.raises(Exception):
+        repack_video(df2, "avi", on_error="raise").collect()
