@@ -268,9 +268,16 @@ def main() -> None:
         ).write.mode("overwrite").parquet(f"{ing_src}/b0")
         steal.start()
         t0 = time.perf_counter()
-        ingest_images(spark, f"{ing_src}/*", f"{ing_dst}/pyr", G=ing_g).awaitTermination(600)
+        q = ingest_images(spark, f"{ing_src}/*", f"{ing_dst}/pyr", G=ing_g)
+        ingest_done = q.awaitTermination(600)
         dt_ingest = time.perf_counter() - t0
         steal.stop("streaming_ingest")
+        if not ingest_done:
+            # timed out: stop the stream before cleanup so it can't race
+            # the rmtree or pollute the timed headline queries; the JSON
+            # marks the number invalid rather than recording ~600 s as real
+            q.stop()
+            dt_ingest = -1.0  # sentinel: rate fields become -N, clearly bogus
         n_ing_tiles = sum(
             ((ing_g + (1 << z) - 1) // (1 << z)) ** 2
             for z in range(0, ing_g.bit_length())

@@ -673,7 +673,10 @@ def _mp4_video_track(buf, trak_p, trak_e):
     (n_entries,) = struct.unpack(">I", buf[p + 4 : p + 8])
     if n_entries < 1:
         raise ValueError("mp4: empty stsd")
-    entry_t, entry_p, entry_e = next(_mp4_boxes(buf, p + 8, e))
+    entry = next(_mp4_boxes(buf, p + 8, e), None)
+    if entry is None:
+        raise ValueError("mp4: stsd declares entries but holds none")
+    entry_t, entry_p, entry_e = entry
     if entry_t in _MP4_STUBBED_ENTRIES:
         raise NotImplementedError(
             f"mp4 codec {entry_t.decode(errors='replace')!r}: inter-frame entropy "
@@ -690,11 +693,15 @@ def _mp4_video_track(buf, trak_p, trak_e):
     # stsz: per-sample sizes
     p, e = boxes[b"stsz"]
     fixed, n_samples = struct.unpack(">II", buf[p + 4 : p + 12])
-    if n_samples > (e - p):
-        raise ValueError("mp4: stsz count exceeds box")
     if fixed:
+        # constant sample size: the table is just the 12-byte header, but a
+        # corrupt count could still demand more samples than the file holds
+        if n_samples * fixed > len(buf):
+            raise ValueError("mp4: stsz fixed-size samples exceed file")
         sizes = [fixed] * n_samples
     else:
+        if 4 * n_samples > (e - p - 12):
+            raise ValueError("mp4: stsz count exceeds box")
         sizes = list(struct.unpack(f">{n_samples}I", buf[p + 12 : p + 12 + 4 * n_samples]))
 
     # stco/co64: chunk offsets
@@ -728,9 +735,16 @@ def _mp4_video_track(buf, trak_p, trak_e):
         if n_t >= 1:
             _, delta = struct.unpack(">II", buf[sp + 8 : sp + 16])
             mp, _ = stts_range
-            (timescale,) = struct.unpack(">I", buf[mp + 12 : mp + 16])
+            # mdhd v0: 32-bit times, timescale at +12; v1: 64-bit times,
+            # timescale at +20 (ISO 14496-12 8.4.2)
+            mdhd_ver = buf[mp]
+            ts_off = mp + (20 if mdhd_ver == 1 else 12)
+            (timescale,) = struct.unpack(">I", buf[ts_off : ts_off + 4])
             if delta:
                 fps = timescale / delta
+            if not (0.0 < fps <= 1000.0):
+                fps = 0.0  # advisory field; nonsense values must not
+                # propagate into remux timescales (struct.error territory)
 
     # walk chunks, slicing samples consecutively from each chunk offset
     frames: list[bytes] = []

@@ -309,8 +309,15 @@ def knn_join(
         niy.alias("niy"),
     )
     # one tiny job fetches both counts (union of two scalar aggregates):
-    # n_remaining drives the continuation probe; n_data the ring auto-tune
-    cnt = remaining.agg(F.count("*")).unionAll(d.agg(F.count("*"))).collect()
+    # n_remaining drives the continuation probe; n_data the ring auto-tune.
+    # DISTINCT query ids — settled.count() yields one row per query_id, so
+    # duplicate query rows would leave n_remaining > 0 forever and run
+    # empty rounds to exhaustion.
+    cnt = (
+        remaining.agg(F.countDistinct("query_id").cast("long"))
+        .unionAll(d.agg(F.count("*")))
+        .collect()
+    )
     n_remaining, n_data = int(cnt[0][0]), int(cnt[1][0])
     if start_ring is None:
         if n_data == 0:

@@ -56,7 +56,15 @@ from ..sources.catalog import TILE_DATA_COLS, TILE_SCHEMA, level_path, read_leve
 from ..sources.synth import IMAGES_DDL
 
 
-def _tile_arrow_types():
+_TILE_ARROW_TYPES_CACHE: dict[bool, dict] = {}
+
+
+def _tile_arrow_types(with_t: bool = False):
+    """Arrow schema for one tile row, memoized — rebuilt-per-row dicts on
+    the executor write hot path are pure waste."""
+    cached = _TILE_ARROW_TYPES_CACHE.get(with_t)
+    if cached is not None:
+        return cached
     import pyarrow as pa
 
     arrow_types = {
@@ -68,6 +76,9 @@ def _tile_arrow_types():
         "xmax": pa.float64(), "ymax": pa.float64(),
     }
     assert list(arrow_types) == TILE_DATA_COLS
+    if with_t:
+        arrow_types = {"t": pa.int32(), **arrow_types}
+    _TILE_ARROW_TYPES_CACHE[with_t] = arrow_types
     return arrow_types
 
 
@@ -78,9 +89,7 @@ def _write_one_tile(d: str, r: dict, fname: str, with_t: bool = False) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    types = _tile_arrow_types()
-    if with_t:
-        types = {"t": pa.int32(), **types}
+    types = _tile_arrow_types(with_t)
     t = pa.table({c: pa.array([r[c]], ty) for c, ty in types.items()})
     tmp = os.path.join(d, f".{fname}.inprogress-{os.getpid()}")
     pq.write_table(t, tmp, compression="zstd")
@@ -222,21 +231,27 @@ def _children_of_cube(
     """Cube variant of ``_children_of``: parents are ``(t, px, py)``.
 
     Same two-tier filter — source-pushable IN-lists on the plain t/tx/ty
-    columns (parquet min/max row-group skipping), then the exact packed
-    ``(t, parent)`` membership test JVM-side on the survivors."""
+    columns (parquet min/max row-group skipping), then the exact
+    ``(t, parent)`` membership as a broadcast LEFT SEMI join on the
+    survivors. A packed-int64 ``isin`` (the flat path's trick) is NOT
+    safe here: t is a full int32 (epoch seconds are legal), so
+    ``t << 42`` overflows the long and the test silently matches
+    nothing — stale ancestors with no error."""
     ts = sorted({t for t, _, _ in parents})
     txs = sorted({2 * px + dx for _, px, _ in parents for dx in (0, 1)})
     tys = sorted({2 * py + dy for _, _, py in parents for dy in (0, 1)})
-    packed = [(t << 42) | (px << 21) | py for t, px, py in parents]
     pushable = (
         F.col("t").isin(ts) & F.col("tx").isin(txs) & F.col("ty").isin(tys)
     )
-    pair = (
-        F.shiftleft(F.col("t").cast("long"), 42)
-        .bitwiseOR(F.shiftleft(F.shiftright("tx", 1).cast("long"), 21))
-        .bitwiseOR(F.shiftright("ty", 1).cast("long"))
+    spark = level_df.sparkSession
+    pdf = spark.createDataFrame(parents, "t int, _px int, _py int")
+    return (
+        level_df.where(pushable)
+        .withColumn("_px", F.shiftright("tx", 1))
+        .withColumn("_py", F.shiftright("ty", 1))
+        .join(F.broadcast(pdf), ["t", "_px", "_py"], "left_semi")
+        .drop("_px", "_py")
     )
-    return level_df.where(pushable).where(pair.isin(packed))
 
 
 def _repair_parents_cube(spec: PyramidSpec, z: int, reducer: str):

@@ -192,3 +192,22 @@ def test_streaming_cube_ingest_matches_batch_build(spark, tmp_path):
     # non-decomposable reducers are refused up front
     with pytest.raises(ValueError, match="not\\s+decomposable|not decomposable"):
         ingest_cube_images(spark, f"{src}/*", str(tmp_path / "x"), G=4, reducer="median")
+
+
+def test_streaming_cube_ingest_epoch_scale_t(spark, tmp_path):
+    """Review r4: t values at epoch-seconds scale (>= 2^21) must patch
+    ancestors correctly — the packed-int64 isin trick would overflow; the
+    broadcast semi-join membership must not."""
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_cube_images
+
+    T0 = 1_700_000_000  # >= 2^30
+    rows = [{**r, "t": T0} for r in synth_images(G=2)]
+    src = tmp_path / "epoch_src"
+    src.mkdir()
+    spark.createDataFrame(rows, CUBE_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "epoch_cube")
+    ingest_cube_images(spark, f"{src}/*", q_path, G=2).awaitTermination(180)
+    spec = PyramidSpec(512, 512)
+    base = mosaic_pixels(G=2)
+    got1 = _assemble_cube_level(spark, q_path, 1, spec, T0)
+    np.testing.assert_allclose(got1, oracle_levels(base, "mean", 1)[1], rtol=1e-12)

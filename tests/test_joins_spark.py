@@ -241,3 +241,17 @@ def test_with_point_cells_jvm_matches_numpy(spark):
 
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_duplicate_query_rows_terminate(spark):
+    """Review r4: duplicate query_id rows must not leave the ring loop
+    running empty rounds (n_remaining counts DISTINCT ids)."""
+    d = spark.createDataFrame(
+        [(f"d{i}", float(i % 16) * 8.0 + 1.0, float(i // 16) * 8.0 + 1.0) for i in range(64)],
+        "point_id string, x double, y double",
+    )
+    q = spark.createDataFrame(
+        [("q0", 3.0, 3.0), ("q0", 3.0, 3.0)], "point_id string, x double, y double"
+    )
+    got = knn_join(spark, q, d, k=2, res=4, world=128.0).collect()
+    assert {(r["query_id"], r["rank"]) for r in got} == {("q0", 1), ("q0", 2)}

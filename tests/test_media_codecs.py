@@ -550,3 +550,52 @@ def test_repack_video_avi_mp4_spark(spark):
     assert fb == jpegs
     with pytest.raises(Exception):
         repack_video(df2, "avi", on_error="raise").collect()
+
+
+def test_mp4_fixed_sample_size_and_v1_mdhd():
+    """Review r4: fixed-size stsz tables are spec-valid (our muxer never
+    writes them, external files do); v1 mdhd keeps timescale at +20."""
+    import struct as _s
+
+    from pyramidscheme_jl_spark.functions.media_codecs import (
+        decode_mp4_video,
+        encode_mp4_video,
+    )
+
+    frames = [b"aaaa", b"bbbb", b"cccc"]  # equal sizes -> rewrite as fixed
+    good = bytearray(encode_mp4_video(frames, 2, 2, fps=10, codec="raw"))
+    i = bytes(good).find(b"stsz")
+    _s.pack_into(">II", good, i + 8, 4, 3)  # sample_size=4, count=3
+    # blank the per-sample table the muxer wrote (harmless trailing bytes
+    # inside the stsz box; readers must use the fixed size)
+    out, w, h, fps, codec = decode_mp4_video(bytes(good))
+    assert out == frames and codec == "raw" and abs(fps - 10) < 1e-9
+
+    # v1 mdhd: 64-bit creation/modification, timescale at payload+20
+    buf = bytearray(encode_mp4_video(frames, 2, 2, fps=10, codec="raw"))
+    j = bytes(buf).find(b"mdhd")
+    old_payload = bytes(buf[j + 4 : j + 4 + 24])
+    ver, flags = old_payload[0], old_payload[1:4]
+    assert ver == 0
+    _, _, ts, dur, lang, q = _s.unpack(">IIIIHH", old_payload[4:24])
+    v1 = bytes([1]) + flags + _s.pack(">QQIQHH", 0, 0, ts, dur, lang, q)
+    new_mdhd = _s.pack(">I", 8 + len(v1)) + b"mdhd" + v1
+    old_size = _s.unpack(">I", buf[j - 4 : j])[0]
+    # replace the box, fixing every ancestor size (mdia/trak/moov grow)
+    grow = len(new_mdhd) - old_size
+    out_buf = bytes(buf[: j - 4]) + new_mdhd + bytes(buf[j - 4 + old_size :])
+    out_buf = bytearray(out_buf)
+    for btype in (b"mdia", b"trak", b"moov"):
+        k = out_buf.find(btype)
+        sz = _s.unpack(">I", out_buf[k - 4 : k])[0]
+        _s.pack_into(">I", out_buf, k - 4, sz + grow)
+    out2, _, _, fps2, _ = decode_mp4_video(bytes(out_buf))
+    assert out2 == frames and abs(fps2 - 10) < 1e-9
+
+    # corrupt stsd with entry_count=1 but no entry bytes -> ValueError,
+    # never StopIteration (PEP 479 would kill on_error='skip' stages)
+    b2 = bytearray(encode_mp4_video(frames, 2, 2, codec="raw"))
+    m = bytes(b2).find(b"stsd")
+    _s.pack_into(">I", b2, m - 4, 16)  # shrink stsd to header+count only
+    with pytest.raises(ValueError):
+        decode_mp4_video(bytes(b2))
