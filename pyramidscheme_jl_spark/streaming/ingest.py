@@ -42,6 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.codec import decode_tile
 from ..functions.reducers import block_reduce
@@ -202,27 +203,210 @@ def _repair_parents(spec: PyramidSpec, z: int, reducer: str):
     return fn
 
 
+#: cascade group depth: levels 1..K recompute inside ONE applyInPandas
+#: job, grouped by the level-K ancestor. 4^K base descendants bound the
+#: group (K=3 -> <=64 base + 21 ancestor tiles ~ <=15-40 MB/group).
+_CASCADE_LEVELS = 3
+
+LEVELED_TILE_SCHEMA = T.StructType(
+    [T.StructField("lvl", T.IntegerType())] + list(TILE_SCHEMA.fields)
+)
+
+
+def _read_level_or_empty(spark: SparkSession, path: str, z: int) -> DataFrame:
+    """``read_level`` that tolerates a level whose directory doesn't exist
+    yet (first micro-batch: the cascade reads levels 1..K-1 as sibling
+    sources before any tile has ever been written there). Explicit schema
+    — an empty dir must scan as zero rows, not fail inference."""
+    d = _assert_filewise_layout(path, z)  # creates the dir; guards layout
+    return (
+        spark.read.schema(
+            T.StructType([f for f in TILE_SCHEMA.fields if f.name != "z"])
+        )
+        .parquet(d)
+        .withColumn("z", F.lit(z).cast("int"))
+    )
+
+
+def _changed_keys_by_level(
+    base_keys: list[tuple[int, int]], nlevels: int
+) -> list[set[tuple[int, int]]]:
+    """changed[z] = the level-z tiles whose value this batch affects."""
+    changed: list[set[tuple[int, int]]] = [set(base_keys)]
+    for _ in range(nlevels):
+        changed.append({(tx >> 1, ty >> 1) for tx, ty in changed[-1]})
+    return changed
+
+
+def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed):
+    """Per-group bottom-up recompute of levels 1..k_top.
+
+    The group holds every input tile the cascade needs (4-sibling sets at
+    each level, pruned scan); changed tiles at intermediate levels are
+    recomputed in-group (never trusted from disk), unchanged siblings come
+    from the scanned disk rows. Emits only the recomputed tiles."""
+    half = spec.tilesize // 2
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gx, gy = int(key[0]), int(key[1])
+        disk: dict[tuple[int, int, int], np.ndarray] = {}
+        for r in pdf.to_dict("records"):
+            disk[(int(r["lvl"]), int(r["tx"]), int(r["ty"]))] = decode_tile(
+                r["bytes"], int(r["h"]), int(r["w"]), r["dtype"], int(r["c"])
+            )
+        computed: dict[tuple[int, int, int], np.ndarray] = {}
+        out_rows = []
+        for z in range(1, k_top + 1):
+            shift = k_top - z
+            for ptx, pty in changed[z]:
+                if (ptx >> shift, pty >> shift) != (gx, gy):
+                    continue  # another group's ancestor
+                quarters = []
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        ck = (z - 1, 2 * ptx + dx, 2 * pty + dy)
+                        child = computed.get(ck)
+                        if child is None:
+                            child = disk.get(ck)
+                        if child is None:
+                            continue  # ragged edge: tile doesn't exist
+                        quarters.append((dx, dy, block_reduce(child, reducer)))
+                if not quarters:
+                    continue
+                W = max(qx * half + q.shape[1] for qx, _, q in quarters)
+                H = max(qy * half + q.shape[0] for _, qy, q in quarters)
+                c = quarters[0][2].shape[2] if quarters[0][2].ndim == 3 else 1
+                shape = (H, W, c) if c > 1 else (H, W)
+                arr = np.zeros(shape, dtype=quarters[0][2].dtype)
+                for qx, qy, q in quarters:
+                    arr[qy * half : qy * half + q.shape[0],
+                        qx * half : qx * half + q.shape[1]] = q
+                computed[(z, ptx, pty)] = arr
+                out_rows.append(dict(_tile_row(spec, z, ptx, pty, arr), lvl=z))
+        if not out_rows:
+            return pd.DataFrame(columns=[f.name for f in LEVELED_TILE_SCHEMA.fields])
+        pdf_out = _rows_to_pdf([{k: v for k, v in r.items() if k != "lvl"} for r in out_rows])
+        pdf_out.insert(0, "lvl", pd.array([r["lvl"] for r in out_rows], dtype="int32"))
+        return pdf_out
+
+    return fn
+
+
 def _patch_ancestors(
     spark: SparkSession, path: str, spec: PyramidSpec, reducer: str, base_keys: list[tuple[int, int]]
 ) -> None:
     """Recompute the ancestor tiles of the given base-tile keys, bottom-up.
 
-    Per level: pruned scan of the touched children (``_children_of``) ->
-    distributed ``groupBy(ptx,pty).applyInPandas`` recompute -> idempotent
-    file-per-tile write FROM THE EXECUTORS. Only the integer key list
-    returns to the driver; tile bytes never funnel through one process.
+    Two phases, O(1) Spark jobs per micro-batch instead of O(nlevels)
+    (the per-level round-trip was the ingest scaling floor — each round
+    was a full multi-stage job over geometrically shrinking work):
+
+    1. **Grouped cascade** (levels 1..K): one pruned UNION scan collects,
+       per level, the 4-sibling sets of the changed tiles; grouped by the
+       level-K ancestor, one ``applyInPandas`` recomputes the whole
+       subtree locally (changed tiles in-group, unchanged siblings from
+       the scan) and ONE distributed multi-level write lands the results.
+       Tile bytes never touch the driver.
+    2. **Driver tail** (levels K+1..top): at most (G/2^K)^2 touched tiles
+       remain — one pruned collect of the needed children + siblings,
+       local numpy recompute, idempotent file-per-tile writes (same
+       driver/cluster split as the batch build's tail fusion).
     """
-    keys = base_keys
-    for z in range(1, spec.nlevels + 1):
-        parents = sorted({(tx >> 1, ty >> 1) for tx, ty in keys})
-        if not parents:
-            return
-        children = _children_of(read_level(spark, path, z - 1), parents)
-        rebuilt = children.groupBy(
-            F.shiftright("tx", 1).alias("ptx"), F.shiftright("ty", 1).alias("pty")
-        ).applyInPandas(_repair_parents(spec, z, reducer), TILE_SCHEMA)
-        _write_tiles_distributed(rebuilt, path, z)
-        keys = parents
+    if not base_keys or spec.nlevels < 1:
+        return
+    k_top = min(_CASCADE_LEVELS, spec.nlevels)
+    changed = _changed_keys_by_level(base_keys, spec.nlevels)
+
+    # phase 1: union of pruned per-level scans -> grouped cascade -> write
+    scans = []
+    for z in range(1, k_top + 1):
+        src = _children_of(_read_level_or_empty(spark, path, z - 1), sorted(changed[z]))
+        scans.append(src.withColumn("lvl", F.lit(z - 1).cast("int")).select(
+            "lvl", *[f.name for f in TILE_SCHEMA.fields if f.name != "z"]
+        ))
+    union = scans[0]
+    for s in scans[1:]:
+        union = union.unionByName(s)
+    # tiles at level l belong to ancestor key >> (k_top - l); the shift
+    # count is a column, which F.shiftright's int-only arg can't express
+    grouped = union.groupBy(
+        F.expr(f"shiftright(tx, {k_top} - lvl)").alias("gx"),
+        F.expr(f"shiftright(ty, {k_top} - lvl)").alias("gy"),
+    ).applyInPandas(
+        _cascade_repair(spec, reducer, k_top, changed), LEVELED_TILE_SCHEMA
+    )
+    _write_tiles_multilevel(grouped, path, k_top)
+
+    # phase 2: driver tail over the geometric remainder
+    if spec.nlevels > k_top:
+        _patch_tail_driver(spark, path, spec, reducer, changed, k_top)
+
+
+def _write_tiles_multilevel(tiles: DataFrame, path: str, k_top: int) -> None:
+    """Executor-side file-per-tile write across levels 1..k_top in one
+    job; the ``lvl`` column routes each row to its level directory."""
+    dirs = {z: _assert_filewise_layout(path, z) for z in range(1, k_top + 1)}
+
+    def write_partition(batches):
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                z = int(r["lvl"])
+                _write_one_tile(
+                    dirs[z], r, f"tile-{int(r['tx']):06d}-{int(r['ty']):06d}.parquet"
+                )
+            yield pdf[["lvl", "tx", "ty"]]
+
+    tiles.mapInPandas(write_partition, "lvl int, tx int, ty int").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def _patch_tail_driver(
+    spark: SparkSession, path: str, spec: PyramidSpec, reducer: str, changed, k_top: int
+) -> None:
+    """Levels k_top+1..nlevels on the driver: collect the few needed
+    children (pruned scans, one union job), recompute locally, write
+    file-per-tile. Work is <= (G/2^K)^2 tiles — driver-sized by
+    construction (the batch build's tail-fusion rationale)."""
+    scans = []
+    for z in range(k_top + 1, spec.nlevels + 1):
+        src = _children_of(_read_level_or_empty(spark, path, z - 1), sorted(changed[z]))
+        scans.append(src.withColumn("lvl", F.lit(z - 1).cast("int")))
+    union = scans[0]
+    for s in scans[1:]:
+        union = union.unionByName(s)
+    disk: dict[tuple[int, int, int], np.ndarray] = {}
+    for r in union.collect():
+        disk[(r["lvl"], r["tx"], r["ty"])] = decode_tile(
+            r["bytes"], r["h"], r["w"], r["dtype"], r["c"]
+        )
+    half = spec.tilesize // 2
+    computed: dict[tuple[int, int, int], np.ndarray] = {}
+    for z in range(k_top + 1, spec.nlevels + 1):
+        rows = []
+        for ptx, pty in sorted(changed[z]):
+            quarters = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ck = (z - 1, 2 * ptx + dx, 2 * pty + dy)
+                    child = computed.get(ck, disk.get(ck))
+                    if child is None:
+                        continue
+                    quarters.append((dx, dy, block_reduce(child, reducer)))
+            if not quarters:
+                continue
+            W = max(qx * half + q.shape[1] for qx, _, q in quarters)
+            H = max(qy * half + q.shape[0] for _, qy, q in quarters)
+            c = quarters[0][2].shape[2] if quarters[0][2].ndim == 3 else 1
+            shape = (H, W, c) if c > 1 else (H, W)
+            arr = np.zeros(shape, dtype=quarters[0][2].dtype)
+            for qx, qy, q in quarters:
+                arr[qy * half : qy * half + q.shape[0],
+                    qx * half : qx * half + q.shape[1]] = q
+            computed[(z, ptx, pty)] = arr
+            rows.append(_tile_row(spec, z, ptx, pty, arr))
+        if rows:
+            _write_tiles_filewise(rows, path, z)
 
 
 def _children_of_cube(
