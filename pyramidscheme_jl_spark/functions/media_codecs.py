@@ -406,6 +406,10 @@ def encode_avi_mjpeg(jpeg_frames: list[bytes], w: int, h: int, fps: int = 30) ->
     """Wrap pre-encoded JPEG frames in a minimal standards-shaped AVI."""
     if not jpeg_frames:
         raise ValueError("no frames")
+    if not (0 < w <= 32767 and 0 < h <= 32767 and 0 < fps <= 1_000_000):
+        # struct would raise struct.error past the signed-16-bit stream
+        # header fields — map to the ValueError per-row contract instead
+        raise ValueError(f"AVI mux dims/fps out of range: {w}x{h}@{fps}")
     n = len(jpeg_frames)
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -543,6 +547,10 @@ def encode_mp4_video(
     fourcc = {"jpeg": b"jpeg", "raw": b"raw ", "raw ": b"raw "}.get(codec)
     if fourcc is None:
         raise ValueError(f"unsupported mp4 mux codec {codec!r}")
+    if not (0 < w <= 65535 and 0 < h <= 65535 and 0 < fps <= 4_000_000):
+        # stsd width/height are 16-bit; struct.error is not in the
+        # per-row skippable contract, ValueError is
+        raise ValueError(f"mp4 mux dims/fps out of range: {w}x{h}@{fps}")
     timescale = int(fps) * 1000
     delta = 1000
     n = len(frames)

@@ -297,9 +297,12 @@ def knn_join(
     cell_size = world / n
     max_ring = max_ring or n
     qix, qiy = grid_coord_cols(res, world)
+    # dedup on query_id up front: duplicate query rows would double every
+    # candidate, letting one neighbor occupy multiple top-k ranks AND
+    # settling the query before its true k-th distinct neighbor is covered
     remaining = queries.select(
         F.col("point_id").alias("query_id"), "x", "y", qix.alias("qix"), qiy.alias("qiy")
-    )
+    ).dropDuplicates(["query_id"])
     nix, niy = grid_coord_cols(res, world)
     d = data.select(
         F.col("point_id").alias("n_id"),
@@ -309,15 +312,9 @@ def knn_join(
         niy.alias("niy"),
     )
     # one tiny job fetches both counts (union of two scalar aggregates):
-    # n_remaining drives the continuation probe; n_data the ring auto-tune.
-    # DISTINCT query ids — settled.count() yields one row per query_id, so
-    # duplicate query rows would leave n_remaining > 0 forever and run
-    # empty rounds to exhaustion.
-    cnt = (
-        remaining.agg(F.countDistinct("query_id").cast("long"))
-        .unionAll(d.agg(F.count("*")))
-        .collect()
-    )
+    # n_remaining drives the continuation probe (post-dedup, one row per
+    # query_id — matches settled.count()); n_data the ring auto-tune
+    cnt = remaining.agg(F.count("*")).unionAll(d.agg(F.count("*"))).collect()
     n_remaining, n_data = int(cnt[0][0]), int(cnt[1][0])
     if start_ring is None:
         if n_data == 0:

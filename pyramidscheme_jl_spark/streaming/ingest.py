@@ -23,15 +23,20 @@ files) would leave the old row in place next to the new tile file and
 with a clear error instead (convert with ``PyramidDataset.write_to`` +
 re-ingest, or use ``build_pyramid(resume=True)`` for bulk backfill).
 
-Scale shape (per micro-batch, O(batch) not O(dataset)):
+Scale shape (per micro-batch, O(batch) work and O(1) Spark jobs):
 
-- the child lookup filters on **plain tx/ty IN-lists** — source-pushable
+- the child lookups filter on **plain tx/ty IN-lists** — source-pushable
   predicates (`PushedFilters: In(tx, ...), In(ty, ...)`) so parquet min/max
   stats skip every row group outside the touched neighborhood; the exact
   parent-pair membership test runs JVM-side on the surviving rows;
-- the ancestor recompute is a ``groupBy(ptx, pty).applyInPandas`` job —
-  downsample + assemble run on executors; only the finished (few) parent
-  tiles come back to the driver for the idempotent file-per-tile write.
+- the ancestor recompute is a GROUPED CASCADE (``_patch_ancestors``): one
+  pruned union scan of the 4-sibling sets at levels 0..K-1, one
+  ``applyInPandas`` grouped by the level-K ancestor recomputing the whole
+  subtree locally, one multi-level executor-side write, then a driver
+  tail over the geometric tip — replacing the former per-level job loop
+  (its round-trips were the ingest scaling floor, BENCH/INGEST_SCALING.md);
+- ALL tile bytes are written from executors (``_write_tiles_distributed``,
+  ``_write_tiles_multilevel``); only integer key lists reach the driver.
 """
 
 from __future__ import annotations
@@ -175,6 +180,19 @@ def _children_of(level_df: DataFrame, parents: list[tuple[int, int]]) -> DataFra
     return level_df.where(pushable).where(pair.isin(packed))
 
 
+def _assemble_from_quarters(quarters, half):
+    """[(qx, qy, quarter_array)] -> assembled parent array (ragged-edge
+    aware: extent is the max covered, missing quarters stay zero)."""
+    W = max(qx * half + q.shape[1] for qx, _, q in quarters)
+    H = max(qy * half + q.shape[0] for _, qy, q in quarters)
+    c = quarters[0][2].shape[2] if quarters[0][2].ndim == 3 else 1
+    shape = (H, W, c) if c > 1 else (H, W)
+    arr = np.zeros(shape, dtype=quarters[0][2].dtype)
+    for qx, qy, q in quarters:
+        arr[qy * half : qy * half + q.shape[0], qx * half : qx * half + q.shape[1]] = q
+    return arr
+
+
 def _repair_parents(spec: PyramidSpec, z: int, reducer: str):
     """Grouped recompute: children of one parent -> the rebuilt level-z tile.
 
@@ -192,12 +210,7 @@ def _repair_parents(spec: PyramidSpec, z: int, reducer: str):
         ):
             q = block_reduce(decode_tile(buf, int(h), int(w), dt, c), reducer)
             quarters.append((int(tx) & 1, int(ty) & 1, q))
-        W = max(qx * half + q.shape[1] for qx, _, q in quarters)
-        H = max(qy * half + q.shape[0] for _, qy, q in quarters)
-        shape = (H, W, c) if c > 1 else (H, W)
-        arr = np.zeros(shape, dtype=quarters[0][2].dtype)
-        for qx, qy, q in quarters:
-            arr[qy * half : qy * half + q.shape[0], qx * half : qx * half + q.shape[1]] = q
+        arr = _assemble_from_quarters(quarters, half)
         return _rows_to_pdf([_tile_row(spec, z, ptx, pty, arr)])
 
     return fn
@@ -247,6 +260,17 @@ def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed):
     from the scanned disk rows. Emits only the recomputed tiles."""
     half = spec.tilesize // 2
 
+    # driver-precomputed per-group work lists: each task touches ONLY its
+    # own changed tuples (iterating the global changed sets per group is
+    # O(|changed| x n_groups) — quadratic across the stage; review r4)
+    group_work: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for z in range(1, k_top + 1):
+        shift = k_top - z
+        for ptx, pty in sorted(changed[z]):
+            group_work.setdefault((ptx >> shift, pty >> shift), []).append(
+                (z, ptx, pty)
+            )
+
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gx, gy = int(key[0]), int(key[1])
         disk: dict[tuple[int, int, int], np.ndarray] = {}
@@ -256,33 +280,22 @@ def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed):
             )
         computed: dict[tuple[int, int, int], np.ndarray] = {}
         out_rows = []
-        for z in range(1, k_top + 1):
-            shift = k_top - z
-            for ptx, pty in changed[z]:
-                if (ptx >> shift, pty >> shift) != (gx, gy):
-                    continue  # another group's ancestor
-                quarters = []
-                for dy in (0, 1):
-                    for dx in (0, 1):
-                        ck = (z - 1, 2 * ptx + dx, 2 * pty + dy)
-                        child = computed.get(ck)
-                        if child is None:
-                            child = disk.get(ck)
-                        if child is None:
-                            continue  # ragged edge: tile doesn't exist
-                        quarters.append((dx, dy, block_reduce(child, reducer)))
-                if not quarters:
-                    continue
-                W = max(qx * half + q.shape[1] for qx, _, q in quarters)
-                H = max(qy * half + q.shape[0] for _, qy, q in quarters)
-                c = quarters[0][2].shape[2] if quarters[0][2].ndim == 3 else 1
-                shape = (H, W, c) if c > 1 else (H, W)
-                arr = np.zeros(shape, dtype=quarters[0][2].dtype)
-                for qx, qy, q in quarters:
-                    arr[qy * half : qy * half + q.shape[0],
-                        qx * half : qx * half + q.shape[1]] = q
-                computed[(z, ptx, pty)] = arr
-                out_rows.append(dict(_tile_row(spec, z, ptx, pty, arr), lvl=z))
+        for z, ptx, pty in group_work.get((gx, gy), ()):  # level-ascending
+            quarters = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ck = (z - 1, 2 * ptx + dx, 2 * pty + dy)
+                    child = computed.get(ck)
+                    if child is None:
+                        child = disk.get(ck)
+                    if child is None:
+                        continue  # ragged edge: tile doesn't exist
+                    quarters.append((dx, dy, block_reduce(child, reducer)))
+            if not quarters:
+                continue
+            arr = _assemble_from_quarters(quarters, half)
+            computed[(z, ptx, pty)] = arr
+            out_rows.append(dict(_tile_row(spec, z, ptx, pty, arr), lvl=z))
         if not out_rows:
             return pd.DataFrame(columns=[f.name for f in LEVELED_TILE_SCHEMA.fields])
         pdf_out = _rows_to_pdf([{k: v for k, v in r.items() if k != "lvl"} for r in out_rows])
@@ -395,14 +408,7 @@ def _patch_tail_driver(
                     quarters.append((dx, dy, block_reduce(child, reducer)))
             if not quarters:
                 continue
-            W = max(qx * half + q.shape[1] for qx, _, q in quarters)
-            H = max(qy * half + q.shape[0] for _, qy, q in quarters)
-            c = quarters[0][2].shape[2] if quarters[0][2].ndim == 3 else 1
-            shape = (H, W, c) if c > 1 else (H, W)
-            arr = np.zeros(shape, dtype=quarters[0][2].dtype)
-            for qx, qy, q in quarters:
-                arr[qy * half : qy * half + q.shape[0],
-                    qx * half : qx * half + q.shape[1]] = q
+            arr = _assemble_from_quarters(quarters, half)
             computed[(z, ptx, pty)] = arr
             rows.append(_tile_row(spec, z, ptx, pty, arr))
         if rows:
@@ -460,9 +466,12 @@ def _patch_ancestors_cube(
     reducer: str,
     base_keys: list[tuple[int, int, int]],
 ) -> None:
-    """Cube ancestor patch: identical shape to ``_patch_ancestors`` with
-    ``t`` riding every key (it joins the group-by, never the values —
-    the pass-through-dim semantics, incrementally)."""
+    """Cube ancestor patch: per-level rounds (the flat path's pre-cascade
+    shape) with ``t`` riding every key — it joins the group-by, never the
+    values (pass-through-dim semantics, incrementally). Writes are
+    executor-side. Porting the grouped cascade here is possible (group by
+    (t, level-K ancestor)) but cubes patch |t| independent small subtrees
+    per batch, so the per-level rounds parallelize across slices already."""
     from ..operators.cube import CUBE_TILE_SCHEMA, read_cube_level
 
     keys = base_keys

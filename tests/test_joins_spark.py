@@ -253,5 +253,10 @@ def test_knn_duplicate_query_rows_terminate(spark):
     q = spark.createDataFrame(
         [("q0", 3.0, 3.0), ("q0", 3.0, 3.0)], "point_id string, x double, y double"
     )
-    got = knn_join(spark, q, d, k=2, res=4, world=128.0).collect()
-    assert {(r["query_id"], r["rank"]) for r in got} == {("q0", 1), ("q0", 2)}
+    got = sorted(knn_join(spark, q, d, k=2, res=4, world=128.0).collect(),
+                 key=lambda r: r["rank"])
+    # terminates AND returns the single-query answer: distinct neighbors,
+    # not one duplicate-inflated candidate at both ranks (review r4)
+    assert [(r["query_id"], r["rank"], r["n_id"]) for r in got] == [
+        ("q0", 1, "d0"), ("q0", 2, "d1")
+    ]

@@ -96,10 +96,15 @@ def run_one(cpus: int, g: int, task_cpus: int) -> dict:
         f.write(WORKER)
         script = f.name
     s0 = _steal_now()
-    out = subprocess.run(
-        [sys.executable, script, str(cpus), str(g), str(task_cpus)],
-        capture_output=True, text=True, timeout=1800,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, script, str(cpus), str(g), str(task_cpus)],
+            capture_output=True, text=True, timeout=1800,
+        )
+    finally:
+        import os as _os
+
+        _os.unlink(script)
     s1 = _steal_now()
     if out.returncode != 0:
         raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
