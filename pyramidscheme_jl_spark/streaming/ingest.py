@@ -684,9 +684,12 @@ def compact_pyramid(
         tmp = f"{tiles_root}/_compact_tmp_z{z}"
         bak = f"{tiles_root}/_compact_old_z{z}"
         shutil.rmtree(tmp, ignore_errors=True)
+        lvl = read_level(spark, path, z)
+        # streamed CUBES carry a t key column: dropping it would merge
+        # every slice into duplicate (tx, ty) rows — preserve it
+        keep = (["t"] if "t" in lvl.columns else []) + TILE_DATA_COLS
         (
-            read_level(spark, path, z)
-            .select(*TILE_DATA_COLS)
+            lvl.select(*keep)
             .repartition(nfiles)
             .write.mode("overwrite")
             .parquet(tmp)

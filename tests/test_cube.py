@@ -211,3 +211,30 @@ def test_streaming_cube_ingest_epoch_scale_t(spark, tmp_path):
     base = mosaic_pixels(G=2)
     got1 = _assemble_cube_level(spark, q_path, 1, spec, T0)
     np.testing.assert_allclose(got1, oracle_levels(base, "mean", 1)[1], rtol=1e-12)
+
+
+def test_streamed_cube_compaction_preserves_t(spark, tmp_path):
+    """compact_pyramid on a streamed cube must keep the t key column —
+    dropping it merged every slice into duplicate (tx, ty) rows."""
+    from pyramidscheme_jl_spark.streaming.ingest import (
+        compact_pyramid,
+        ingest_cube_images,
+    )
+
+    rows = _cube_rows(G=2)[: 2 * 4]  # t = 0, 1
+    src = tmp_path / "cc_src"
+    src.mkdir()
+    spark.createDataFrame(rows, CUBE_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "cc_cube")
+    ingest_cube_images(spark, f"{src}/*", q_path, G=2).awaitTermination(180)
+
+    compacted = compact_pyramid(spark, q_path)
+    assert set(compacted) == {0, 1}
+    spec = PyramidSpec(512, 512)
+    for t in range(2):
+        base = mosaic_pixels(G=2) + np.uint8(7 * t)
+        np.testing.assert_array_equal(_assemble_cube_level(spark, q_path, 0, spec, t), base)
+        np.testing.assert_allclose(
+            _assemble_cube_level(spark, q_path, 1, spec, t),
+            oracle_levels(base, "mean", 1)[1], rtol=1e-12,
+        )
