@@ -224,67 +224,81 @@ _CASCADE_LEVELS = 3
 LEVELED_TILE_SCHEMA = T.StructType(
     [T.StructField("lvl", T.IntegerType())] + list(TILE_SCHEMA.fields)
 )
+CUBE_LEVELED_TILE_SCHEMA = T.StructType(
+    [T.StructField("lvl", T.IntegerType()), T.StructField("t", T.IntegerType())]
+    + list(TILE_SCHEMA.fields)
+)
 
 
-def _read_level_or_empty(spark: SparkSession, path: str, z: int) -> DataFrame:
+def _read_level_or_empty(
+    spark: SparkSession, path: str, z: int, with_t: bool = False
+) -> DataFrame:
     """``read_level`` that tolerates a level whose directory doesn't exist
     yet (first micro-batch: the cascade reads levels 1..K-1 as sibling
     sources before any tile has ever been written there). Explicit schema
-    — an empty dir must scan as zero rows, not fail inference."""
+    — an empty dir must scan as zero rows, not fail inference. ``with_t``
+    reads a streamed-cube level (t key column first)."""
     d = _assert_filewise_layout(path, z)  # creates the dir; guards layout
+    fields = [f for f in TILE_SCHEMA.fields if f.name != "z"]
+    if with_t:
+        fields = [T.StructField("t", T.IntegerType())] + fields
     return (
-        spark.read.schema(
-            T.StructType([f for f in TILE_SCHEMA.fields if f.name != "z"])
-        )
+        spark.read.schema(T.StructType(fields))
         .parquet(d)
         .withColumn("z", F.lit(z).cast("int"))
     )
 
 
-def _changed_keys_by_level(
-    base_keys: list[tuple[int, int]], nlevels: int
-) -> list[set[tuple[int, int]]]:
-    """changed[z] = the level-z tiles whose value this batch affects."""
-    changed: list[set[tuple[int, int]]] = [set(base_keys)]
+def _changed_keys_by_level(base_keys, nlevels: int):
+    """changed[z] = the level-z tiles whose value this batch affects.
+    Keys are ``(tx, ty)`` or ``(t, tx, ty)`` — any leading dims pass
+    through the halving untouched (the cube pass-through semantics)."""
+    changed = [set(base_keys)]
     for _ in range(nlevels):
-        changed.append({(tx >> 1, ty >> 1) for tx, ty in changed[-1]})
+        changed.append(
+            {k[:-2] + (k[-2] >> 1, k[-1] >> 1) for k in changed[-1]}
+        )
     return changed
 
 
-def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed):
+def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed, with_t=False):
     """Per-group bottom-up recompute of levels 1..k_top.
 
     The group holds every input tile the cascade needs (4-sibling sets at
     each level, pruned scan); changed tiles at intermediate levels are
     recomputed in-group (never trusted from disk), unchanged siblings come
-    from the scanned disk rows. Emits only the recomputed tiles."""
+    from the scanned disk rows. Emits only the recomputed tiles.
+    ``with_t``: keys and group keys carry the leading cube t dim."""
     half = spec.tilesize // 2
 
     # driver-precomputed per-group work lists: each task touches ONLY its
     # own changed tuples (iterating the global changed sets per group is
     # O(|changed| x n_groups) — quadratic across the stage; review r4)
-    group_work: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    group_work: dict[tuple, list[tuple]] = {}
     for z in range(1, k_top + 1):
         shift = k_top - z
-        for ptx, pty in sorted(changed[z]):
-            group_work.setdefault((ptx >> shift, pty >> shift), []).append(
-                (z, ptx, pty)
-            )
+        for key in sorted(changed[z]):
+            gkey = key[:-2] + (key[-2] >> shift, key[-1] >> shift)
+            group_work.setdefault(gkey, []).append((z,) + key)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        gx, gy = int(key[0]), int(key[1])
-        disk: dict[tuple[int, int, int], np.ndarray] = {}
+        gkey = tuple(int(v) for v in key)  # (t?, gx, gy)
+        disk: dict[tuple, np.ndarray] = {}
         for r in pdf.to_dict("records"):
-            disk[(int(r["lvl"]), int(r["tx"]), int(r["ty"]))] = decode_tile(
+            dk = (int(r["lvl"]),) + ((int(r["t"]),) if with_t else ()) + (
+                int(r["tx"]), int(r["ty"]),
+            )
+            disk[dk] = decode_tile(
                 r["bytes"], int(r["h"]), int(r["w"]), r["dtype"], int(r["c"])
             )
-        computed: dict[tuple[int, int, int], np.ndarray] = {}
+        computed: dict[tuple, np.ndarray] = {}
         out_rows = []
-        for z, ptx, pty in group_work.get((gx, gy), ()):  # level-ascending
+        for work in group_work.get(gkey, ()):  # level-ascending
+            z, lead, (ptx, pty) = work[0], work[1:-2], work[-2:]
             quarters = []
             for dy in (0, 1):
                 for dx in (0, 1):
-                    ck = (z - 1, 2 * ptx + dx, 2 * pty + dy)
+                    ck = (z - 1,) + lead + (2 * ptx + dx, 2 * pty + dy)
                     child = computed.get(ck)
                     if child is None:
                         child = disk.get(ck)
@@ -294,11 +308,19 @@ def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed):
             if not quarters:
                 continue
             arr = _assemble_from_quarters(quarters, half)
-            computed[(z, ptx, pty)] = arr
-            out_rows.append(dict(_tile_row(spec, z, ptx, pty, arr), lvl=z))
+            computed[(z,) + lead + (ptx, pty)] = arr
+            row = dict(_tile_row(spec, z, ptx, pty, arr), lvl=z)
+            if with_t:
+                row["t"] = lead[0]
+            out_rows.append(row)
+        schema = CUBE_LEVELED_TILE_SCHEMA if with_t else LEVELED_TILE_SCHEMA
         if not out_rows:
-            return pd.DataFrame(columns=[f.name for f in LEVELED_TILE_SCHEMA.fields])
-        pdf_out = _rows_to_pdf([{k: v for k, v in r.items() if k != "lvl"} for r in out_rows])
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        pdf_out = _rows_to_pdf(
+            [{k: v for k, v in r.items() if k not in ("lvl", "t")} for r in out_rows]
+        )
+        if with_t:
+            pdf_out.insert(0, "t", pd.array([r["t"] for r in out_rows], dtype="int32"))
         pdf_out.insert(0, "lvl", pd.array([r["lvl"] for r in out_rows], dtype="int32"))
         return pdf_out
 
@@ -327,35 +349,79 @@ def _patch_ancestors(
     """
     if not base_keys or spec.nlevels < 1:
         return
+    with_t = len(base_keys[0]) == 3
     k_top = min(_CASCADE_LEVELS, spec.nlevels)
     changed = _changed_keys_by_level(base_keys, spec.nlevels)
 
     # phase 1: union of pruned per-level scans -> grouped cascade -> write
-    scans = []
-    for z in range(1, k_top + 1):
-        src = _children_of(_read_level_or_empty(spark, path, z - 1), sorted(changed[z]))
-        scans.append(src.withColumn("lvl", F.lit(z - 1).cast("int")).select(
-            "lvl", *[f.name for f in TILE_SCHEMA.fields if f.name != "z"]
-        ))
-    union = scans[0]
-    for s in scans[1:]:
-        union = union.unionByName(s)
+    union = _sibling_union_scan(spark, path, changed, 1, k_top, with_t)
     # tiles at level l belong to ancestor key >> (k_top - l); the shift
     # count is a column, which F.shiftright's int-only arg can't express
-    grouped = union.groupBy(
+    gcols = (["t"] if with_t else []) + [
         F.expr(f"shiftright(tx, {k_top} - lvl)").alias("gx"),
         F.expr(f"shiftright(ty, {k_top} - lvl)").alias("gy"),
-    ).applyInPandas(
-        _cascade_repair(spec, reducer, k_top, changed), LEVELED_TILE_SCHEMA
+    ]
+    grouped = union.groupBy(*gcols).applyInPandas(
+        _cascade_repair(spec, reducer, k_top, changed, with_t),
+        CUBE_LEVELED_TILE_SCHEMA if with_t else LEVELED_TILE_SCHEMA,
     )
-    _write_tiles_multilevel(grouped, path, k_top)
+    _write_tiles_multilevel(grouped, path, k_top, with_t)
 
     # phase 2: driver tail over the geometric remainder
     if spec.nlevels > k_top:
-        _patch_tail_driver(spark, path, spec, reducer, changed, k_top)
+        _patch_tail_driver(spark, path, spec, reducer, changed, k_top, with_t)
 
 
-def _write_tiles_multilevel(tiles: DataFrame, path: str, k_top: int) -> None:
+def _sibling_union_scan(
+    spark: SparkSession, path: str, changed, z_lo: int, z_hi: int, with_t: bool
+):
+    """Union of per-level pruned scans of the 4-sibling child sets of
+    ``changed[z]`` for z in [z_lo, z_hi], each tagged with ``lvl``.
+
+    Flat path: ``_children_of`` (pushable IN-lists + packed-int64 exact
+    membership). Cube path: IN-lists on t/tx/ty + ONE broadcast left-semi
+    join on (lvl, t, parent) after the union — packed int64 would
+    overflow for epoch-scale t (review r4)."""
+    scans = []
+    for z in range(z_lo, z_hi + 1):
+        lvl = _read_level_or_empty(spark, path, z - 1, with_t)
+        if with_t:
+            keys = sorted(changed[z])
+            ts = sorted({t for t, _, _ in keys})
+            xs = sorted({2 * px + dx for _, px, _ in keys for dx in (0, 1)})
+            ys = sorted({2 * py + dy for _, _, py in keys for dy in (0, 1)})
+            src = lvl.where(
+                F.col("t").isin(ts) & F.col("tx").isin(xs) & F.col("ty").isin(ys)
+            )
+        else:
+            src = _children_of(lvl, sorted(changed[z]))
+        scans.append(src.withColumn("lvl", F.lit(z - 1).cast("int")).select(
+            "lvl",
+            *((["t"] if with_t else [])
+              + [f.name for f in TILE_SCHEMA.fields if f.name != "z"]),
+        ))
+    union = scans[0]
+    for sc in scans[1:]:
+        union = union.unionByName(sc)
+    if with_t:
+        par_rows = [
+            (z - 1, t, px, py)
+            for z in range(z_lo, z_hi + 1)
+            for t, px, py in changed[z]
+        ]
+        pdf = spark.createDataFrame(par_rows, "lvl int, t int, _px int, _py int")
+        union = (
+            union.withColumn("_px", F.shiftright("tx", 1))
+            .withColumn("_py", F.shiftright("ty", 1))
+            .join(F.broadcast(pdf), ["lvl", "t", "_px", "_py"], "left_semi")
+            .drop("_px", "_py")
+        )
+    return union
+
+
+def _write_tiles_multilevel(
+    tiles: DataFrame, path: str, k_top: int, with_t: bool = False
+) -> None:
     """Executor-side file-per-tile write across levels 1..k_top in one
     job; the ``lvl`` column routes each row to its level directory."""
     dirs = {z: _assert_filewise_layout(path, z) for z in range(1, k_top + 1)}
@@ -364,9 +430,11 @@ def _write_tiles_multilevel(tiles: DataFrame, path: str, k_top: int) -> None:
         for pdf in batches:
             for r in pdf.to_dict("records"):
                 z = int(r["lvl"])
-                _write_one_tile(
-                    dirs[z], r, f"tile-{int(r['tx']):06d}-{int(r['ty']):06d}.parquet"
-                )
+                fname = "tile-" + "-".join(
+                    ([f"t{int(r['t']):06d}"] if with_t else [])
+                    + [f"{int(r['tx']):06d}", f"{int(r['ty']):06d}"]
+                ) + ".parquet"
+                _write_one_tile(dirs[z], r, fname, with_t=with_t)
             yield pdf[["lvl", "tx", "ty"]]
 
     tiles.mapInPandas(write_partition, "lvl int, tx int, ty int").write.format(
@@ -375,33 +443,29 @@ def _write_tiles_multilevel(tiles: DataFrame, path: str, k_top: int) -> None:
 
 
 def _patch_tail_driver(
-    spark: SparkSession, path: str, spec: PyramidSpec, reducer: str, changed, k_top: int
+    spark: SparkSession, path: str, spec: PyramidSpec, reducer: str,
+    changed, k_top: int, with_t: bool = False,
 ) -> None:
     """Levels k_top+1..nlevels on the driver: collect the few needed
     children (pruned scans, one union job), recompute locally, write
-    file-per-tile. Work is <= (G/2^K)^2 tiles — driver-sized by
-    construction (the batch build's tail-fusion rationale)."""
-    scans = []
-    for z in range(k_top + 1, spec.nlevels + 1):
-        src = _children_of(_read_level_or_empty(spark, path, z - 1), sorted(changed[z]))
-        scans.append(src.withColumn("lvl", F.lit(z - 1).cast("int")))
-    union = scans[0]
-    for s in scans[1:]:
-        union = union.unionByName(s)
-    disk: dict[tuple[int, int, int], np.ndarray] = {}
+    file-per-tile. Work is <= (G/2^K)^2 tiles (x touched slices for
+    cubes) — driver-sized by construction (the batch build's tail-fusion
+    rationale)."""
+    union = _sibling_union_scan(spark, path, changed, k_top + 1, spec.nlevels, with_t)
+    disk: dict[tuple, np.ndarray] = {}
     for r in union.collect():
-        disk[(r["lvl"], r["tx"], r["ty"])] = decode_tile(
-            r["bytes"], r["h"], r["w"], r["dtype"], r["c"]
-        )
+        dk = (r["lvl"],) + ((r["t"],) if with_t else ()) + (r["tx"], r["ty"])
+        disk[dk] = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
     half = spec.tilesize // 2
-    computed: dict[tuple[int, int, int], np.ndarray] = {}
+    computed: dict[tuple, np.ndarray] = {}
     for z in range(k_top + 1, spec.nlevels + 1):
         rows = []
-        for ptx, pty in sorted(changed[z]):
+        for key in sorted(changed[z]):
+            lead, (ptx, pty) = key[:-2], key[-2:]
             quarters = []
             for dy in (0, 1):
                 for dx in (0, 1):
-                    ck = (z - 1, 2 * ptx + dx, 2 * pty + dy)
+                    ck = (z - 1,) + lead + (2 * ptx + dx, 2 * pty + dy)
                     child = computed.get(ck, disk.get(ck))
                     if child is None:
                         continue
@@ -409,84 +473,19 @@ def _patch_tail_driver(
             if not quarters:
                 continue
             arr = _assemble_from_quarters(quarters, half)
-            computed[(z, ptx, pty)] = arr
-            rows.append(_tile_row(spec, z, ptx, pty, arr))
+            computed[(z,) + lead + (ptx, pty)] = arr
+            row = _tile_row(spec, z, ptx, pty, arr)
+            if with_t:
+                row = dict(row, t=lead[0])
+            rows.append(row)
         if rows:
-            _write_tiles_filewise(rows, path, z)
-
-
-def _children_of_cube(
-    level_df: DataFrame, parents: list[tuple[int, int, int]]
-) -> DataFrame:
-    """Cube variant of ``_children_of``: parents are ``(t, px, py)``.
-
-    Same two-tier filter — source-pushable IN-lists on the plain t/tx/ty
-    columns (parquet min/max row-group skipping), then the exact
-    ``(t, parent)`` membership as a broadcast LEFT SEMI join on the
-    survivors. A packed-int64 ``isin`` (the flat path's trick) is NOT
-    safe here: t is a full int32 (epoch seconds are legal), so
-    ``t << 42`` overflows the long and the test silently matches
-    nothing — stale ancestors with no error."""
-    ts = sorted({t for t, _, _ in parents})
-    txs = sorted({2 * px + dx for _, px, _ in parents for dx in (0, 1)})
-    tys = sorted({2 * py + dy for _, _, py in parents for dy in (0, 1)})
-    pushable = (
-        F.col("t").isin(ts) & F.col("tx").isin(txs) & F.col("ty").isin(tys)
-    )
-    spark = level_df.sparkSession
-    pdf = spark.createDataFrame(parents, "t int, _px int, _py int")
-    return (
-        level_df.where(pushable)
-        .withColumn("_px", F.shiftright("tx", 1))
-        .withColumn("_py", F.shiftright("ty", 1))
-        .join(F.broadcast(pdf), ["t", "_px", "_py"], "left_semi")
-        .drop("_px", "_py")
-    )
-
-
-def _repair_parents_cube(spec: PyramidSpec, z: int, reducer: str):
-    """Grouped recompute keyed by (t, ptx, pty): one t-slice's parent."""
-    from ..operators.cube import CUBE_TILE_SCHEMA  # noqa: F401 (schema used by caller)
-
-    flat = _repair_parents(spec, z, reducer)
-
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        t = int(key[0])
-        out = flat((key[1], key[2]), pdf)
-        out.insert(0, "t", np.int32(t))
-        return out
-
-    return fn
-
-
-def _patch_ancestors_cube(
-    spark: SparkSession,
-    path: str,
-    spec: PyramidSpec,
-    reducer: str,
-    base_keys: list[tuple[int, int, int]],
-) -> None:
-    """Cube ancestor patch: per-level rounds (the flat path's pre-cascade
-    shape) with ``t`` riding every key — it joins the group-by, never the
-    values (pass-through-dim semantics, incrementally). Writes are
-    executor-side. Porting the grouped cascade here is possible (group by
-    (t, level-K ancestor)) but cubes patch |t| independent small subtrees
-    per batch, so the per-level rounds parallelize across slices already."""
-    from ..operators.cube import CUBE_TILE_SCHEMA, read_cube_level
-
-    keys = base_keys
-    for z in range(1, spec.nlevels + 1):
-        parents = sorted({(t, tx >> 1, ty >> 1) for t, tx, ty in keys})
-        if not parents:
-            return
-        children = _children_of_cube(read_cube_level(spark, path, z - 1), parents)
-        rebuilt = children.groupBy(
-            "t",
-            F.shiftright("tx", 1).alias("ptx"),
-            F.shiftright("ty", 1).alias("pty"),
-        ).applyInPandas(_repair_parents_cube(spec, z, reducer), CUBE_TILE_SCHEMA)
-        _write_tiles_distributed(rebuilt, path, z, t_col="t")
-        keys = parents
+            d = _assert_filewise_layout(path, z)
+            for r in rows:
+                fname = "tile-" + "-".join(
+                    ([f"t{int(r['t']):06d}"] if with_t else [])
+                    + [f"{int(r['tx']):06d}", f"{int(r['ty']):06d}"]
+                ) + ".parquet"
+                _write_one_tile(d, r, fname, with_t=with_t)
 
 
 def ingest_cube_images(
@@ -504,7 +503,10 @@ def ingest_cube_images(
     path's ``build_cube`` semantics, incrementally — each micro-batch of
     image rows (input_hint schema + integer ``t_col``) appends its base
     tiles and patches exactly the ancestors of the touched
-    ``(t, tx, ty)`` keys. All tile writes happen on executors."""
+    ``(t, tx, ty)`` keys through the same grouped cascade as the flat
+    path (groups keyed by (t, level-K ancestor); exact membership is a
+    broadcast semi-join — packed int64 would overflow at epoch-scale t).
+    All tile writes happen on executors."""
     from ..functions.reducers import is_decomposable, reducer_name
     from ..operators.cube import base_cube_tiles
 
@@ -522,7 +524,7 @@ def ingest_cube_images(
         )
         if not keys0:
             return
-        _patch_ancestors_cube(spark, path, spec, reducer, keys0)
+        _patch_ancestors(spark, path, spec, reducer, keys0)
         _commit_multiscales_once(path, spec, tilesize, reducer)
 
     stream = spark.readStream.schema(IMAGES_DDL + f", {t_col} int").parquet(source_dir)
