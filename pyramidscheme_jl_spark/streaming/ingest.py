@@ -119,12 +119,21 @@ def _assert_filewise_layout(path: str, z: int) -> str:
     return d
 
 
-def _write_tiles_filewise(rows: list[dict], path: str, z: int) -> None:
+def _tile_fname(r: dict, with_t: bool = False) -> str:
+    """THE deterministic tile filename — single source of truth for the
+    idempotent last-writer-wins upsert contract."""
+    parts = ([f"t{int(r['t']):06d}"] if with_t else []) + [
+        f"{int(r['tx']):06d}", f"{int(r['ty']):06d}"
+    ]
+    return "tile-" + "-".join(parts) + ".parquet"
+
+
+def _write_tiles_filewise(rows: list[dict], path: str, z: int, with_t: bool = False) -> None:
     """Driver-side file-per-tile write (small tile sets only; the streaming
     hot path uses ``_write_tiles_distributed``)."""
     d = _assert_filewise_layout(path, z)
     for r in rows:
-        _write_one_tile(d, r, f"tile-{r['tx']:06d}-{r['ty']:06d}.parquet")
+        _write_one_tile(d, r, _tile_fname(r, with_t), with_t=with_t)
 
 
 def _write_tiles_distributed(
@@ -147,12 +156,7 @@ def _write_tiles_distributed(
     def write_partition(batches):
         for pdf in batches:
             for r in pdf.to_dict("records"):
-                key = tuple(int(r[c]) for c in key_cols)
-                fname = "tile-" + "-".join(
-                    ([f"t{key[0]:06d}"] if t_col else [])
-                    + [f"{k:06d}" for k in key[-2:]]
-                ) + ".parquet"
-                _write_one_tile(d, r, fname, with_t=bool(t_col))
+                _write_one_tile(d, r, _tile_fname(r, bool(t_col)), with_t=bool(t_col))
             yield pdf[key_cols]
 
     schema = ", ".join(f"{c} int" for c in key_cols)
@@ -193,32 +197,10 @@ def _assemble_from_quarters(quarters, half):
     return arr
 
 
-def _repair_parents(spec: PyramidSpec, z: int, reducer: str):
-    """Grouped recompute: children of one parent -> the rebuilt level-z tile.
-
-    Downsample-by-2 + quarter assembly fused into ONE Python stage (two
-    chained mapInPandas stages per task measured 10x slower at 32 cores).
-    """
-    half = spec.tilesize // 2
-
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ptx, pty = int(key[0]), int(key[1])
-        c = int(pdf["c"].iloc[0])
-        quarters = []
-        for tx, ty, buf, w, h, dt in zip(
-            pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"], pdf["dtype"]
-        ):
-            q = block_reduce(decode_tile(buf, int(h), int(w), dt, c), reducer)
-            quarters.append((int(tx) & 1, int(ty) & 1, q))
-        arr = _assemble_from_quarters(quarters, half)
-        return _rows_to_pdf([_tile_row(spec, z, ptx, pty, arr)])
-
-    return fn
-
-
-#: cascade group depth: levels 1..K recompute inside ONE applyInPandas
-#: job, grouped by the level-K ancestor. 4^K base descendants bound the
-#: group (K=3 -> <=64 base + 21 ancestor tiles ~ <=15-40 MB/group).
+#: cascade pass depth: each pass recomputes K levels inside ONE
+#: applyInPandas job, grouped by the pass-top ancestor. 4^K base
+#: descendants bound the group (K=3 -> <=64 base + 21 ancestor tiles
+#: ~ <=15-40 MB/group); deeper pyramids take ceil(nlevels/K) passes.
 _CASCADE_LEVELS = 3
 
 LEVELED_TILE_SCHEMA = T.StructType(
@@ -261,10 +243,12 @@ def _changed_keys_by_level(base_keys, nlevels: int):
     return changed
 
 
-def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed, with_t=False):
-    """Per-group bottom-up recompute of levels 1..k_top.
+def _cascade_repair(
+    spec: PyramidSpec, reducer: str, z_lo: int, z_hi: int, changed, with_t=False
+):
+    """Per-group bottom-up recompute of levels z_lo..z_hi.
 
-    The group holds every input tile the cascade needs (4-sibling sets at
+    The group holds every input tile this pass needs (4-sibling sets at
     each level, pruned scan); changed tiles at intermediate levels are
     recomputed in-group (never trusted from disk), unchanged siblings come
     from the scanned disk rows. Emits only the recomputed tiles.
@@ -275,8 +259,8 @@ def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed, with_t
     # own changed tuples (iterating the global changed sets per group is
     # O(|changed| x n_groups) — quadratic across the stage; review r4)
     group_work: dict[tuple, list[tuple]] = {}
-    for z in range(1, k_top + 1):
-        shift = k_top - z
+    for z in range(z_lo, z_hi + 1):
+        shift = z_hi - z
         for key in sorted(changed[z]):
             gkey = key[:-2] + (key[-2] >> shift, key[-1] >> shift)
             group_work.setdefault(gkey, []).append((z,) + key)
@@ -328,48 +312,40 @@ def _cascade_repair(spec: PyramidSpec, reducer: str, k_top: int, changed, with_t
 
 
 def _patch_ancestors(
-    spark: SparkSession, path: str, spec: PyramidSpec, reducer: str, base_keys: list[tuple[int, int]]
+    spark: SparkSession, path: str, spec: PyramidSpec, reducer: str, base_keys
 ) -> None:
     """Recompute the ancestor tiles of the given base-tile keys, bottom-up.
 
-    Two phases, O(1) Spark jobs per micro-batch instead of O(nlevels)
-    (the per-level round-trip was the ingest scaling floor — each round
-    was a full multi-stage job over geometrically shrinking work):
-
-    1. **Grouped cascade** (levels 1..K): one pruned UNION scan collects,
-       per level, the 4-sibling sets of the changed tiles; grouped by the
-       level-K ancestor, one ``applyInPandas`` recomputes the whole
-       subtree locally (changed tiles in-group, unchanged siblings from
-       the scan) and ONE distributed multi-level write lands the results.
-       Tile bytes never touch the driver.
-    2. **Driver tail** (levels K+1..top): at most (G/2^K)^2 touched tiles
-       remain — one pruned collect of the needed children + siblings,
-       local numpy recompute, idempotent file-per-tile writes (same
-       driver/cluster split as the batch build's tail fusion).
-    """
+    Grouped-cascade passes, O(nlevels / K) Spark jobs per micro-batch
+    instead of O(nlevels) (the per-level round-trip was the ingest scaling
+    floor). Each pass covers K levels: one pruned UNION scan collects,
+    per level, the 4-sibling sets of the changed tiles; grouped by the
+    pass's top-level ancestor, one ``applyInPandas`` recomputes the whole
+    subtree locally (changed tiles in-group, unchanged siblings from the
+    scan) and ONE distributed multi-level write lands the results. Tile
+    bytes NEVER touch the driver — for flat pyramids and cubes alike
+    (``base_keys`` of ``(t, tx, ty)`` switch on the cube path; a driver
+    tail here would multiply by the unbounded touched-slice count)."""
     if not base_keys or spec.nlevels < 1:
         return
     with_t = len(base_keys[0]) == 3
-    k_top = min(_CASCADE_LEVELS, spec.nlevels)
     changed = _changed_keys_by_level(base_keys, spec.nlevels)
-
-    # phase 1: union of pruned per-level scans -> grouped cascade -> write
-    union = _sibling_union_scan(spark, path, changed, 1, k_top, with_t)
-    # tiles at level l belong to ancestor key >> (k_top - l); the shift
-    # count is a column, which F.shiftright's int-only arg can't express
-    gcols = (["t"] if with_t else []) + [
-        F.expr(f"shiftright(tx, {k_top} - lvl)").alias("gx"),
-        F.expr(f"shiftright(ty, {k_top} - lvl)").alias("gy"),
-    ]
-    grouped = union.groupBy(*gcols).applyInPandas(
-        _cascade_repair(spec, reducer, k_top, changed, with_t),
-        CUBE_LEVELED_TILE_SCHEMA if with_t else LEVELED_TILE_SCHEMA,
-    )
-    _write_tiles_multilevel(grouped, path, k_top, with_t)
-
-    # phase 2: driver tail over the geometric remainder
-    if spec.nlevels > k_top:
-        _patch_tail_driver(spark, path, spec, reducer, changed, k_top, with_t)
+    lo = 1
+    while lo <= spec.nlevels:
+        hi = min(lo + _CASCADE_LEVELS - 1, spec.nlevels)
+        union = _sibling_union_scan(spark, path, changed, lo, hi, with_t)
+        # tiles at level l belong to ancestor key >> (hi - l); the shift
+        # count is a column, which F.shiftright's int-only arg can't express
+        gcols = (["t"] if with_t else []) + [
+            F.expr(f"shiftright(tx, {hi} - lvl)").alias("gx"),
+            F.expr(f"shiftright(ty, {hi} - lvl)").alias("gy"),
+        ]
+        grouped = union.groupBy(*gcols).applyInPandas(
+            _cascade_repair(spec, reducer, lo, hi, changed, with_t),
+            CUBE_LEVELED_TILE_SCHEMA if with_t else LEVELED_TILE_SCHEMA,
+        )
+        _write_tiles_multilevel(grouped, path, lo, hi, with_t)
+        lo = hi + 1
 
 
 def _sibling_union_scan(
@@ -420,72 +396,23 @@ def _sibling_union_scan(
 
 
 def _write_tiles_multilevel(
-    tiles: DataFrame, path: str, k_top: int, with_t: bool = False
+    tiles: DataFrame, path: str, z_lo: int, z_hi: int, with_t: bool = False
 ) -> None:
-    """Executor-side file-per-tile write across levels 1..k_top in one
+    """Executor-side file-per-tile write across levels z_lo..z_hi in one
     job; the ``lvl`` column routes each row to its level directory."""
-    dirs = {z: _assert_filewise_layout(path, z) for z in range(1, k_top + 1)}
+    dirs = {z: _assert_filewise_layout(path, z) for z in range(z_lo, z_hi + 1)}
 
     def write_partition(batches):
         for pdf in batches:
             for r in pdf.to_dict("records"):
-                z = int(r["lvl"])
-                fname = "tile-" + "-".join(
-                    ([f"t{int(r['t']):06d}"] if with_t else [])
-                    + [f"{int(r['tx']):06d}", f"{int(r['ty']):06d}"]
-                ) + ".parquet"
-                _write_one_tile(dirs[z], r, fname, with_t=with_t)
+                _write_one_tile(
+                    dirs[int(r["lvl"])], r, _tile_fname(r, with_t), with_t=with_t
+                )
             yield pdf[["lvl", "tx", "ty"]]
 
     tiles.mapInPandas(write_partition, "lvl int, tx int, ty int").write.format(
         "noop"
     ).mode("overwrite").save()
-
-
-def _patch_tail_driver(
-    spark: SparkSession, path: str, spec: PyramidSpec, reducer: str,
-    changed, k_top: int, with_t: bool = False,
-) -> None:
-    """Levels k_top+1..nlevels on the driver: collect the few needed
-    children (pruned scans, one union job), recompute locally, write
-    file-per-tile. Work is <= (G/2^K)^2 tiles (x touched slices for
-    cubes) — driver-sized by construction (the batch build's tail-fusion
-    rationale)."""
-    union = _sibling_union_scan(spark, path, changed, k_top + 1, spec.nlevels, with_t)
-    disk: dict[tuple, np.ndarray] = {}
-    for r in union.collect():
-        dk = (r["lvl"],) + ((r["t"],) if with_t else ()) + (r["tx"], r["ty"])
-        disk[dk] = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
-    half = spec.tilesize // 2
-    computed: dict[tuple, np.ndarray] = {}
-    for z in range(k_top + 1, spec.nlevels + 1):
-        rows = []
-        for key in sorted(changed[z]):
-            lead, (ptx, pty) = key[:-2], key[-2:]
-            quarters = []
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    ck = (z - 1,) + lead + (2 * ptx + dx, 2 * pty + dy)
-                    child = computed.get(ck, disk.get(ck))
-                    if child is None:
-                        continue
-                    quarters.append((dx, dy, block_reduce(child, reducer)))
-            if not quarters:
-                continue
-            arr = _assemble_from_quarters(quarters, half)
-            computed[(z,) + lead + (ptx, pty)] = arr
-            row = _tile_row(spec, z, ptx, pty, arr)
-            if with_t:
-                row = dict(row, t=lead[0])
-            rows.append(row)
-        if rows:
-            d = _assert_filewise_layout(path, z)
-            for r in rows:
-                fname = "tile-" + "-".join(
-                    ([f"t{int(r['t']):06d}"] if with_t else [])
-                    + [f"{int(r['tx']):06d}", f"{int(r['ty']):06d}"]
-                ) + ".parquet"
-                _write_one_tile(d, r, fname, with_t=with_t)
 
 
 def ingest_cube_images(

@@ -498,3 +498,24 @@ def test_streaming_multiscales_deferred_to_first_commit(spark, tmp_path):
     assert os.path.exists(os.path.join(q_path, "_multiscales.json"))
     ds = PyramidDataset.open(spark, q_path)
     assert ds.spec.nlevels == 1
+
+
+def test_streaming_multipass_cascade(spark, tmp_path, monkeypatch):
+    """Deep pyramids take multiple cascade passes (nlevels > K). Forcing
+    K=1 at G=4 exercises every pass boundary — results must equal the
+    batch build, with zero tile bytes on the driver (review r4: the old
+    driver tail multiplied by the touched-slice count for cubes)."""
+    import pyramidscheme_jl_spark.streaming.ingest as ing
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+
+    monkeypatch.setattr(ing, "_CASCADE_LEVELS", 1)
+    src = tmp_path / "mp_src"
+    src.mkdir()
+    rows = synth_images(G=4)
+    spark.createDataFrame(rows, IMAGES_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "mp_pyr")
+    ing.ingest_images(spark, f"{src}/*", q_path, G=4).awaitTermination(120)
+    spec = PyramidSpec(1024, 1024)
+    oracle = oracle_levels(mosaic_pixels(G=4), "mean", 2)
+    for z in (0, 1, 2):
+        np.testing.assert_allclose(assemble_level(spark, q_path, z, spec), oracle[z], rtol=1e-12)

@@ -238,3 +238,25 @@ def test_streamed_cube_compaction_preserves_t(spark, tmp_path):
             _assemble_cube_level(spark, q_path, 1, spec, t),
             oracle_levels(base, "mean", 1)[1], rtol=1e-12,
         )
+
+
+def test_streaming_cube_multipass_cascade(spark, tmp_path, monkeypatch):
+    """Cube ingest across multiple cascade passes (K=1 forces one pass
+    per level): per-slice equality with the batch oracle — all passes run
+    executor-side (no driver tile bytes for any slice count)."""
+    import pyramidscheme_jl_spark.streaming.ingest as ing
+
+    monkeypatch.setattr(ing, "_CASCADE_LEVELS", 1)
+    rows = _cube_rows(G=4)
+    src = tmp_path / "mpc_src"
+    src.mkdir()
+    spark.createDataFrame(rows, CUBE_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "mpc_cube")
+    ing.ingest_cube_images(spark, f"{src}/*", q_path, G=4).awaitTermination(180)
+    spec = PyramidSpec(1024, 1024)
+    for t in range(T_SLICES):
+        oracle = _slice_oracle(t)
+        for z in (0, 1, 2):
+            np.testing.assert_allclose(
+                _assemble_cube_level(spark, q_path, z, spec, t), oracle[z], rtol=1e-12
+            )
