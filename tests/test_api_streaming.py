@@ -519,3 +519,43 @@ def test_streaming_multipass_cascade(spark, tmp_path, monkeypatch):
     oracle = oracle_levels(mosaic_pixels(G=4), "mean", 2)
     for z in (0, 1, 2):
         np.testing.assert_allclose(assemble_level(spark, q_path, z, spec), oracle[z], rtol=1e-12)
+
+
+def test_ivf_assign_expr_matches_numpy_argmin(spark):
+    """The generated unrolled-SQL assignment/probe must reproduce
+    np.argmin / stable argsort exactly — including negative packed scores
+    (pmod) and tie-break to the lowest list id."""
+    import numpy as np
+
+    from pyramidscheme_jl_spark.operators.similarity import (
+        _assign_expr,
+        _probe_lists_expr,
+        quantized,
+    )
+
+    rng = np.random.RandomState(42)
+    nlist, dim, n = 8, 16, 64
+    qcent = rng.randint(-1000, 1000, size=(nlist, dim)).astype(np.int64)
+    qcent[3] = qcent[5]  # forced tie: distances to lists 3 and 5 equal
+    vecs = rng.randn(n, dim).astype(float)
+    vecs[0] = 0.0  # zero vector: every |c|^2 - 0 score, ties decided by id
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    q = quantized(df, "embedding")
+    got = {
+        r["vec_id"]: (r["a"], r["p"])
+        for r in q.select(
+            "vec_id",
+            _assign_expr(qcent).alias("a"),
+            _probe_lists_expr(qcent, 3).alias("p"),
+        ).collect()
+    }
+    qv = np.floor(vecs * 1_000_000 + 0.5).astype(np.int64)
+    c_norm = (qcent * qcent).sum(axis=1)
+    scores = c_norm[None, :] - 2 * (qv @ qcent.T)
+    for i in range(n):
+        order = np.argsort(scores[i] * nlist + np.arange(nlist), kind="stable")
+        assert got[i][0] == order[0], i
+        assert got[i][1] == list(order[:3]), i
