@@ -188,10 +188,11 @@ def main() -> None:
     # cold JVM (no JIT-compiled codegen paths, cold parquet footers, cold
     # broadcast machinery). One untimed representative query restores the
     # steady-state the single-session r2 protocol measured.
-    # embedding_ivf_topk is included because its generated unrolled-dot
-    # expression costs ~2 s of one-time Janino compilation per JVM — a
-    # per-executor constant at cluster scale, not per-row work; the timed
-    # run measures the steady-state plan (codegen cache hit).
+    # embedding_ivf_topk is included so its first-use constants (python
+    # worker fan-out for the Arrow matmul assign — the round-5 A/B winner
+    # over the unrolled expr, tools/ivf_assign_ab.py — plus broadcast
+    # machinery) land in the untimed warmup; the timed run measures the
+    # steady-state plan.
     t0 = time.perf_counter()
     _noop_write(qs["block_agg_mean"](spark, sf_dir))
     _noop_write(qs["embedding_topk"](spark, sf_dir))

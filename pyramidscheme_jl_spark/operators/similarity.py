@@ -140,13 +140,15 @@ def lsh_bucket(
 
         # The bits x dim projection is ~1000 multiply-adds per row: Spark's
         # higher-order functions (aggregate/zip_with) are NOT whole-stage-
-        # codegen'd (interpreted, measured ~1 ms/row), and even the
-        # unrolled generated-SQL codegen formulation (the trick that closed
-        # the IVF assign stage, ivf_topk below) measured 1.7x SLOWER here
-        # at sf0.1 — 16 comparisons over 64-term scalar add chains lose to
-        # one BLAS int64 matmul when the projection dominates the query.
-        # Here Python IS the fast path, and exactness is preserved
-        # (int64 matmul, no floats).
+        # codegen'd (interpreted, measured ~1 ms/row), and the unrolled
+        # generated-SQL codegen formulation measured 1.7x SLOWER here at
+        # sf0.1 — confirmed decisively by the round-5 corpus-scale A/B
+        # (tools/ivf_assign_ab.py, 2M rows x dim 64 x 16 keys, local[16]):
+        # warm scan 34M rows/s (matmul UDF) vs 7.7M rows/s (unrolled expr),
+        # 4.4x, AND a smaller one-time driver constant (6.0 s vs 12.9 s
+        # plan-analysis + Janino compile of the ~1000-term tree). One
+        # vectorized int64 matmul beats codegen'd scalar chains at every
+        # scale for this shape. Exactness is preserved (int64, no floats).
         @F.pandas_udf("long")
         def bucket_udf(qv: pd.Series) -> pd.Series:
             m = np.array(qv.tolist(), dtype=np.int64)  # (n, dim)
@@ -246,20 +248,26 @@ def quantized_centroids(centroids: np.ndarray) -> np.ndarray:
 def _packed_centroid_scores_sql(qcent: np.ndarray, qvec_col: str) -> str:
     """SQL text for the per-centroid distance scores ``|c_j|^2 - 2 q.c_j``
     packed as ``score * nlist + j`` so ties resolve to the lowest list id
-    exactly (VERDICT r3 #4: keeps the 10^12-row data-side scan free of
-    ArrowEvalPython stages).
+    exactly.
 
-    Two deliberate choices, both measured on this shape (nlist=16, dim=64):
+    **Measured A/B loser — kept as the JVM twin, not the production path.**
+    Round 4 shipped this as the corpus-scan assignment (VERDICT r3 #4 asked
+    for a Python-free scan); the round-5 corpus-scale A/B
+    (``tools/ivf_assign_ab.py``, 2M rows, dim=64, nlist=16, local[16])
+    settled the contradiction with ``lsh_bucket``'s measurement: the Arrow
+    int64-matmul UDF (``_assign_udf``) wins on BOTH axes — warm scan
+    34M rows/s vs 7.7M rows/s (4.4x) and one-time driver constant 6.0 s vs
+    12.9 s (plan analysis + Janino compile of the ~1000-term tree). The
+    production ``ivf_topk`` therefore uses ``_assign_udf``/``_probe_udf``;
+    this generator remains for the expr<->numpy parity property test and
+    the A/B tool. No crossover exists at this shape; a much smaller
+    ``nlist*dim`` product (<~64 terms, where one batch matmul stops
+    amortizing Arrow transfer) is the only regime where the expr could win.
 
-    - unrolled ``qvec[i] * c`` multiply-add chains, NOT aggregate/zip_with —
-      the higher-order functions are CodegenFallback (interpreted per
-      element, ~3x slower end-to-end); plain element access + arithmetic
-      stays inside whole-stage codegen, and zero-weight terms are dropped
-      at plan-build time;
-    - ONE generated SQL string parsed JVM-side via ``F.expr``, NOT Column
-      algebra — building the same ~1000-term tree from Python Columns costs
-      ~12 s of py4j round-trips per query construction; the parser does it
-      in milliseconds.
+    Within the expr formulation the two earlier choices still hold:
+    unrolled multiply-add chains (not CodegenFallback higher-order
+    functions), and ONE ``F.expr`` SQL string (Column algebra costs ~12 s
+    of py4j round-trips for the same tree).
     """
     nlist, dim = qcent.shape
     c_norm = (qcent * qcent).sum(axis=1)
@@ -284,12 +292,61 @@ def _assign_expr(qcent: np.ndarray, qvec_col: str = "qvec"):
 
 def _probe_lists_expr(qcent: np.ndarray, nprobe: int, qvec_col: str = "qvec"):
     """qvec -> the nprobe nearest list ids in distance order, pure JVM
-    (sorted packed scores; unique packing makes the order total)."""
+    (sorted packed scores; unique packing makes the order total). A/B
+    loser like ``_assign_expr`` — kept for the parity test."""
     packed = _packed_centroid_scores_sql(qcent, qvec_col)
     return F.expr(
         f"transform(slice(array_sort({packed}), 1, {int(nprobe)}), "
         f"v -> cast(pmod(v, {len(qcent)}) as int))"
     )
+
+
+def _centroid_scores_np(qcent: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """(n, nlist) exact int64 distance scores ``|c_j|^2 - 2 q.c_j`` for a
+    batch of quantized vectors — one matmul, shared by assign and probe."""
+    cnorm = (qcent * qcent).sum(axis=1)  # (nlist,)
+    return cnorm[None, :] - 2 * (m @ np.ascontiguousarray(qcent.T))
+
+
+def _assign_udf(qcent: np.ndarray):
+    """qvec -> nearest-centroid list id via one Arrow-batched int64 matmul.
+
+    The measured production path (tools/ivf_assign_ab.py, round 5): 4.4x
+    the unrolled-codegen expr's warm scan rate and half its driver
+    constant at the (nlist=16, dim=64) shape — see
+    ``_packed_centroid_scores_sql`` for the full A/B record. Semantics are
+    bit-identical to ``_assign_expr``: exact int64 arithmetic,
+    first-minimum tie-break (``np.argmin``) == lowest list id (pinned by
+    ``test_ivf_assign_expr_matches_numpy_argmin`` and the A/B tool's
+    full-corpus assignment-equality assert).
+    """
+    qc = qcent.copy()
+
+    @F.pandas_udf("int")
+    def assign(qv: pd.Series) -> pd.Series:
+        m = np.array(qv.tolist(), dtype=np.int64)  # (n, dim)
+        return pd.Series(_centroid_scores_np(qc, m).argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def _probe_udf(qcent: np.ndarray, nprobe: int):
+    """qvec -> the nprobe nearest list ids in distance order (query side,
+    same matmul scores; stable argsort + packed tiebreak on list id matches
+    ``_probe_lists_expr``'s total order exactly)."""
+    qc = qcent.copy()
+    nlist = len(qcent)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(qv: pd.Series) -> pd.Series:
+        m = np.array(qv.tolist(), dtype=np.int64)
+        # pack score*nlist+j like the expr so the sort key is total and ties
+        # resolve to the lowest list id; argsort positions ARE the list ids
+        packed = _centroid_scores_np(qc, m) * nlist + np.arange(nlist, dtype=np.int64)
+        idx = np.argsort(packed, axis=1)[:, : int(nprobe)]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return probe
 
 
 def ivf_topk(
@@ -322,17 +379,20 @@ def ivf_topk(
     )
     centroids = train_ivf_centroids(np.array(sample, dtype=np.float64), nlist, seed)
     qcent = quantized_centroids(centroids)
-    # data-side assignment + query-side probing are pure JVM array exprs
-    # (VERDICT r3 #4): the corpus scan carries no ArrowEvalPython stage
+    # assignment + probing are Arrow-batched int64 matmuls — the measured
+    # winner over the unrolled-codegen expr at every scale (4.4x warm scan,
+    # half the driver constant; tools/ivf_assign_ab.py, round 5). The
+    # narrow UDF stage carries only qvec; the join stays an equi-join on
+    # the bounded nlist key space.
     d = quantized(data, vec_col).select(
         F.col(id_col).alias("n_id"),
         F.col("qvec").alias("n_qvec"),
-        _assign_expr(qcent).alias("list_id"),
+        _assign_udf(qcent)(F.col("qvec")).alias("list_id"),
     )
     q = quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_qvec"),
-        F.explode(_probe_lists_expr(qcent, int(nprobe))).alias("list_id"),
+        F.explode(_probe_udf(qcent, int(nprobe))(F.col("qvec"))).alias("list_id"),
     )
     scored = (
         d.join(q, "list_id")

@@ -522,14 +522,18 @@ def test_streaming_multipass_cascade(spark, tmp_path, monkeypatch):
 
 
 def test_ivf_assign_expr_matches_numpy_argmin(spark):
-    """The generated unrolled-SQL assignment/probe must reproduce
-    np.argmin / stable argsort exactly — including negative packed scores
-    (pmod) and tie-break to the lowest list id."""
+    """Assignment/probe parity: BOTH formulations — the production Arrow
+    matmul UDF (_assign_udf/_probe_udf) and the JVM generated-SQL twin
+    (_assign_expr/_probe_lists_expr, the round-5 A/B loser kept for this
+    pin) — must reproduce np.argmin / stable argsort exactly, including
+    negative packed scores (pmod) and tie-break to the lowest list id."""
     import numpy as np
 
     from pyramidscheme_jl_spark.operators.similarity import (
         _assign_expr,
+        _assign_udf,
         _probe_lists_expr,
+        _probe_udf,
         quantized,
     )
 
@@ -544,12 +548,16 @@ def test_ivf_assign_expr_matches_numpy_argmin(spark):
         "vec_id int, embedding array<double>",
     )
     q = quantized(df, "embedding")
+    from pyspark.sql import functions as F
+
     got = {
-        r["vec_id"]: (r["a"], r["p"])
+        r["vec_id"]: (r["a"], r["p"], r["au"], r["pu"])
         for r in q.select(
             "vec_id",
             _assign_expr(qcent).alias("a"),
             _probe_lists_expr(qcent, 3).alias("p"),
+            _assign_udf(qcent)(F.col("qvec")).alias("au"),
+            _probe_udf(qcent, 3)(F.col("qvec")).alias("pu"),
         ).collect()
     }
     qv = np.floor(vecs * 1_000_000 + 0.5).astype(np.int64)
@@ -559,3 +567,5 @@ def test_ivf_assign_expr_matches_numpy_argmin(spark):
         order = np.argsort(scores[i] * nlist + np.arange(nlist), kind="stable")
         assert got[i][0] == order[0], i
         assert got[i][1] == list(order[:3]), i
+        assert got[i][2] == order[0], i  # production UDF == expr == numpy
+        assert got[i][3] == list(order[:3]), i
