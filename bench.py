@@ -248,11 +248,18 @@ def main() -> None:
         .cache()
     )
     n_jpegs = jpegs.count()  # encode (prep) excluded from the timing
-    steal.start()
-    t0 = time.perf_counter()
-    assert image_features(jpegs).count() == n_jpegs
-    dt_codec = time.perf_counter() - t0
-    steal.stop("jpeg_decode")
+    # best-of-3 reps with per-rep steal%, the same self-adjudicating
+    # treatment the build region got (VERDICT r4 #5: the r4 driver run's
+    # jpeg number fell inside a 10.5%-steal window and could only be
+    # dismissed by an out-of-band control run)
+    codec_reps: list[float] = []
+    for rep in range(3):
+        steal.start()
+        t0 = time.perf_counter()
+        assert image_features(jpegs).count() == n_jpegs
+        codec_reps.append(round(time.perf_counter() - t0, 3))
+        steal.stop(f"jpeg_rep{rep}")
+    dt_codec = min(codec_reps)
     jpegs.unpersist()
 
     # streaming-ingest throughput: one availableNow micro-batch through the
@@ -322,6 +329,7 @@ def main() -> None:
                 "jpeg_images": n_jpegs,
                 "jpeg_decode_px_per_sec": round(n_jpegs * 65536 / dt_codec, 1),
                 "jpeg_decode_imgs_per_sec": round(n_jpegs / dt_codec, 1),
+                "jpeg_reps_sec": codec_reps,
             }
         )
     )

@@ -534,6 +534,24 @@ def _video_sample_entry(fourcc: bytes, w: int, h: int) -> bytes:
 _MP4_UNITY_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
 
+def _chunk_offset_box(offsets: list[int]) -> bytes:
+    """stco (32-bit) chunk-offset box, or co64 when any offset exceeds
+    2^32-1 — frames totaling >4 GiB previously escaped as struct.error,
+    which the per-row ``on_error='skip'`` contract does not catch
+    (ADVICE r4). The demux side already reads both."""
+    if offsets and offsets[-1] > 0xFFFFFFFF:
+        return _full_box(
+            b"co64", 0, 0,
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">Q", o) for o in offsets),
+        )
+    return _full_box(
+        b"stco", 0, 0,
+        struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+
+
 def encode_mp4_video(
     frames: list[bytes], w: int, h: int, fps: int = 30, codec: str = "jpeg"
 ) -> bytes:
@@ -572,10 +590,7 @@ def encode_mp4_video(
     for f in frames:
         offsets.append(off)
         off += len(f)
-    stco = _full_box(
-        b"stco", 0, 0,
-        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offsets),
-    )
+    stco = _chunk_offset_box(offsets)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     url = _full_box(b"url ", 0, 1, b"")
     dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + url)
@@ -660,12 +675,15 @@ def _decode_mp4_impl(buf: bytes) -> tuple[list[bytes], int, int, float, str]:
     raise ValueError("mp4: no video track with a supported sample table")
 
 
-def _mp4_video_track(buf, trak_p, trak_e):
+def _mp4_stbl_boxes(buf, trak_p, trak_e, handler: bytes):
+    """(stbl child boxes, stsd first-entry triple) for a trak whose hdlr
+    matches ``handler`` (b'vide'/b'soun'); None when the trak is another
+    kind. Validates the required sample tables exist."""
     stbl = next(iter(_mp4_find(buf, trak_p, trak_e, (b"mdia", b"minf", b"stbl"))), None)
     hdlr = next(iter(_mp4_find(buf, trak_p, trak_e, (b"mdia", b"hdlr"))), None)
     if stbl is None or hdlr is None:
         return None
-    if buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+    if buf[hdlr[0] + 8 : hdlr[0] + 12] != handler:
         return None
     boxes: dict[bytes, tuple[int, int]] = {}
     for t, p, e in _mp4_boxes(buf, stbl[0], stbl[1]):
@@ -675,8 +693,6 @@ def _mp4_video_track(buf, trak_p, trak_e):
             raise ValueError(f"mp4: stbl missing {req.decode()}")
     if b"stco" not in boxes and b"co64" not in boxes:
         raise ValueError("mp4: stbl missing stco/co64")
-
-    # stsd: first sample entry decides the codec
     p, e = boxes[b"stsd"]
     (n_entries,) = struct.unpack(">I", buf[p + 4 : p + 8])
     if n_entries < 1:
@@ -684,21 +700,11 @@ def _mp4_video_track(buf, trak_p, trak_e):
     entry = next(_mp4_boxes(buf, p + 8, e), None)
     if entry is None:
         raise ValueError("mp4: stsd declares entries but holds none")
-    entry_t, entry_p, entry_e = entry
-    if entry_t in _MP4_STUBBED_ENTRIES:
-        raise NotImplementedError(
-            f"mp4 codec {entry_t.decode(errors='replace')!r}: inter-frame entropy "
-            "decode needs ffmpeg — not in sandbox (container demux IS supported)"
-        )
-    if entry_t in _MP4_JPEG_ENTRIES:
-        codec = "jpeg"
-    elif entry_t in _MP4_RAW_ENTRIES:
-        codec = "raw"
-    else:
-        raise ValueError(f"mp4: unsupported sample entry {entry_t!r}")
-    w, h = struct.unpack(">HH", buf[entry_p + 24 : entry_p + 28])
+    return boxes, entry
 
-    # stsz: per-sample sizes
+
+def _mp4_sample_tables(buf, boxes):
+    """Parse stsz + stco/co64 + stsc -> (sizes, chunk offsets, stsc runs)."""
     p, e = boxes[b"stsz"]
     fixed, n_samples = struct.unpack(">II", buf[p + 4 : p + 12])
     if fixed:
@@ -712,7 +718,6 @@ def _mp4_video_track(buf, trak_p, trak_e):
             raise ValueError("mp4: stsz count exceeds box")
         sizes = list(struct.unpack(f">{n_samples}I", buf[p + 12 : p + 12 + 4 * n_samples]))
 
-    # stco/co64: chunk offsets
     if b"stco" in boxes:
         p, e = boxes[b"stco"]
         (n_chunks,) = struct.unpack(">I", buf[p + 4 : p + 8])
@@ -722,7 +727,6 @@ def _mp4_video_track(buf, trak_p, trak_e):
         (n_chunks,) = struct.unpack(">I", buf[p + 4 : p + 8])
         offsets = list(struct.unpack(f">{n_chunks}Q", buf[p + 8 : p + 8 + 8 * n_chunks]))
 
-    # stsc: run-length samples-per-chunk
     p, e = boxes[b"stsc"]
     (n_runs,) = struct.unpack(">I", buf[p + 4 : p + 8])
     runs = [
@@ -731,6 +735,179 @@ def _mp4_video_track(buf, trak_p, trak_e):
     ]
     if not runs or runs[0][0] != 1:
         raise ValueError("mp4: malformed stsc")
+    return sizes, offsets, runs
+
+
+def _mp4_walk_samples(buf, sizes, offsets, runs) -> list[bytes]:
+    """Slice samples consecutively from each chunk offset (shared by the
+    video and audio demuxers)."""
+    frames: list[bytes] = []
+    run_i = 0
+    sample = 0
+    n_samples = len(sizes)
+    for chunk in range(1, len(offsets) + 1):
+        while run_i + 1 < len(runs) and runs[run_i + 1][0] <= chunk:
+            run_i += 1
+        per_chunk = runs[run_i][1]
+        off = offsets[chunk - 1]
+        for _ in range(per_chunk):
+            if sample >= n_samples:
+                break
+            sz = sizes[sample]
+            if off + sz > len(buf):
+                raise ValueError("mp4: sample extends past end of file")
+            frames.append(buf[off : off + sz])
+            off += sz
+            sample += 1
+    if sample < n_samples:
+        raise ValueError("mp4: chunk tables cover fewer samples than stsz")
+    return frames
+
+
+#: PCM audio sample entries -> numpy dtype of one 16-bit sample.
+#: 'sowt' little-endian and 'twos' big-endian are the classic QuickTime
+#: PCM fourccs; 'lpcm' is accepted with the common 16-bit signed layout
+#: (the full QuickTime v2 lpcm flag soup needs none of our corpora).
+_MP4_PCM_ENTRIES = {b"sowt": "<i2", b"twos": ">i2", b"lpcm": "<i2"}
+
+
+def decode_mp4_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """mp4 bytes -> (samples (n, channels) float64 in [-1, 1], rate) from
+    the first PCM ('sowt'/'twos'/'lpcm') audio track — the audio analog of
+    ``decode_mp4_video`` (VERDICT r4 #7), feeding ``audio_features`` with
+    exactly the WAV path's value contract. Compressed audio entries (mp4a
+    = AAC) raise NotImplementedError like avc1 video does."""
+    try:
+        top = {t: (p, e) for t, p, e in _mp4_boxes(buf, 0, len(buf))}
+        if b"moov" not in top:
+            raise ValueError("mp4: no moov box")
+        moov_p, moov_e = top[b"moov"]
+        for trak_p, trak_e in _mp4_find(buf, moov_p, moov_e, (b"trak",)):
+            got = _mp4_audio_track(buf, trak_p, trak_e)
+            if got is not None:
+                return got
+        raise ValueError("mp4: no audio track with a supported sample table")
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt mp4 container ({type(e).__name__}: {e})") from e
+
+
+def _mp4_audio_track(buf, trak_p, trak_e):
+    got = _mp4_stbl_boxes(buf, trak_p, trak_e, b"soun")
+    if got is None:
+        return None
+    boxes, (entry_t, entry_p, entry_e) = got
+    if entry_t == b"mp4a":
+        raise NotImplementedError(
+            "mp4 audio codec 'mp4a' (AAC): entropy decode needs ffmpeg — "
+            "not in sandbox (PCM tracks ARE supported)"
+        )
+    dtype = _MP4_PCM_ENTRIES.get(entry_t)
+    if dtype is None:
+        raise ValueError(f"mp4: unsupported audio sample entry {entry_t!r}")
+    # AudioSampleEntry v0 (ISO 14496-12 12.2.3 / QuickTime): 6 reserved +
+    # 2 data_ref_index, version(2) revision(2) vendor(4), channelcount(2)
+    # samplesize(2) compression(2) packet(2), samplerate (16.16 fixed)
+    version, = struct.unpack(">H", buf[entry_p + 8 : entry_p + 10])
+    if version != 0:
+        raise ValueError(f"mp4: sound sample entry version {version} unsupported")
+    channels, bits = struct.unpack(">HH", buf[entry_p + 16 : entry_p + 20])
+    (rate_fixed,) = struct.unpack(">I", buf[entry_p + 24 : entry_p + 28])
+    rate = rate_fixed >> 16
+    if channels < 1 or bits != 16 or rate < 1:
+        raise ValueError(
+            f"mp4: PCM track with channels={channels} bits={bits} rate={rate} unsupported"
+        )
+    sizes, offsets, runs = _mp4_sample_tables(buf, boxes)
+    pcm = b"".join(_mp4_walk_samples(buf, sizes, offsets, runs))
+    s = np.frombuffer(pcm, dtype=dtype).astype(np.float64) / 32768.0
+    n = len(s) // channels
+    return s[: n * channels].reshape(n, channels), int(rate)
+
+
+def encode_mp4_audio(samples: np.ndarray, rate: int, codec: str = "sowt") -> bytes:
+    """Mux (n, channels) float64 [-1, 1] as a 16-bit PCM mp4 sound track —
+    the mux twin of ``decode_mp4_audio`` (one chunk, fixed-size samples).
+    """
+    if codec not in ("sowt", "twos"):
+        raise ValueError(f"unsupported mp4 audio mux codec {codec!r}")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if n < 1 or ch < 1 or ch > 0xFFFF or not (0 < rate <= 0xFFFF):
+        # the sample-entry rate field is 16.16 unsigned fixed: max 65535 Hz
+        raise ValueError(f"mp4 audio mux: bad shape ({n}, {ch}) or rate {rate}")
+    dt = "<i2" if codec == "sowt" else ">i2"
+    pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype(dt).tobytes()
+    frame = 2 * ch  # one sample (all channels)
+
+    entry_body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # data_ref_index
+        + struct.pack(">HHI", 0, 0, 0)  # version/revision/vendor
+        + struct.pack(">HHHH", ch, 16, 0, 0)
+        + struct.pack(">I", rate << 16)
+    )
+    stsd = _full_box(
+        b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec.encode(), entry_body)
+    )
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", frame, n))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", pcm)
+    stco = _chunk_offset_box([len(ftyp) + 8])
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _full_box(b"url ", 0, 1, b"")
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    smhd = _full_box(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"audio\x00"
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", n)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + _MP4_UNITY_MATRIX + struct.pack(">II", 0, 0),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, rate, n)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100) + b"\x00" * 10
+        + _MP4_UNITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_video_track(buf, trak_p, trak_e):
+    got = _mp4_stbl_boxes(buf, trak_p, trak_e, b"vide")
+    if got is None:
+        return None
+    boxes, (entry_t, entry_p, entry_e) = got
+    # stsd: first sample entry decides the codec
+    if entry_t in _MP4_STUBBED_ENTRIES:
+        raise NotImplementedError(
+            f"mp4 codec {entry_t.decode(errors='replace')!r}: inter-frame entropy "
+            "decode needs ffmpeg — not in sandbox (container demux IS supported)"
+        )
+    if entry_t in _MP4_JPEG_ENTRIES:
+        codec = "jpeg"
+    elif entry_t in _MP4_RAW_ENTRIES:
+        codec = "raw"
+    else:
+        raise ValueError(f"mp4: unsupported sample entry {entry_t!r}")
+    w, h = struct.unpack(">HH", buf[entry_p + 24 : entry_p + 28])
+
+    sizes, offsets, runs = _mp4_sample_tables(buf, boxes)
+    n_samples = len(sizes)
 
     # fps from stts (advisory, like the AVI avih header)
     fps = 0.0
@@ -754,24 +931,19 @@ def _mp4_video_track(buf, trak_p, trak_e):
                 fps = 0.0  # advisory field; nonsense values must not
                 # propagate into remux timescales (struct.error territory)
 
-    # walk chunks, slicing samples consecutively from each chunk offset
-    frames: list[bytes] = []
-    run_i = 0
-    sample = 0
-    for chunk in range(1, len(offsets) + 1):
-        while run_i + 1 < len(runs) and runs[run_i + 1][0] <= chunk:
-            run_i += 1
-        per_chunk = runs[run_i][1]
-        off = offsets[chunk - 1]
-        for _ in range(per_chunk):
-            if sample >= n_samples:
-                break
-            sz = sizes[sample]
-            if off + sz > len(buf):
-                raise ValueError("mp4: sample extends past end of file")
-            frames.append(buf[off : off + sz])
-            off += sz
-            sample += 1
-    if sample < n_samples:
-        raise ValueError("mp4: chunk tables cover fewer samples than stsz")
+    frames = _mp4_walk_samples(buf, sizes, offsets, runs)
+    if codec == "raw":
+        # ADVICE r4: 'raw ' samples must agree with the stsd dimensions —
+        # otherwise downstream reshapes get frames whose byte length
+        # contradicts the declared (w, h). Reject zero dims and any sample
+        # that is not a whole number of (1..4)-channel planes.
+        if w == 0 or h == 0:
+            raise ValueError("mp4: raw sample entry declares zero width/height")
+        plane = int(w) * int(h)
+        for i, f in enumerate(frames):
+            if len(f) % plane != 0 or not (1 <= len(f) // plane <= 4):
+                raise ValueError(
+                    f"mp4: raw sample {i} is {len(f)} bytes, not a 1-4 channel "
+                    f"multiple of w*h={plane}"
+                )
     return frames, int(w), int(h), fps, codec

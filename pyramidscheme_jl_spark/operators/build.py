@@ -199,15 +199,41 @@ def _jpeg_is_transposing(buf: bytes) -> bool:
     return jpeg_orientation(buf) >= 5
 
 
-def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> DataFrame:
-    """images (input_hint schema) -> level-0 tile rows.
-
-    Grid slot is derived from ``image_id`` (``img-{i:08d}``, FIXTURES.md §1)
-    JVM-side; decoding (any SUPPORTED_IMAGE_FMTS payload — raw, netpbm,
-    bmp, png, jpeg) + per-tile stats run in one narrow mapInPandas pass.
-    """
+def audit_unsupported_images(
+    images: DataFrame, strict: bool = False, context: str = "build"
+) -> int:
+    """Count input rows the base decode stage will DROP (unsupported
+    ``fmt`` or an ``image_id`` that doesn't yield a grid slot) — VERDICT
+    r4 #3: silent row loss at pipeline scale is an audit hazard. One
+    column-pruned pass (fmt + image_id only, no pixel bytes); logs a
+    warning when nonzero, raises instead under ``strict``."""
     idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
-    src = (
+    kept = F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS) & idx.isNotNull()
+    row = images.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(kept, True)).alias("kept"),
+    ).collect()[0]
+    dropped = int(row["total"]) - int(row["kept"])
+    if dropped:
+        msg = (
+            f"{context}: dropping {dropped}/{row['total']} input rows with "
+            f"unsupported fmt or unparseable image_id (supported: "
+            f"{sorted(SUPPORTED_IMAGE_FMTS)})"
+        )
+        if strict:
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger("pyramidscheme_jl_spark").warning(msg)
+    return dropped
+
+
+def base_image_src(images: DataFrame, G: int) -> DataFrame:
+    """JVM-side projection feeding the base decode stage: grid slot derived
+    from ``image_id`` (``img-{i:08d}``, FIXTURES.md §1), unsupported
+    formats filtered."""
+    idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
+    return (
         images.where(F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS))
         .where(idx.isNotNull())
         .select(
@@ -222,6 +248,14 @@ def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> Data
         .where(F.col("tx").isNotNull())
     )
 
+
+def base_tile_gen(spec: PyramidSpec):
+    """The decode+stats pandas transform over ``base_image_src`` batches —
+    exposed separately so the streaming path can FUSE its tile write into
+    the same python worker (two chained mapInPandas stages run two python
+    workers per task with a JVM Arrow relay between them — measured trap,
+    see session.py notes)."""
+
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -234,7 +268,17 @@ def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> Data
             if rows:
                 yield _rows_to_pdf(rows)
 
-    return src.mapInPandas(gen, TILE_SCHEMA)
+    return gen
+
+
+def base_tiles_from_images(images: DataFrame, G: int, spec: PyramidSpec) -> DataFrame:
+    """images (input_hint schema) -> level-0 tile rows.
+
+    Grid slot is derived from ``image_id`` (``img-{i:08d}``, FIXTURES.md §1)
+    JVM-side; decoding (any SUPPORTED_IMAGE_FMTS payload — raw, netpbm,
+    bmp, png, jpeg) + per-tile stats run in one narrow mapInPandas pass.
+    """
+    return base_image_src(images, G).mapInPandas(base_tile_gen(spec), TILE_SCHEMA)
 
 
 def _cast_level(arr: np.ndarray, level_dtype: str | None) -> np.ndarray:
@@ -443,6 +487,7 @@ def build_pyramid(
     materialize_base: bool = True,
     chain_in_memory: bool = False,
     level_dtype: str | None = None,
+    strict_formats: bool = False,
 ) -> PyramidSpec:
     """Full build: base ingest + one checkpointed Spark job per level.
 
@@ -490,6 +535,9 @@ def build_pyramid(
     import time
 
     verbose = os.environ.get("PYRAMID_BUILD_VERBOSE", "") not in ("", "0")
+    # surface rows the decode stage will drop (warn, or raise under
+    # strict_formats) — one cheap column-pruned pass (VERDICT r4 #3)
+    audit_unsupported_images(images, strict=strict_formats, context=f"build {run_id}")
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
     rname = reducer_name(reducer)

@@ -70,19 +70,34 @@ def _cube_rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
     return pdf
 
 
-def base_cube_tiles(
-    images: DataFrame, G, spec: PyramidSpec, t_col: str = "t"
-) -> DataFrame:
-    """images (input_hint schema + an integer ``t_col``) -> level-0 cube
-    tiles. Same narrow decode pass as ``base_tiles_from_images``; ``t``
-    rides along untouched."""
+def _t_checked_int32(t_col: str):
+    """t as int32, LOUDLY — a plain cast silently wraps for t >= 2^31
+    (epoch seconds after Jan 2038) in non-ANSI Spark while the streaming
+    cube path advertises epoch-scale t (ADVICE r4). assert_true raises
+    JVM-side on the first out-of-range row; NULL passthrough is preserved
+    (assert_true(null-comparison) only fires on non-null violations)."""
+    t_big = F.col(t_col).cast("long")
+    in_range = (t_big >= F.lit(-(1 << 31))) & (t_big < F.lit(1 << 31))
+    guard = F.assert_true(
+        in_range | t_big.isNull(),
+        F.concat(
+            F.lit("cube t overflows int32 tile storage (got "),
+            t_big.cast("string"),
+            F.lit("); widen/bucket t upstream"),
+        ),
+    )
+    return F.when(guard.isNull(), t_big.cast("int"))
+
+
+def base_cube_src(images: DataFrame, G, t_col: str = "t") -> DataFrame:
+    """JVM-side projection feeding the cube base decode stage."""
     gx, _ = _grid_dims(G)
     idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
-    src = (
+    return (
         images.where(F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS))
         .where(idx.isNotNull())
         .select(
-            F.col(t_col).cast("int").alias("t"),
+            _t_checked_int32(t_col).alias("t"),
             (idx % gx).cast("int").alias("tx"),
             (idx / gx).cast("int").alias("ty"),
             "image_id",
@@ -92,6 +107,11 @@ def base_cube_tiles(
             "fmt",
         )
     )
+
+
+def base_cube_tile_gen(spec: PyramidSpec):
+    """Decode+stats transform over ``base_cube_src`` batches (see
+    ``build.base_tile_gen`` for why this is exposed separately)."""
 
     def gen(batches):
         for pdf in batches:
@@ -105,7 +125,18 @@ def base_cube_tiles(
             if rows:
                 yield _cube_rows_to_pdf(rows)
 
-    return src.mapInPandas(gen, CUBE_TILE_SCHEMA)
+    return gen
+
+
+def base_cube_tiles(
+    images: DataFrame, G, spec: PyramidSpec, t_col: str = "t"
+) -> DataFrame:
+    """images (input_hint schema + an integer ``t_col``) -> level-0 cube
+    tiles. Same narrow decode pass as ``base_tiles_from_images``; ``t``
+    rides along untouched."""
+    return base_cube_src(images, G, t_col).mapInPandas(
+        base_cube_tile_gen(spec), CUBE_TILE_SCHEMA
+    )
 
 
 def build_cube_level(
@@ -169,12 +200,34 @@ def write_cube_level(df: DataFrame, path: str, z: int) -> None:
 
 
 def read_cube_level(spark: SparkSession, path: str, z: int) -> DataFrame:
-    return spark.read.parquet(level_path(path, z)).withColumn(
-        "z", F.lit(z).cast("int")
-    )
+    from ..sources.catalog import _dedup_delta, _delta_level_names
+
+    df = spark.read.parquet(level_path(path, z))
+    if "_ord" in df.columns or _delta_level_names(path, z):
+        df = _dedup_delta(df)  # streamed-delta cube level (keys t, tx, ty)
+    return df.withColumn("z", F.lit(z).cast("int"))
 
 
 def read_cube_tiles(spark: SparkSession, path: str) -> DataFrame:
+    from ..sources.catalog import _delta_level_names
+    from ..sources.fsio import DEFAULT_FS
+
+    zs = sorted(
+        int(d.split("=", 1)[1])
+        for d in DEFAULT_FS.listdir(f"{path}/tiles")
+        if d.startswith("z=")
+    )
+    if any(_delta_level_names(path, z) for z in zs):
+        parts = [
+            read_cube_level(spark, path, z).select(
+                *[f.name for f in CUBE_TILE_SCHEMA.fields]
+            )
+            for z in zs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     df = spark.read.parquet(f"{path}/tiles")
     return df.withColumn("z", F.col("z").cast("int")).select(
         *[f.name for f in CUBE_TILE_SCHEMA.fields]
@@ -218,6 +271,7 @@ def build_cube(
     t_col: str = "t",
     resume: bool = False,
     level_dtype: str | None = None,
+    strict_formats: bool = False,
 ) -> PyramidSpec:
     """Build a (x, y, t) cube pyramid: one checkpointed Spark job per level
     covering EVERY t-slice (reference pass-through-dims semantics,
@@ -230,6 +284,9 @@ def build_cube(
             f"build_cube is recursive; reducer {reducer_name(reducer)!r} is not "
             "decomposable — build per-slice with build_pyramid(recursive=False)"
         )
+    from .build import audit_unsupported_images
+
+    audit_unsupported_images(images, strict=strict_formats, context=f"cube {run_id}")
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
     rname = reducer_name(reducer)

@@ -299,10 +299,29 @@ def knn_join(
     qix, qiy = grid_coord_cols(res, world)
     # dedup on query_id up front: duplicate query rows would double every
     # candidate, letting one neighbor occupy multiple top-k ranks AND
-    # settling the query before its true k-th distinct neighbor is covered
-    remaining = queries.select(
-        F.col("point_id").alias("query_id"), "x", "y", qix.alias("qix"), qiy.alias("qiy")
-    ).dropDuplicates(["query_id"])
+    # settling the query before its true k-th distinct neighbor is covered.
+    # min/max-struct agg instead of dropDuplicates (ADVICE r4): the same
+    # one-shuffle cost, but deterministic — and a duplicated id carrying
+    # CONFLICTING coordinates raises instead of silently answering for an
+    # arbitrary one of them (assert_true fires JVM-side on first conflict)
+    conflict_guard = F.assert_true(
+        F.col("_lo") == F.col("_hi"),
+        F.concat(
+            F.lit("knn_join: query_id "),
+            F.col("query_id").cast("string"),
+            F.lit(" appears with conflicting coordinates"),
+        ),
+    )
+    remaining = (
+        queries.groupBy(F.col("point_id").alias("query_id"))
+        .agg(F.min(F.struct("x", "y")).alias("_lo"), F.max(F.struct("x", "y")).alias("_hi"))
+        .select(
+            "query_id",
+            F.when(conflict_guard.isNull(), F.col("_lo.x")).alias("x"),
+            F.col("_lo.y").alias("y"),
+        )
+        .select("query_id", "x", "y", qix.alias("qix"), qiy.alias("qiy"))
+    )
     nix, niy = grid_coord_cols(res, world)
     d = data.select(
         F.col("point_id").alias("n_id"),

@@ -177,9 +177,16 @@ def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFra
 
 
 #: stats predicate per threshold op: which tiles CAN contain a hit.
-#: Conservative by construction (vmin/vmax bound every pixel, build.py);
-#: NaN-only tiles have NULL-comparing stats and are skipped — their masks
-#: would be all-zero anyway (NaN compares false elementwise).
+#: Conservative by construction (vmin/vmax bound every pixel, build.py).
+#: NaN-only tiles store NaN stats (np.nanmin of all-NaN, _tile_row), and
+#: Spark orders NaN LARGER than any double (ANSI NaN semantics, unlike
+#: SQL NULL): 'gt' therefore KEEPS such tiles (vmax=NaN > s is true in
+#: Spark's ordering) and 'lt' prunes them (vmin=NaN < s is false). Both
+#: outcomes are conservative-correct here because the exact elementwise
+#: mask downstream is all-zero for NaN pixels — but any NEW op added to
+#: this table (e.g. 'eq', 'ge' with nullable stats) must re-derive its
+#: NaN behavior from Spark's NaN-is-largest rule, not from NULL
+#: comparison rules (ADVICE r4: the old comment claimed NULL semantics).
 _STATS_PRUNE = {
     "gt": lambda s: F.col("vmax") > s,
     "lt": lambda s: F.col("vmin") < s,

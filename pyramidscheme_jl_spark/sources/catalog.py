@@ -110,12 +110,64 @@ def write_level(df: DataFrame, path: str, z: int) -> None:
     df.select(*TILE_DATA_COLS).write.mode("overwrite").parquet(level_path(path, z))
 
 
+def _delta_level_names(path: str, z: int) -> list[str]:
+    """Delta files in a level dir ([] for bulk/filewise/missing levels) —
+    one driver-side metadata listing through the fs seam."""
+    from .fsio import DEFAULT_FS
+
+    return [
+        n
+        for n in DEFAULT_FS.listdir(level_path(path, z))
+        if n.startswith("delta-") and n.endswith(".parquet")
+    ]
+
+
+def _dedup_delta(df: DataFrame) -> DataFrame:
+    """Last-writer-wins over delta tile versions: per tile key, keep the
+    row with the highest ``_ord`` (batch ordinal). Same-ordinal duplicates
+    (stale partial files from a re-partitioned batch retry) are
+    value-identical by construction — any pick is correct."""
+    from pyspark.sql.window import Window
+
+    keys = [c for c in ("t", "tx", "ty") if c in df.columns]
+    win = Window.partitionBy(*keys).orderBy(F.col("_ord").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_ord")
+    )
+
+
 def read_level(spark: SparkSession, path: str, z: int) -> DataFrame:
-    return spark.read.parquet(level_path(path, z)).withColumn("z", F.lit(z).cast("int"))
+    df = spark.read.parquet(level_path(path, z))
+    if "_ord" in df.columns or _delta_level_names(path, z):
+        df = _dedup_delta(df)
+    return df.withColumn("z", F.lit(z).cast("int"))
 
 
 def read_tiles(spark: SparkSession, path: str) -> DataFrame:
-    """All levels; ``z`` recovered as a partition column (pruning-friendly)."""
+    """All levels; ``z`` recovered as a partition column (pruning-friendly).
+
+    Streamed-delta pyramids read as a union of per-level deduped scans —
+    a literal ``z`` per branch, so a ``z = k`` filter still constant-folds
+    every other branch to an empty relation (pruning preserved); compacted
+    or built pyramids take the single-scan fast path."""
+    from .fsio import DEFAULT_FS
+
+    zs = sorted(
+        int(d.split("=", 1)[1])
+        for d in DEFAULT_FS.listdir(f"{path}/tiles")
+        if d.startswith("z=")
+    )
+    if any(_delta_level_names(path, z) for z in zs):
+        parts = [
+            read_level(spark, path, z).select(*[f.name for f in TILE_SCHEMA.fields])
+            for z in zs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     df = spark.read.parquet(f"{path}/tiles")
     return df.withColumn("z", F.col("z").cast("int")).select(*[f.name for f in TILE_SCHEMA.fields])
 

@@ -107,7 +107,7 @@ def test_streaming_refuses_bulk_layout(spark, tmp_path):
     images = spark.createDataFrame(synth_images(G=4), IMAGES_DDL)
     path = str(tmp_path / "bulk")
     build_pyramid(spark, images, path, G=4, run_id="bulk")
-    with _pytest.raises(ValueError, match="file-per-tile"):
+    with _pytest.raises(ValueError, match="streaming layout"):
         _write_tiles_filewise(
             [dict(tx=0, ty=0, bytes=b"", w=0, h=0, c=1, dtype="uint8",
                   vmin=0.0, vmax=0.0, vmean=0.0, cell=0,
@@ -373,7 +373,7 @@ def test_lsh_topk_all_shuffled_join(spark):
 
 
 def test_streaming_compaction_roundtrip(spark, tmp_path):
-    """VERDICT r2 #3: ingest (file-per-tile) -> compact (bulk) -> pixels
+    """VERDICT r2 #3: ingest (delta layout) -> compact (bulk) -> pixels
     unchanged, file counts bounded, manifest committed so
     build_pyramid(resume=True) continues on the compacted pyramid."""
     import glob
@@ -393,8 +393,11 @@ def test_streaming_compaction_roundtrip(spark, tmp_path):
     q_path = str(tmp_path / "pyr")
     ingest_images(spark, f"{src}/*", q_path, G=4).awaitTermination(120)
 
-    # file-per-tile before: 16 files at z=0
-    assert len(glob.glob(f"{level_path(q_path, 0)}/tile-*.parquet")) == 16
+    # delta layout before: O(tasks) files at z=0, NOT one per tile (the
+    # round-5 read-amplification fix), all rows carrying the batch ordinal
+    n_delta = len(glob.glob(f"{level_path(q_path, 0)}/delta-b*.parquet"))
+    assert 1 <= n_delta < 16
+    assert not glob.glob(f"{level_path(q_path, 0)}/tile-*.parquet")
     spec = PyramidSpec(1024, 1024)
     before = {z: assemble_level(spark, q_path, z, spec) for z in (0, 1, 2)}
 
@@ -411,7 +414,7 @@ def test_streaming_compaction_roundtrip(spark, tmp_path):
     assert reds == {"mean"}  # the stream's reducer, not a stamped-over default
     for z in (0, 1, 2):
         d = level_path(q_path, z)
-        assert not glob.glob(f"{d}/tile-*.parquet")  # no per-tile files left
+        assert not glob.glob(f"{d}/delta-*.parquet")  # no delta files left
         assert glob.glob(f"{d}/part-*.parquet")  # bulk layout
         np.testing.assert_array_equal(assemble_level(spark, q_path, z, spec), before[z])
 
@@ -569,3 +572,116 @@ def test_ivf_assign_expr_matches_numpy_argmin(spark):
         assert got[i][1] == list(order[:3]), i
         assert got[i][2] == order[0], i  # production UDF == expr == numpy
         assert got[i][3] == list(order[:3]), i
+
+
+@pytest.mark.parametrize("layout", ["delta", "filewise"])
+def test_streaming_rewrite_last_writer_wins(spark, tmp_path, layout):
+    """Round 5 (VERDICT r4 #2): a later batch REPLACING an existing image
+    must win at every level. In delta layout the old version stays on disk
+    (higher-ordinal row supersedes it via read-side dedup); in filewise
+    layout the file is overwritten. Both must read back as the batch build
+    of the replaced mosaic."""
+    import glob
+
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+    from pyramidscheme_jl_spark.sources.catalog import level_path, read_tiles
+    from pyramidscheme_jl_spark.sources.synth import encode_tile, image_row
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_images
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = synth_images(G=4)
+    spark.createDataFrame(rows, IMAGES_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "pyr")
+    ingest_images(spark, f"{src}/*", q_path, G=4, layout=layout).awaitTermination(120)
+
+    # batch 1: image 0 (slot (0,0)) replaced by constant-7 pixels
+    repl = dict(image_row(0, G=4))
+    new_px = np.full((256, 256), 7, dtype=np.uint8)
+    repl["bytes"] = encode_tile(new_px)
+    spark.createDataFrame([repl], IMAGES_DDL).coalesce(1).write.parquet(str(src / "b1"))
+    ingest_images(spark, f"{src}/*", q_path, G=4, layout=layout).awaitTermination(120)
+
+    base = mosaic_pixels(G=4).copy()
+    base[:256, :256] = new_px
+    oracle = oracle_levels(base, "mean", 2)
+    spec = PyramidSpec(1024, 1024)
+    for z in (0, 1, 2):
+        np.testing.assert_allclose(assemble_level(spark, q_path, z, spec), oracle[z], rtol=1e-12)
+
+    # dedup contract: one row per tile key despite multiple on-disk versions
+    assert read_tiles(spark, q_path).count() == 16 + 4 + 1
+    if layout == "delta":
+        import pyarrow.parquet as pq
+
+        # the superseded version is physically still there at z=0
+        n_versions = sum(
+            len(pq.read_table(f, columns=["tx"]))
+            for f in glob.glob(f"{level_path(q_path, 0)}/delta-*.parquet")
+        )
+        assert n_versions == 17  # 16 originals + 1 replacement
+    else:
+        assert len(glob.glob(f"{level_path(q_path, 0)}/tile-*.parquet")) == 16
+
+
+def test_streaming_layout_mixing_refused(tmp_path):
+    """Writing one streaming layout into a level holding the other is
+    refused before any row lands (the dedup contract would be ambiguous)."""
+    import os
+
+    from pyramidscheme_jl_spark.streaming.ingest import _assert_stream_layout
+
+    path = str(tmp_path / "pyr")
+    d = os.path.join(path, "tiles", "z=0")
+    os.makedirs(d)
+    open(os.path.join(d, "tile-000000-000000.parquet"), "wb").close()
+    with pytest.raises(ValueError, match="mixing streaming layouts"):
+        _assert_stream_layout(path, 0, "delta")
+    open(os.path.join(d, "delta-b00000000-p00000.parquet"), "wb").close()
+    with pytest.raises(ValueError, match="mixing streaming layouts"):
+        _assert_stream_layout(path, 0, "filewise")
+    # reads accept either streaming layout
+    assert _assert_stream_layout(path, 0) == d
+
+
+def test_fs_seam_injection(spark, tmp_path):
+    """VERDICT r4 #4: the fsio seam is honored on BOTH sides — executors
+    publish tiles through the injected fs (proven by hidden marker files
+    written next to each delta file) and the driver swaps compacted levels
+    through it (proven by a swap call count). Behavior is unchanged."""
+    import glob
+    import os
+
+    from pyramidscheme_jl_spark.sources.fsio import LocalFS
+    from pyramidscheme_jl_spark.streaming.ingest import compact_pyramid, ingest_images
+
+    # defined INSIDE the test so cloudpickle ships it by value to executors
+    class MarkerFS(LocalFS):
+        def publish_file(self, d, fname, write_fn):
+            super().publish_file(d, fname, write_fn)
+            open(os.path.join(d, f".marker-{fname}"), "w").close()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(synth_images(G=4), IMAGES_DDL).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    q_path = str(tmp_path / "pyr")
+    ingest_images(spark, f"{src}/*", q_path, G=4, fs=MarkerFS()).awaitTermination(120)
+    deltas = glob.glob(f"{q_path}/tiles/z=*/delta-*.parquet")
+    markers = glob.glob(f"{q_path}/tiles/z=*/.marker-delta-*.parquet")
+    assert deltas and len(markers) == len(deltas)
+
+    class CountingFS(LocalFS):
+        def __init__(self):
+            self.swaps = 0
+
+        def swap_dir(self, new, live, backup):
+            self.swaps += 1
+            super().swap_dir(new, live, backup)
+
+    cfs = CountingFS()
+    done = compact_pyramid(spark, q_path, run_id="c0", fs=cfs)
+    assert set(done) == {0, 1, 2} and cfs.swaps == 3
+    for z in (0, 1, 2):
+        assert glob.glob(f"{q_path}/tiles/z={z}/part-*.parquet")

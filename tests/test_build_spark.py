@@ -345,3 +345,34 @@ def test_build_metadata_mismatch_raises(spark, tmp_path):
     df = spark.createDataFrame(rows, IMAGES_DDL)
     with pytest.raises(PythonException, match="contradicts"):
         build_pyramid(spark, df, str(tmp_path / "bad"), G=1, reducer="mean", run_id="mm")
+
+
+def test_unsupported_format_rows_counted_and_strict_raises(spark, tmp_path, caplog):
+    """VERDICT r4 #3: rows the decode stage drops (e.g. fmt='tiff') are
+    surfaced — warn + count by default, ValueError under strict_formats —
+    instead of vanishing silently."""
+    import logging
+
+    import pytest
+
+    from pyramidscheme_jl_spark.operators.build import (
+        audit_unsupported_images,
+        build_pyramid,
+    )
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    rows = synth_images(G=2)
+    rows.append(dict(rows[0], image_id="img-00000003", fmt="tiff"))
+    images = spark.createDataFrame(rows, IMAGES_DDL)
+
+    assert audit_unsupported_images(images) == 1
+    with pytest.raises(ValueError, match="dropping 1/5"):
+        audit_unsupported_images(images, strict=True)
+
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        build_pyramid(
+            spark, images, str(tmp_path / "s"), G=2, run_id="s", strict_formats=True
+        )
+    with caplog.at_level(logging.WARNING, logger="pyramidscheme_jl_spark"):
+        build_pyramid(spark, images, str(tmp_path / "w"), G=2, run_id="w")
+    assert any("dropping 1/5" in r.message for r in caplog.records)

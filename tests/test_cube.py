@@ -260,3 +260,25 @@ def test_streaming_cube_multipass_cascade(spark, tmp_path, monkeypatch):
             np.testing.assert_allclose(
                 _assemble_cube_level(spark, q_path, z, spec, t), oracle[z], rtol=1e-12
             )
+
+
+def test_cube_t_overflow_raises_not_wraps(spark):
+    """ADVICE r4: t >= 2^31 must raise loudly at ingest, not silently wrap
+    in the int32 tile storage (epoch seconds are fine until 2038; beyond
+    that the cast guard fires JVM-side)."""
+    import pytest
+
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+    from pyramidscheme_jl_spark.operators.cube import base_cube_tiles
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, image_row
+
+    ok_row = dict(image_row(0, G=2), t=2_000_000_000)  # epoch-scale, fits
+    spec = PyramidSpec(512, 512)
+    df = spark.createDataFrame([ok_row], IMAGES_DDL + ", t long")
+    got = base_cube_tiles(df, 2, spec).select("t").collect()
+    assert [r["t"] for r in got] == [2_000_000_000]
+
+    bad_row = dict(image_row(0, G=2), t=1 << 31)
+    bad = spark.createDataFrame([bad_row], IMAGES_DDL + ", t long")
+    with pytest.raises(Exception, match="overflows int32"):
+        base_cube_tiles(bad, 2, spec).select("t").collect()

@@ -260,3 +260,28 @@ def test_knn_duplicate_query_rows_terminate(spark):
     assert [(r["query_id"], r["rank"], r["n_id"]) for r in got] == [
         ("q0", 1, "d0"), ("q0", 2, "d1")
     ]
+
+
+def test_knn_conflicting_duplicate_query_raises(spark):
+    """ADVICE r4: the same query_id with DIFFERENT coordinates is a data
+    error — raise on first conflict instead of answering for an arbitrary
+    one. Identical duplicate rows still dedup silently (r4 behavior)."""
+    import pytest
+
+    from pyramidscheme_jl_spark.operators.joins import knn_join
+    from pyramidscheme_jl_spark.sources.synth import POINTS_DDL
+
+    data = spark.createDataFrame(
+        [(f"d{i}", float(10 * i + 5), 5.0) for i in range(6)], POINTS_DDL
+    )
+    qs_conflict = spark.createDataFrame(
+        [("q0", 12.0, 5.0), ("q0", 48.0, 5.0)], POINTS_DDL
+    )
+    with pytest.raises(Exception, match="conflicting coordinates"):
+        knn_join(spark, qs_conflict, data, k=2, res=3, world=64.0).collect()
+
+    qs_same = spark.createDataFrame(
+        [("q0", 12.0, 5.0), ("q0", 12.0, 5.0)], POINTS_DDL
+    )
+    out = knn_join(spark, qs_same, data, k=2, res=3, world=64.0).collect()
+    assert sorted(r["n_id"] for r in out) == ["d0", "d1"]

