@@ -506,6 +506,74 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_STREAMED_ORACLE_DIR = "/dev/shm/psjl_streamed_oracle_v1"
+
+
+def _ensure_streamed_pyramid(spark: SparkSession) -> str:
+    """Memoized fixture for the streaming oracle (VERDICT r4 #8): the G=4
+    synthetic mosaic streamed in TWO micro-batches — the second REPLACES
+    image 0 with constant-7 pixels, so the delta layout's last-writer-wins
+    and the ancestor cascade are both value-checked — then compacted to
+    bulk parquet. Deterministic content => safe to reuse across calls."""
+    path = f"{_STREAMED_ORACLE_DIR}/pyr"
+    done = f"{_STREAMED_ORACLE_DIR}/_done"
+    if os.path.exists(done):
+        return path
+    import shutil
+
+    import numpy as np
+
+    from pyramidscheme_jl_spark.functions.codec import encode_tile
+    from pyramidscheme_jl_spark.sources.synth import (
+        IMAGES_DDL,
+        image_row,
+        synth_images,
+    )
+    from pyramidscheme_jl_spark.streaming.ingest import compact_pyramid, ingest_images
+
+    shutil.rmtree(_STREAMED_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(_STREAMED_ORACLE_DIR)
+    src = f"{_STREAMED_ORACLE_DIR}/src"
+    spark.createDataFrame(synth_images(G=4), IMAGES_DDL).coalesce(2).write.parquet(
+        f"{src}/b0"
+    )
+    ingest_images(spark, f"{src}/*", path, G=4).awaitTermination(300)
+    repl = dict(image_row(0, G=4))
+    repl["bytes"] = encode_tile(np.full((256, 256), 7, dtype=np.uint8))
+    spark.createDataFrame([repl], IMAGES_DDL).coalesce(1).write.parquet(f"{src}/b1")
+    ingest_images(spark, f"{src}/*", path, G=4).awaitTermination(300)
+    compact_pyramid(spark, path, run_id="oracle-compact")
+    open(done, "w").close()
+    return path
+
+
+def q_streamed_pyramid_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ST1/ST4 oracle row (VERDICT r4 #8): per-tile stats of a pyramid
+    built ENTIRELY by streaming ingestion (delta layout, two batches with
+    a rewrite) and compacted, vs DuckDB's closed-form recomputation of
+    the same synthetic pixels ((16*(gx+gy) + (x XOR y)) % 256, image 0
+    replaced by 7s in batch 1). Fixed-size by design — the subsystem
+    under test is the streaming path, not sf scaling; ``sf`` is unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.sources.catalog import read_tiles
+
+    path = _ensure_streamed_pyramid(spark)
+
+    def q(c: str):
+        return F.expr(f"CAST(FLOOR({c} * 1048576 + 0.5) AS BIGINT)").alias(f"{c}_u")
+
+    return read_tiles(spark, path).select(
+        F.col("z").cast("long").alias("z"),
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        q("vmin"),
+        q("vmax"),
+        q("vmean"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the 2x2 block-aggregation kernel on sf0.001."""
     return q_block_agg_mean(spark, SF_DEFAULT)
@@ -542,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
         "union_cat": q_union_cat,
         "events_topk": q_events_topk,
+        "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "cosine_near_dup": q_cosine_near_dup,
     }
 
@@ -915,6 +984,34 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                         - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_punct,
                    CAST(list_max(list_prepend(0, list_transform(toks, x -> length(x)))) AS BIGINT) AS max_piece_len
             FROM t
+        """,
+        # Streaming-path oracle (VERDICT r4 #8): DuckDB recomputes, in
+        # closed form, the per-tile stats of the pyramid the engine built
+        # via streaming ingestion + compaction (q_streamed_pyramid_stats
+        # builds the fixture; FIXTURES.md pixel formula, image 0 replaced
+        # by 7s in micro-batch 1). Level-z pixels are means of 2^z x 2^z
+        # base blocks — exact dyadic rationals in both engines, quantized
+        # at 2^20 for the hash.
+        "streamed_pyramid_stats": """
+            WITH px AS (
+              SELECT gx*256 + x AS ax, gy*256 + y AS ay,
+                     CASE WHEN gx = 0 AND gy = 0 THEN 7.0
+                          ELSE CAST((16*(gx+gy) + xor(x, y)) % 256 AS DOUBLE) END AS v
+              FROM generate_series(0, 3) g1(gx), generate_series(0, 3) g2(gy),
+                   generate_series(0, 255) s1(x), generate_series(0, 255) s2(y)
+            ),
+            lv AS (
+              SELECT zz.z AS z, ax >> zz.z AS bx, ay >> zz.z AS by, AVG(v) AS bm
+              FROM px CROSS JOIN (VALUES (0), (1), (2)) zz(z)
+              GROUP BY 1, 2, 3
+            )
+            SELECT CAST(z AS BIGINT) AS z,
+                   CAST(bx >> 8 AS BIGINT) AS tx, CAST(by >> 8 AS BIGINT) AS ty,
+                   CAST(256 AS BIGINT) AS w, CAST(256 AS BIGINT) AS h,
+                   CAST(FLOOR(MIN(bm) * 1048576 + 0.5) AS BIGINT) AS vmin_u,
+                   CAST(FLOOR(MAX(bm) * 1048576 + 0.5) AS BIGINT) AS vmax_u,
+                   CAST(FLOOR(AVG(bm) * 1048576 + 0.5) AS BIGINT) AS vmean_u
+            FROM lv GROUP BY 1, 2, 3
         """,
         "token_stats": """
             SELECT doc_id AS id,

@@ -294,6 +294,46 @@ def main() -> None:
         shutil.rmtree(ing_src, ignore_errors=True)
         shutil.rmtree(ing_dst, ignore_errors=True)
 
+    # kNN skew control (VERDICT r4 #6): identical-size corpora, one
+    # uniform and one with half its points packed into a single grid
+    # cell (the hot-cell salting trigger); the criterion is the skewed
+    # run staying within 1.5x of the uniform run.
+    import numpy as _np
+
+    from pyramidscheme_jl_spark.operators.joins import knn_join
+    from pyramidscheme_jl_spark.sources.synth import POINTS_DDL
+
+    knn_world, knn_res, knn_n = 1024.0, 5, 4096
+    rng = _np.random.RandomState(5)
+    uni = [
+        (f"u-{i:05d}", float((i % 64) * 16 + 8.3), float((i // 64) * 16 + 7.7))
+        for i in range(knn_n)
+    ]
+    hot_n = knn_n // 2
+    hx, hy = 32.0 * rng.rand(hot_n) + 512.0, 32.0 * rng.rand(hot_n) + 512.0
+    # skew corpus keeps FULL world coverage at half density (every other
+    # lattice point) + one packed cell — isolating JOIN-KEY skew from the
+    # sparse-coverage effect (a half-empty world just measures ring growth)
+    skew = uni[::2] + [(f"h-{i:05d}", float(hx[i]), float(hy[i])) for i in range(hot_n)]
+    knn_qs = spark.createDataFrame(
+        [(f"q-{i:04d}", float(rng.rand() * knn_world), float(rng.rand() * knn_world))
+         for i in range(256)]
+        + [(f"qh-{i:03d}", float(512.0 + 32 * rng.rand()), float(512.0 + 32 * rng.rand()))
+           for i in range(64)],
+        POINTS_DDL,
+    )
+    knn_qs = knn_qs.localCheckpoint(eager=True)  # fixed input, not re-sampled
+    for tag, pts_rows_knn in (("knn_uniform_synth", uni), ("knn_skew_synth", skew)):
+        pts_df = spark.createDataFrame(pts_rows_knn, POINTS_DDL).localCheckpoint(
+            eager=True
+        )
+        steal.start()
+        t0 = time.perf_counter()
+        _noop_write(knn_join(spark, knn_qs, pts_df, k=5, res=knn_res, world=knn_world))
+        timings[tag] = round(time.perf_counter() - t0, 3)
+        steal.stop(tag)
+        total += timings[tag]
+
     # headline relational queries last (they leave cached token sets etc.;
     # the build ran on pristine JVM state matching its standalone profile)
     for name in HEADLINE:
@@ -330,6 +370,9 @@ def main() -> None:
                 "jpeg_decode_px_per_sec": round(n_jpegs * 65536 / dt_codec, 1),
                 "jpeg_decode_imgs_per_sec": round(n_jpegs / dt_codec, 1),
                 "jpeg_reps_sec": codec_reps,
+                "knn_skew_over_uniform": round(
+                    timings["knn_skew_synth"] / max(timings["knn_uniform_synth"], 1e-9), 3
+                ),
             }
         )
     )

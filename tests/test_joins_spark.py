@@ -285,3 +285,58 @@ def test_knn_conflicting_duplicate_query_raises(spark):
     )
     out = knn_join(spark, qs_same, data, k=2, res=3, world=64.0).collect()
     assert sorted(r["n_id"] for r in out) == ["d0", "d1"]
+
+
+def test_knn_hot_cell_salting_exact_under_skew(spark):
+    """VERDICT r4 #6: a hotspot cell (thousands of points in one grid
+    cell) must trip the hot-cell salting AND keep knn_join exact vs brute
+    force — for queries inside the hotspot, at its edge, and far away."""
+    import numpy as np
+
+    from pyramidscheme_jl_spark.operators.joins import _knn_hot_salt, knn_join
+    from pyramidscheme_jl_spark.sources.synth import POINTS_DDL
+
+    # decision table: default budget is TASK-sized (no salt below 128k),
+    # tests force the salted path with a small budget
+    assert _knn_hot_salt(0, 3) == (65536, 1)
+    assert _knn_hot_salt(100_000, 3) == (65536, 1)  # <= 2*budget: no salt
+    assert _knn_hot_salt(1_000_000, 3)[1] == 16
+    assert _knn_hot_salt(200_000, 3)[1] == 4
+    assert _knn_hot_salt(5000, 3, budget=64)[1] == 16
+    assert _knn_hot_salt(300, 3, budget=64)[1] == 5
+
+    world, n_side = 64.0, 8
+    rng = np.random.RandomState(11)
+    rows = []
+    # sparse background lattice
+    for i in range(40):
+        rows.append((f"bg-{i:04d}", float((i % 8) * 8 + 4.1), float((i // 8) * 8 + 3.7)))
+    # hotspot: 2000 points inside ONE res-3 cell (cell size 8 -> [8,16)x[8,16))
+    hx = 8.0 + 8.0 * rng.rand(2000)
+    hy = 8.0 + 8.0 * rng.rand(2000)
+    rows += [(f"hot-{i:05d}", float(hx[i]), float(hy[i])) for i in range(2000)]
+    data = spark.createDataFrame(rows, POINTS_DDL)
+    queries = spark.createDataFrame(
+        [
+            ("q-in", 12.0, 12.0),     # inside the hotspot
+            ("q-edge", 16.5, 12.0),   # adjacent cell
+            ("q-far", 60.0, 60.0),    # far corner, sparse
+        ],
+        POINTS_DDL,
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["n_id"], r["dist"])
+        for r in knn_join(
+            spark, queries, data, k=3, res=3, world=world, hot_cell_budget=64
+        ).collect()
+    }
+    # brute-force oracle in numpy
+    pts = np.array([(x, y) for _, x, y in rows])
+    ids = [pid for pid, _, _ in rows]
+    for qid, qx, qy in [("q-in", 12.0, 12.0), ("q-edge", 16.5, 12.0), ("q-far", 60.0, 60.0)]:
+        dist = np.hypot(pts[:, 0] - qx, pts[:, 1] - qy)
+        order = sorted(range(len(ids)), key=lambda i: (dist[i], ids[i]))[:3]
+        for rank, i in enumerate(order, start=1):
+            nid, d = got[(qid, rank)]
+            assert nid == ids[i], (qid, rank, nid, ids[i])
+            assert abs(d - dist[i]) < 1e-9
