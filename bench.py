@@ -323,6 +323,9 @@ def main() -> None:
         POINTS_DDL,
     )
     knn_qs = knn_qs.localCheckpoint(eager=True)  # fixed input, not re-sampled
+    # recorded as CONTROLS, not headline queries: `value` stays the sum of
+    # the same query set as rounds 2-4 (round-over-round comparability)
+    knn_controls: dict[str, float] = {}
     for tag, pts_rows_knn in (("knn_uniform_synth", uni), ("knn_skew_synth", skew)):
         pts_df = spark.createDataFrame(pts_rows_knn, POINTS_DDL).localCheckpoint(
             eager=True
@@ -330,9 +333,8 @@ def main() -> None:
         steal.start()
         t0 = time.perf_counter()
         _noop_write(knn_join(spark, knn_qs, pts_df, k=5, res=knn_res, world=knn_world))
-        timings[tag] = round(time.perf_counter() - t0, 3)
+        knn_controls[tag] = round(time.perf_counter() - t0, 3)
         steal.stop(tag)
-        total += timings[tag]
 
     # headline relational queries last (they leave cached token sets etc.;
     # the build ran on pristine JVM state matching its standalone profile)
@@ -370,8 +372,11 @@ def main() -> None:
                 "jpeg_decode_px_per_sec": round(n_jpegs * 65536 / dt_codec, 1),
                 "jpeg_decode_imgs_per_sec": round(n_jpegs / dt_codec, 1),
                 "jpeg_reps_sec": codec_reps,
+                "knn_controls": knn_controls,
                 "knn_skew_over_uniform": round(
-                    timings["knn_skew_synth"] / max(timings["knn_uniform_synth"], 1e-9), 3
+                    knn_controls["knn_skew_synth"]
+                    / max(knn_controls["knn_uniform_synth"], 1e-9),
+                    3,
                 ),
             }
         )

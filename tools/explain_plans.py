@@ -81,6 +81,15 @@ def main() -> None:
     shutil.rmtree(tmp3, ignore_errors=True)
 
     # 2) key relational queries: broadcast + codegen + python-free evidence
+    notes = {
+        "embedding_ivf_topk": (
+            "NOTE: the ArrowEvalPython on the corpus side is the assign "
+            "matmul — the MEASURED round-5 winner over the unrolled-codegen "
+            "expr (tools/ivf_assign_ab.py: 34M vs 7.7M rows/s warm scan and "
+            "half the driver constant at nlist=16 x dim=64). 'Python-free' "
+            "was the r3/r4 hypothesis; the A/B retired it."
+        ),
+    }
     for name in (
         "block_agg_mean",
         "bbox_join",
@@ -99,7 +108,8 @@ def main() -> None:
             s = line.strip()
             if any(k in s for k in ("WholeStageCodegen", "BroadcastHashJoin", "BroadcastNestedLoop", "HashAggregate", "Exchange", "FileScan", "PushedFilters", "EvalPython", "SortMergeJoin", "Generate")):
                 keep.append(s[:300])
-        out.write(f"## {name}\n\n```\n" + "\n".join(keep[:25]) + "\n```\n\n")
+        note = f"\n{notes[name]}\n" if name in notes else ""
+        out.write(f"## {name}\n{note}\n```\n" + "\n".join(keep[:25]) + "\n```\n\n")
 
     # 3) kNN candidate-join round: assert no Python eval in the key path
     from pyspark.sql import functions as F
