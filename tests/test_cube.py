@@ -282,3 +282,38 @@ def test_cube_t_overflow_raises_not_wraps(spark):
     bad = spark.createDataFrame([bad_row], IMAGES_DDL + ", t long")
     with pytest.raises(Exception, match="overflows int32"):
         base_cube_tiles(bad, 2, spec).select("t").collect()
+
+
+def test_streaming_cube_delta_rewrite_last_writer_wins(spark, tmp_path):
+    """Round 5: the cube delta layout must last-writer-win per
+    (t, tx, ty) — a later batch REPLACING one (t, image) pair rewrites
+    that slice's tile and its ancestors, leaving every other slice
+    untouched (the pass-through-dims contract under rewrites)."""
+    from pyramidscheme_jl_spark.functions.codec import encode_tile
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_cube_images
+
+    rows = _cube_rows(G=2)
+    src = tmp_path / "crw_src"
+    src.mkdir()
+    spark.createDataFrame(rows, CUBE_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "crw_cube")
+    ingest_cube_images(spark, f"{src}/*", q_path, G=2).awaitTermination(180)
+
+    # batch 1: replace image 0 of slice t=1 with constant 9 pixels
+    repl = next(dict(r) for r in rows if r["t"] == 1 and r["image_id"] == "img-00000000")
+    new_px = np.full((256, 256), 9, dtype=np.uint8)
+    repl["bytes"] = encode_tile(new_px)
+    spark.createDataFrame([repl], CUBE_DDL).coalesce(1).write.parquet(str(src / "b1"))
+    ingest_cube_images(spark, f"{src}/*", q_path, G=2).awaitTermination(180)
+
+    spec = PyramidSpec(512, 512)
+    for t in range(T_SLICES):
+        base = mosaic_pixels(G=2) + np.uint8(7 * t)
+        if t == 1:
+            base = base.copy()
+            base[:256, :256] = new_px
+        oracle = oracle_levels(base, "mean", 1)
+        for z in (0, 1):
+            got = _assemble_cube_level(spark, q_path, z, spec, t)
+            np.testing.assert_allclose(got, oracle[z], rtol=1e-12)
