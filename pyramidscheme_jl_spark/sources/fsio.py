@@ -67,6 +67,13 @@ class LocalFS:
         os.rename(new, live)
         shutil.rmtree(backup)
 
+    def remove(self, p: str) -> None:
+        """Delete one file; missing is fine (idempotent cleanup)."""
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
     def rmtree(self, d: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -29,7 +29,12 @@ row-level ops in the sandbox):
   bounded key space, so overwrite-in-place bounds their file count at the
   level's tile count forever, where per-batch delta files would
   accumulate one file per touched group per batch until compaction
-  (measured as a growing per-batch scan cost, round 5).
+  (measured as a growing per-batch scan cost, round 5). The base level's
+  own delta-file growth is bounded IN-STREAM by an LSM-style merge
+  (``_maybe_compact_deltas``, ``max_delta_files``) that rewrites the
+  current winners and deletes superseded files without leaving the delta
+  layout — ``compact_pyramid`` (stop-the-stream, bulk) remains the
+  terminal compaction.
 - ``layout="filewise"``: one parquet file per tile at EVERY level,
   filename a deterministic function of (tx, ty) — no read-side dedup at
   all. Right for low-rate streams and kept as the simpler-to-audit mode.
@@ -763,6 +768,7 @@ def ingest_cube_images(
     layout: str = "delta",
     fs: LocalFS = DEFAULT_FS,
     strict_formats: bool = False,
+    max_delta_files: int | None = 256,
 ):
     """Streaming build of an (x, y, t) cube (VERDICT r3 #8): the batch
     path's ``build_cube`` semantics, incrementally — each micro-batch of
@@ -800,6 +806,10 @@ def ingest_cube_images(
             return
         _patch_ancestors(spark, path, spec, reducer, keys0, fs)
         _commit_multiscales_once(path, spec, tilesize, reducer, fs)
+        if ordinal is not None:
+            _maybe_compact_deltas(
+                spark, path, 0, ordinal, fs, max_delta_files, with_t=True
+            )
 
     stream = spark.readStream.schema(IMAGES_DDL + f", {t_col} int").parquet(source_dir)
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -808,6 +818,75 @@ def ingest_cube_images(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _maybe_compact_deltas(
+    spark: SparkSession,
+    path: str,
+    z: int,
+    ordinal: int,
+    fs: LocalFS,
+    max_delta_files: int | None,
+    with_t: bool = False,
+) -> None:
+    """In-stream LSM-style merge of a delta level (round 5): once the
+    level holds more than ``max_delta_files`` delta files, rewrite the
+    CURRENT winners (``read_level`` dedups) as O(shuffle-partition) fresh
+    delta files tagged with this batch's ordinal, then delete the
+    superseded files. Unlike ``compact_pyramid`` this keeps the level in
+    the DELTA layout, so the stream continues — it bounds the
+    footer-count growth that is otherwise only fixed by stopping the
+    stream for a bulk compaction.
+
+    Crash-safe by value identity: the merged rows ARE the winners, so a
+    crash between publish and delete leaves duplicates that the ``_ord``
+    dedup resolves to identical values (stale losers have lower
+    ordinals; same-ordinal survivors are value-identical). The threshold
+    is the classic LSM trade — merging reads O(level) every
+    ~``max_delta_files`` batches, i.e. amortized O(level / threshold)
+    read amplification per batch."""
+    if not max_delta_files:
+        return
+    d = level_path(path, z)
+    old = [
+        f
+        for f in fs.listdir(d)
+        if f.startswith("delta-") and f.endswith(".parquet")
+    ]
+    if len(old) <= max_delta_files:
+        return
+    merged = read_level(spark, path, z).drop("z")
+
+    def write_partition(batches):
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        it = iter(batches)
+        first = next((p for p in it if len(p)), None)
+        if first is None:
+            return
+        from itertools import chain
+
+        def write(tmp):
+            writer = None
+            for pdf in chain([first], it):
+                if not len(pdf):
+                    continue
+                tab = _tile_table(pdf, with_t, ordinal)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tab.schema, compression="zstd")
+                writer.write_table(tab)
+            writer.close()
+
+        pid = TaskContext.get().partitionId()
+        fs.publish_file(d, f"delta-b{int(ordinal):08d}-m{pid:05d}.parquet", write)
+        yield pd.DataFrame({"n": [len(first)]})
+
+    merged.mapInPandas(write_partition, "n long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for f in old:
+        fs.remove(os.path.join(d, f))
 
 
 def _commit_multiscales_once(
@@ -842,6 +921,7 @@ def ingest_images(
     fs: LocalFS = DEFAULT_FS,
     max_files_per_trigger: int | None = None,
     strict_formats: bool = False,
+    max_delta_files: int | None = 256,
 ):
     """Start the streaming build. Returns the StreamingQuery.
 
@@ -882,6 +962,8 @@ def ingest_images(
         # failed stream target must fail loudly, not advertise a level
         # stack whose paths don't exist (ADVICE r3)
         _commit_multiscales_once(path, spec, tilesize, reducer, fs)
+        if ordinal is not None:
+            _maybe_compact_deltas(spark, path, 0, ordinal, fs, max_delta_files)
 
     reader = spark.readStream.schema(IMAGES_DDL)
     if max_files_per_trigger:

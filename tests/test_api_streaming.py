@@ -685,3 +685,46 @@ def test_fs_seam_injection(spark, tmp_path):
     assert set(done) == {0, 1, 2} and cfs.swaps == 3
     for z in (0, 1, 2):
         assert glob.glob(f"{q_path}/tiles/z={z}/part-*.parquet")
+
+
+def test_delta_auto_compaction_bounds_file_count(spark, tmp_path):
+    """Round 5: in-stream LSM merge — once the base level exceeds
+    max_delta_files delta files, the winners are rewritten as a handful
+    of merged files and the superseded ones deleted, WITHOUT leaving the
+    delta layout (the stream keeps running). Values stay exact."""
+    import glob
+
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec
+    from pyramidscheme_jl_spark.sources.catalog import level_path, read_tiles
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_images
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = synth_images(G=4)
+    # 8 single-image batch files -> 8 micro-batches inside ONE query
+    for i in range(8):
+        spark.createDataFrame([rows[i]], IMAGES_DDL).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    q_path = str(tmp_path / "pyr")
+    ingest_images(
+        spark, f"{src}/*", q_path, G=4, max_files_per_trigger=1, max_delta_files=3
+    ).awaitTermination(300)
+
+    deltas = glob.glob(f"{level_path(q_path, 0)}/delta-*.parquet")
+    # without compaction: 8 files (one per batch); with threshold 3 the
+    # count stays small and merged files (-m tags) exist
+    assert len(deltas) <= 3 + 2, deltas
+    assert any("-m" in f for f in deltas)
+
+    # values: the 8 ingested images' tiles are exact; ancestors patched
+    spec = PyramidSpec(1024, 1024)
+    got = {
+        (r["z"], r["tx"], r["ty"]): r["vmean"]
+        for r in read_tiles(spark, q_path).collect()
+    }
+    assert len([k for k in got if k[0] == 0]) == 8
+    for i in range(8):
+        gx, gy = i % 4, i // 4
+        px = image_pixels(gx, gy)
+        assert got[(0, gx, gy)] == px.astype(float).mean()
