@@ -728,3 +728,46 @@ def test_delta_auto_compaction_bounds_file_count(spark, tmp_path):
         gx, gy = i % 4, i // 4
         px = image_pixels(gx, gy)
         assert got[(0, gx, gy)] == px.astype(float).mean()
+
+
+def test_delta_stale_same_ordinal_duplicate_is_harmless(spark, tmp_path):
+    """The delta docstring's retry claim, pinned: a stale leftover file
+    from a re-partitioned batch retry holds value-identical rows at the
+    SAME ordinal — readers must still return exactly one correct row per
+    tile key (arbitrary pick among identical rows), and a later rewrite
+    (higher ordinal) must beat both copies."""
+    import glob
+    import shutil
+
+    from pyramidscheme_jl_spark.sources.catalog import level_path, read_level
+    from pyramidscheme_jl_spark.sources.synth import encode_tile, image_row
+    from pyramidscheme_jl_spark.streaming.ingest import ingest_images
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = synth_images(G=2)
+    spark.createDataFrame(rows, IMAGES_DDL).coalesce(1).write.parquet(str(src / "b0"))
+    q_path = str(tmp_path / "pyr")
+    ingest_images(spark, f"{src}/*", q_path, G=2).awaitTermination(120)
+
+    # simulate the stale partial file: duplicate batch 0's delta file
+    # under a different partition id (same ordinal, same rows)
+    d = level_path(q_path, 0)
+    f0 = glob.glob(f"{d}/delta-b*-p*.parquet")[0]
+    shutil.copy(f0, f0.replace("-p", "-p9"))
+
+    lvl = read_level(spark, q_path, 0)
+    assert lvl.count() == 4  # one row per tile despite the duplicate file
+    before = {(r["tx"], r["ty"]): r["vmean"] for r in lvl.collect()}
+    for i, r in enumerate(rows):
+        gx, gy = i % 2, i // 2
+        assert before[(gx, gy)] == image_pixels(gx, gy).astype(float).mean()
+
+    # higher-ordinal rewrite beats BOTH same-ordinal copies
+    repl = dict(image_row(0, G=2))
+    repl["bytes"] = encode_tile(np.full((256, 256), 3, dtype=np.uint8))
+    spark.createDataFrame([repl], IMAGES_DDL).coalesce(1).write.parquet(str(src / "b1"))
+    ingest_images(spark, f"{src}/*", q_path, G=2).awaitTermination(120)
+    after = {(r["tx"], r["ty"]): r["vmean"] for r in read_level(spark, q_path, 0).collect()}
+    assert after[(0, 0)] == 3.0
+    assert after[(1, 0)] == before[(1, 0)]
