@@ -473,6 +473,19 @@ def q_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 #: by vec_id, seeded k-means, fixed-point centroids — both engines derive
 #: the identical quantized centroid matrix)
 _IVF = dict(nlist=8, nprobe=2, seed=7, train_size=256, k=5)
+_PQ = dict(m=8, ksub=16, seed=7, train_size=256, k=5)
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
+    exact int64 on the shared fixed-point grid, so the DuckDB twin
+    reproduces every rank from the same codebook literals."""
+    emb = _t(spark, sf, "embeddings")
+    return S.pq_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=_PQ["k"], m=_PQ["m"], ksub=_PQ["ksub"],
+        seed=_PQ["seed"], train_size=_PQ["train_size"],
+    )
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -606,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
         "union_cat": q_union_cat,
@@ -674,6 +688,36 @@ def _ivf_cent_values(sf_dir: str) -> str:
     )
 
 
+def _pq_cb_values(sf_dir: str) -> str:
+    """Quantized PQ codebook literals ``(m, j, i, c)`` for the PQ oracle —
+    same derivation discipline as ``_ivf_cent_values``: first
+    ``train_size`` rows by vec_id from the sf dir under test, per-subspace
+    seeded Lloyd's k-means (``S.train_pq_codebooks``), fixed-point
+    quantization."""
+    import duckdb
+    import numpy as np
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT {_PQ['train_size']}"
+        )
+        .fetchall()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    books = S.train_pq_codebooks(x, _PQ["m"], _PQ["ksub"], _PQ["seed"])
+    qb = S.quantized_centroids(
+        books.reshape(_PQ["m"] * _PQ["ksub"], -1)
+    ).reshape(_PQ["m"], _PQ["ksub"], -1)
+    return ", ".join(
+        f"({m}, {j}, {i}, {int(qb[m, j, i])})"
+        for m in range(qb.shape[0])
+        for j in range(qb.shape[1])
+        for i in range(qb.shape[2])
+    )
+
+
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
     """Unrolled minhash aggregate expressions matching dedup.minhash_signatures."""
     aggs = []
@@ -705,6 +749,17 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             file=sys.stderr,
         )
         ivf_cent = None
+    try:
+        pq_cb = _pq_cb_values(sf_dir)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import sys
+
+        print(
+            f"[oracle_sql] WARNING: PQ codebook derivation failed for {sf_dir!r}"
+            f" ({e!r}); embedding_pq_topk degrades to a rows-only check",
+            file=sys.stderr,
+        )
+        pq_cb = None
     mh_aggs, _ = _minhash_sql_parts(8)
     band_cols = " , ".join(
         f"(SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig)"
@@ -1077,6 +1132,37 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, n_id ASC) AS rank
               FROM ips) WHERE rank <= {_IVF["k"]}
         """,
+        # PQ/ADC (round 5): codes = per-subspace argmin of exact integer
+        # euclidean |q_sub - c|^2 (packed tie-break to the lowest code),
+        # LUTs the same metric per query, ADC = sum of m lookups. Every
+        # intermediate is int64 on the shared fixed-point grid, so ranks
+        # match the Spark plan exactly.
+        "embedding_pq_topk": f"""
+            WITH cb0 (m, j, i, c0) AS (VALUES {pq_cb}),
+            cb AS (SELECT m, j, i, CAST(c0 AS BIGINT) AS c FROM cb0),
+            d AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+            sc AS (
+              SELECT d.vec_id, cb.m, cb.j,
+                     CAST(SUM((d.qv[cb.m * 8 + cb.i + 1] - cb.c)
+                            * (d.qv[cb.m * 8 + cb.i + 1] - cb.c)) AS BIGINT) AS s
+              FROM d, cb GROUP BY 1, 2, 3),
+            codes AS (
+              SELECT vec_id, m, CAST(MIN(s * {_PQ["ksub"]} + j) % {_PQ["ksub"]} AS INT) AS code
+              FROM sc GROUP BY 1, 2),
+            lut AS (
+              SELECT vec_id AS query_id, m, j, s AS dist FROM sc WHERE vec_id < 5),
+            adc AS (
+              SELECT l.query_id, c.vec_id AS n_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+              FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+              WHERE c.vec_id <> l.query_id
+              GROUP BY 1, 2)
+            SELECT query_id, n_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, n_id ASC) AS rank
+              FROM adc) WHERE rank <= {_PQ["k"]}
+        """,
         "union_cat": """
             WITH p AS (SELECT p_partkey AS tx, CAST(p_size AS BIGINT) AS v FROM part),
             off AS (SELECT MAX(tx) + 1 AS o FROM p)
@@ -1141,4 +1227,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     }
     if ivf_cent is None:
         del out["embedding_ivf_topk"]  # degrade to rows-only for ivf alone
+    if pq_cb is None:
+        del out["embedding_pq_topk"]  # degrade to rows-only for pq alone
     return out

@@ -402,6 +402,153 @@ def ivf_topk(
     return topk_per_query(scored, k).withColumn("rank", F.col("rank").cast("long"))
 
 
+def train_pq_codebooks(x: np.ndarray, m: int, ksub: int, seed: int) -> np.ndarray:
+    """Product-quantization codebooks: the dim-D space split into ``m``
+    subspaces of D/m dims, each with its own ``ksub``-codeword seeded
+    k-means (reuses the deterministic Lloyd's trainer). -> (m, ksub, D/m)
+    float64."""
+    d = x.shape[1] // m
+    if d * m != x.shape[1]:
+        raise ValueError(f"dim {x.shape[1]} not divisible into {m} subspaces")
+    return np.stack(
+        [train_ivf_centroids(x[:, i * d : (i + 1) * d], ksub, seed + i) for i in range(m)]
+    )
+
+
+def _pq_encode_udf(qbooks: np.ndarray):
+    """qvec -> m PQ codes (nearest codeword per subspace) via one int64
+    matmul per subspace — the same Arrow-batch formulation the IVF assign
+    A/B selected (BENCH/IVF_ASSIGN_AB.md). Exact integer euclidean
+    ``|q_sub - c|^2`` with first-minimum (lowest code) tie-break, so the
+    DuckDB twin reproduces codes bit-for-bit from the same codebook
+    literals."""
+    qb = qbooks.copy()  # (m, ksub, d) int64
+    m, ksub, d = qb.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(qv: pd.Series) -> pd.Series:
+        X = np.array(qv.tolist(), dtype=np.int64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        ar = np.arange(ksub, dtype=np.int64)
+        for i in range(m):
+            sub = X[:, i * d : (i + 1) * d]
+            cn = (qb[i] * qb[i]).sum(axis=1)
+            qn = (sub * sub).sum(axis=1)
+            full = qn[:, None] + cn[None, :] - 2 * (sub @ qb[i].T)  # |q-c|^2
+            codes[:, i] = np.argmin(full * ksub + ar, axis=1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN top-k — the memory-compression scale path.
+
+    At 10^12 vectors the raw embeddings (D float32/64 per row) cannot be
+    scanned per query; PQ stores ``m`` byte-sized codes per vector (64x+
+    compression at D=64, m=8) and scores candidates with an
+    asymmetric-distance (ADC) lookup: per query, an (m x ksub) table of
+    exact integer ``|q_sub - c|^2`` distances is built once, and a
+    candidate's approximate distance is the sum of m table lookups over
+    its codes — no decoded vector is ever touched at scan time. Here the
+    LUT sum is a JVM ``zip_with``/``aggregate`` over the broadcast
+    per-query tables (m=8 lookups/row — far below the measured
+    higher-order-function crossover), so the corpus scan reads ONLY the
+    codes column. Train/encode mirror the IVF pattern: bounded driver-side
+    seeded k-means per subspace, one Arrow matmul encode pass.
+
+    Exact integer arithmetic end-to-end (quantized vectors and codebooks)
+    makes codes, LUTs and ADC scores engine-portable — the DuckDB oracle
+    reproduces every rank. Approximate by design; ADC cannot rank
+    within-cell neighbors (tightly clustered vectors share codes and tie),
+    which is why production IVF-PQ systems refine: ``rerank=R`` keeps the
+    ADC top-R per query and exact-scores ONLY those candidates (one more
+    corpus scan pruned to id+vector, broadcast-joined against the tiny
+    candidate set — at deployment scale this is an id-indexed fetch of
+    Q*R rows, not a scan). Recall with refinement is pinned >= 0.9 by
+    tests. Ties break (score, n_id), deterministic either way.
+    """
+    sample = (
+        data.orderBy(id_col).limit(train_size).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    books = train_pq_codebooks(np.array(sample, dtype=np.float64), m, ksub, seed)
+    qbooks = quantized_centroids(books.reshape(m * ksub, -1)).reshape(books.shape[0], ksub, -1)
+    d = quantized(data, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        _pq_encode_udf(qbooks)(F.col("qvec")).alias("codes"),
+    )
+    # per-query LUTs, driver-side (queries are dims-sized like the other
+    # broadcast ANN paths): luts[i][j] = |q_sub_i - c_ij|^2, exact int64
+    qrows = quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), "qvec"
+    ).toPandas()
+    msub = qbooks.shape[2]
+    lut_rows = []
+    for qid, qv in zip(qrows["query_id"], qrows["qvec"]):
+        q = np.asarray(list(qv), dtype=np.int64)
+        luts = []
+        for i in range(m):
+            sub = q[i * msub : (i + 1) * msub]
+            diff = sub[None, :] - qbooks[i]
+            luts.append([int(v) for v in (diff * diff).sum(axis=1)])
+        lut_rows.append((qid, luts))
+    spark = data.sparkSession
+    luts_df = spark.createDataFrame(
+        lut_rows, f"query_id {dict(data.dtypes)[id_col]}, luts array<array<bigint>>"
+    )
+    scored = (
+        d.crossJoin(F.broadcast(luts_df))
+        .where(F.col("n_id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("ip", -F.col("adc"))  # topk folds by ip desc == adc asc
+    )
+    if not rerank:
+        return (
+            topk_per_query(scored, k)
+            .select("query_id", "n_id", (-F.col("ip")).alias("adc"), F.col("rank").cast("long"))
+        )
+    cands = topk_per_query(scored, int(rerank)).select("query_id", "n_id")
+    dq = quantized(data, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("qvec").alias("n_qvec")
+    )
+    qq = quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    refined = (
+        dq.join(F.broadcast(cands), "n_id")  # corpus scanned once, no shuffle
+        .join(F.broadcast(qq), "query_id")
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(q_qvec, n_qvec, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("ip", -F.col("d2"))
+    )
+    return (
+        topk_per_query(refined, k)
+        .select("query_id", "n_id", (-F.col("ip")).alias("d2"), F.col("rank").cast("long"))
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, threshold_milli: int = 990, bits: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -771,3 +771,84 @@ def test_delta_stale_same_ordinal_duplicate_is_harmless(spark, tmp_path):
     after = {(r["tx"], r["ty"]): r["vmean"] for r in read_level(spark, q_path, 0).collect()}
     assert after[(0, 0)] == 3.0
     assert after[(1, 0)] == before[(1, 0)]
+
+
+def test_pq_topk_recall_and_exact_adc(spark):
+    """Round 5: PQ/ADC ANN — (1) ADC scores must EXACTLY equal a numpy
+    replay of encode + LUT-sum on the quantized grid (the integer-exact
+    contract the DuckDB oracle relies on); (2) recall >= 0.8 vs exact
+    euclidean brute force on clustered vectors."""
+    from pyramidscheme_jl_spark.operators.similarity import (
+        _pq_encode_udf,
+        pq_topk,
+        quantized_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(4)
+    dim, ncl, per = 16, 8, 25
+    centers = rng.randn(ncl, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(ncl):
+        for _ in range(per):
+            rows.append((vid, [float(x) for x in centers[c] + 0.03 * rng.randn(dim)]))
+            vid += 1
+    # array<double>: the exact-ADC contract is on the fixed-point grid of
+    # the stored values; a float column would quantize the float32
+    # roundings instead (recall tests elsewhere use float)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id % 40 = 0")
+    m, ksub, seed, k = 4, 8, 7, 5
+    got = pq_topk(df, queries, k=k, m=m, ksub=ksub, seed=seed, train_size=200).collect()
+
+    # numpy replay on the same fixed-point grid
+    vecs = {i: np.floor(np.array(v, dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
+            for i, v in rows}
+    sample = np.array([v for _, v in rows[:200]], dtype=np.float64)
+    books = train_pq_codebooks(sample, m, ksub, seed)
+    qb = quantized_centroids(books.reshape(m * ksub, -1)).reshape(m, ksub, -1)
+    d = dim // m
+    def codes_of(q):
+        out = []
+        for i in range(m):
+            sub = q[i * d : (i + 1) * d]
+            diff = sub[None, :] - qb[i]
+            s = (diff * diff).sum(axis=1)
+            out.append(int(np.argmin(s * ksub + np.arange(ksub))))
+        return out
+    def adc(qid, nid):
+        q, n = vecs[qid], vecs[nid]
+        c = codes_of(n)
+        total = 0
+        for i in range(m):
+            sub = q[i * d : (i + 1) * d]
+            diff = sub - qb[i][c[i]]
+            total += int((diff * diff).sum())
+        return total
+    for r in got:
+        assert r["adc"] == adc(r["query_id"], r["n_id"]), (r, adc(r["query_id"], r["n_id"]))
+
+    # pure ADC cannot rank within-cell ties — its recall is checked at the
+    # CLUSTER level (every hit from the query's own cluster)...
+    for r in got:
+        assert r["n_id"] // per == r["query_id"] // per, r
+
+    # ...and the production shape (rerank=R exact refinement) must reach
+    # set-level recall >= 0.9 vs the exact euclidean brute force
+    refined = pq_topk(
+        df, queries, k=k, m=m, ksub=ksub, seed=seed, train_size=200, rerank=40
+    ).collect()
+    exact = {}
+    for qid in {r["query_id"] for r in refined}:
+        q = vecs[qid]
+        dists = sorted(
+            ((int(((q - vecs[i]) ** 2).sum()), i) for i, _ in rows if i != qid)
+        )[:k]
+        exact[qid] = {i for _, i in dists}
+    approx = {}
+    for r in refined:
+        approx.setdefault(r["query_id"], set()).add(r["n_id"])
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
