@@ -476,6 +476,38 @@ _IVF = dict(nlist=8, nprobe=2, seed=7, train_size=256, k=5)
 _PQ = dict(m=8, ksub=16, seed=7, train_size=256, k=5)
 
 
+def q_events_asof_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (round 5; BASELINE's "operator Spark lacks" list): every
+    'view' event matched to the user's latest prior 'click' within one
+    hour — pure-JVM union+window plan (one shuffle), vs DuckDB's NATIVE
+    ``ASOF JOIN``. Timestamps compared as epoch micros (UTC pinned);
+    equal-timestamp click duplicates resolve to the highest event_id in
+    both engines (tiebreak= here, max/max_by there)."""
+    from pyramidscheme_jl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "t_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_us", "value"
+    )
+    out = asof_join(
+        views, clicks, on="t_us", by="user_id",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+        tolerance=3_600_000_000,
+    )
+    return out.select(
+        "user_id", "view_id",
+        F.col("event_id_right").alias("click_id"),
+        (F.col("t_us") - F.col("t_us_right")).alias("gap_us"),
+        F.col("value_right").alias("click_value"),
+    )
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -620,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_pq_topk": q_embedding_pq_topk,
+        "events_asof_click": q_events_asof_click,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
         "union_cat": q_union_cat,
@@ -1169,6 +1202,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT tx, v FROM p
             UNION ALL
             SELECT tx + (SELECT o FROM off) AS tx, v FROM p
+        """,
+        # native DuckDB ASOF JOIN as the twin of the union+window plan;
+        # equal-ts click duplicates pre-folded to (max event_id,
+        # max_by value) so both engines resolve ties identically
+        "events_asof_click": """
+            WITH v AS (
+              SELECT user_id, event_id AS view_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT user_id, epoch_us(ts) AS ct_us,
+                     MAX(event_id) AS click_id,
+                     max_by(value, event_id) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT v.user_id, v.view_id, c.click_id,
+                   CAST(v.t_us - c.ct_us AS BIGINT) AS gap_us, c.click_value
+            FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.t_us >= c.ct_us
+            WHERE v.t_us - c.ct_us <= 3600000000
         """,
         "events_topk": """
             SELECT user_id, event_id, CAST(rank AS BIGINT) AS rank FROM (

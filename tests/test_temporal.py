@@ -1,0 +1,83 @@
+"""asof_join — nearest-predecessor temporal join (round 5)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql.functions import col as F_col
+
+from pyramidscheme_jl_spark.operators.temporal import asof_join
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyramidscheme_jl_spark.session import get_spark
+
+    s = get_spark(app="temporal-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    trades = [
+        # (trade_id, sym, t)
+        (1, "a", 100), (2, "a", 205), (3, "a", 205), (4, "b", 50),
+        (5, "b", 400), (6, "c", 10),
+    ]
+    quotes = [
+        # (quote_id, sym, t, px)
+        (10, "a", 90, 1.0), (11, "a", 100, 2.0), (12, "a", 200, 3.0),
+        (13, "b", 50, 4.0), (14, "b", 55, 5.0), (15, "c", 20, 6.0),
+    ]
+    l = spark.createDataFrame(trades, "trade_id long, sym string, t long")
+    r = spark.createDataFrame(quotes, "quote_id long, sym string, t long, px double")
+    got = {
+        (row["sym"], row["trade_id"]): (row["quote_id_right"], row["px_right"], row["t_right"])
+        for row in asof_join(
+            l, r, on="t", by="sym", tiebreak="quote_id"
+        ).collect()
+    }
+    lp = pd.DataFrame(trades, columns=["trade_id", "sym", "t"]).sort_values("t")
+    rp = pd.DataFrame(quotes, columns=["quote_id", "sym", "t", "px"]).sort_values("t")
+    mp = pd.merge_asof(lp, rp, on="t", by="sym", direction="backward")
+    for _, m in mp.iterrows():
+        key = (m["sym"], m["trade_id"])
+        if pd.isna(m["quote_id"]):
+            assert key not in got  # inner as-of drops unmatched
+        else:
+            assert got[key][0] == int(m["quote_id"]), (key, got.get(key), m)
+    # c's trade at t=10 precedes every quote -> dropped
+    assert ("c", 6) not in got
+    # inclusive at equal timestamps: trade (4,"b",50) matches quote 13
+    assert got[("b", 4)][0] == 13
+
+    # equal-timestamp duplicate right rows resolve to the HIGHEST tiebreak
+    r2 = spark.createDataFrame(
+        quotes + [(16, "a", 100, 9.0)], "quote_id long, sym string, t long, px double"
+    )
+    got2 = {
+        (row["sym"], row["trade_id"]): row["quote_id_right"]
+        for row in asof_join(l, r2, on="t", by="sym", tiebreak="quote_id").collect()
+    }
+    assert got2[("a", 1)] == 16  # beats quote 11 at the same t
+
+    # tolerance (in units of `on`): match farther back than 100 drops
+    got3 = {
+        (row["sym"], row["trade_id"]): row["quote_id_right"]
+        for row in asof_join(
+            l, r, on="t", by="sym", tiebreak="quote_id", tolerance=100
+        ).collect()
+    }
+    assert ("a", 2) in got3 and got3[("a", 2)] == 12  # gap 5
+    assert ("b", 5) not in got3  # gap 345 > 100
+
+
+def test_asof_join_plan_is_python_free(spark):
+    l = spark.range(100).select(
+        F_col("id").alias("lid"), (F_col("id") % 5).alias("g"), (F_col("id") * 3).alias("t")
+    )
+    r = spark.range(50).select(
+        F_col("id").alias("rid"), (F_col("id") % 5).alias("g"), (F_col("id") * 7).alias("t")
+    )
+    df = asof_join(l, r, on="t", by="g", tiebreak="rid")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+
