@@ -82,6 +82,15 @@ def main() -> None:
 
     # 2) key relational queries: broadcast + codegen + python-free evidence
     notes = {
+        "embedding_pq_topk": (
+            "NOTE: the corpus side carries ONLY the m-byte codes column into "
+            "the ADC scan (the 64x PQ compression); the ArrowEvalPython is the "
+            "one-matmul encode pass, the LUT sum is JVM zip_with/aggregate."
+        ),
+        "events_asof_click": (
+            "NOTE: one Exchange on the by-key + Window sort — the sort-merge-"
+            "join physical shape; no python stage, no range-bucket explosion."
+        ),
         "embedding_ivf_topk": (
             "NOTE: the ArrowEvalPython on the corpus side is the assign "
             "matmul — the MEASURED round-5 winner over the unrolled-codegen "
@@ -99,6 +108,8 @@ def main() -> None:
         "pip_join",
         "block_agg_median",
         "embedding_ivf_topk",
+        "embedding_pq_topk",
+        "events_asof_click",
         "bpe_tokens",
     ):
         df = E.queries()[name](spark, sf)
