@@ -195,8 +195,21 @@ def build_cube_level(
 CUBE_DATA_COLS = ["t", *TILE_DATA_COLS]
 
 
-def write_cube_level(df: DataFrame, path: str, z: int) -> None:
-    df.select(*CUBE_DATA_COLS).write.mode("overwrite").parquet(level_path(path, z))
+def write_cube_level(
+    df: DataFrame, path: str, z: int, spatial_sort: bool | str = True
+) -> None:
+    """Cube-level checkpoint; ``spatial_sort`` orders by (t, cell) so
+    row-group stats stay tight per slice AND per viewport — same
+    local-sort-by-default / range-opt-in contract and measured rationale
+    as ``catalog.write_level``."""
+    out = df.select(*CUBE_DATA_COLS)
+    if spatial_sort == "range":
+        out = out.repartitionByRange(F.col("t"), F.col("cell")).sortWithinPartitions(
+            "t", "cell"
+        )
+    elif spatial_sort:
+        out = out.sortWithinPartitions("t", "cell")
+    out.write.mode("overwrite").parquet(level_path(path, z))
 
 
 def read_cube_level(spark: SparkSession, path: str, z: int) -> DataFrame:

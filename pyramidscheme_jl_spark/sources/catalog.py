@@ -82,6 +82,7 @@ def write_level_driver(rows: list[dict], path: str, z: int) -> None:
     d = level_path(path, z)
     shutil.rmtree(d, ignore_errors=True)  # idempotent like mode=overwrite
     os.makedirs(d, exist_ok=True)
+    rows = sorted(rows, key=lambda r: r["cell"])  # Morton order like write_level
     arrow_types = {
         "tx": pa.int32(),
         "ty": pa.int32(),
@@ -105,9 +106,40 @@ def write_level_driver(rows: list[dict], path: str, z: int) -> None:
     pq.write_table(table, os.path.join(d, "part-00000-driver.parquet"), compression="zstd")
 
 
-def write_level(df: DataFrame, path: str, z: int) -> None:
-    """Checkpoint one pyramid level (idempotent: overwrite its partition)."""
-    df.select(*TILE_DATA_COLS).write.mode("overwrite").parquet(level_path(path, z))
+def write_level(
+    df: DataFrame, path: str, z: int, spatial_sort: bool | str = True
+) -> None:
+    """Checkpoint one pyramid level (idempotent: overwrite its partition).
+
+    ``spatial_sort`` (round 5): row-group min/max stats on tx/ty are the
+    only thing that lets a window read skip data in plain parquet, and
+    before this the within-file order was whatever the producing stage
+    happened to emit — for the downsample levels that is applyInPandas's
+    internal sort by (ptx, pty), i.e. an ACCIDENT of Spark internals
+    (row-major, and absent for any level produced another way).
+
+    - ``True``/"local" (default): ``sortWithinPartitions(cell)`` — NO
+      extra exchange (measured free: 7.10 vs 7.12 s interleaved A/B at
+      G=64). Makes Morton order a CONTRACT of the layout: each row group
+      is a contiguous cell range (compact ~square blocks, which bound
+      both tx and ty for 2-D windows, where row-major only bounds ty),
+      independent of what stage produced the level. With plain parquet
+      Spark opens every footer either way (file-level stats pruning
+      needs a catalog), so this captures the whole row-group win at
+      zero cost.
+    - ``"range"``: ``repartitionByRange(cell)`` + sort — additionally
+      makes each FILE a disjoint Morton range, the layout a file-stats
+      catalog (Iceberg manifests) prunes without opening footers. Costs
+      one extra exchange of the level bytes (measured +36% build time
+      locally) — the write-amplification-for-read trade to pick when a
+      real catalog serves the reads.
+    - ``False``: producer order (throwaway intermediates)."""
+    out = df.select(*TILE_DATA_COLS)
+    if spatial_sort == "range":
+        out = out.repartitionByRange(F.col("cell")).sortWithinPartitions("cell")
+    elif spatial_sort:
+        out = out.sortWithinPartitions("cell")
+    out.write.mode("overwrite").parquet(level_path(path, z))
 
 
 def _delta_level_names(path: str, z: int) -> list[str]:

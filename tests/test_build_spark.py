@@ -376,3 +376,80 @@ def test_unsupported_format_rows_counted_and_strict_raises(spark, tmp_path, capl
     with caplog.at_level(logging.WARNING, logger="pyramidscheme_jl_spark"):
         build_pyramid(spark, images, str(tmp_path / "w"), G=2, run_id="w")
     assert any("dropping 1/5" in r.message for r in caplog.records)
+
+
+def test_spatial_sort_makes_row_group_stats_prunable(spark, tmp_path):
+    """Round 5: levels are written Morton-sorted within each partition
+    (measured free — no exchange), making spatial row-group coherence a
+    CONTRACT of the layout instead of an accident of applyInPandas's
+    internal (ptx, pty) group ordering. With forced-small row groups a
+    corner-window read must skip most row groups, and Morton must prune
+    at least as well as the producer's row-major order."""
+    import functools
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import pyramidscheme_jl_spark.operators.build as B
+    import pyramidscheme_jl_spark.sources.catalog as C
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "16384")  # tiny row groups
+    try:
+        # >100 rows per file: parquet-mr only checks block rotation every
+        # 100 records, so small files never split otherwise. The window
+        # check targets z=1 — the POST-SHUFFLE level (base tiles arrive in
+        # coherent generation order; hash scatter is the z>=1 reality).
+        images = spark.createDataFrame(synth_images(G=64, size=8), IMAGES_DDL).coalesce(2)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+        def overlap_stats(path, z, tx_max, ty_max):
+            total = hit = 0
+            for f in glob.glob(f"{path}/tiles/z={z}/part-*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    cols = {
+                        md.row_group(rg).column(i).path_in_schema:
+                            md.row_group(rg).column(i).statistics
+                        for i in range(md.row_group(rg).num_columns)
+                    }
+                    total += 1
+                    if cols["tx"].min <= tx_max and cols["ty"].min <= ty_max:
+                        hit += 1
+            return hit, total
+
+        p_sorted = str(tmp_path / "s")
+        B.build_pyramid(spark, images, p_sorted, G=64, tilesize=8, run_id="s")
+        # cells are Morton-sorted within every file of every level
+        for z in (0, 1):
+            for f in glob.glob(f"{p_sorted}/tiles/z={z}/part-*.parquet"):
+                cells = pq.read_table(f, columns=["cell"])["cell"].to_pylist()
+                assert cells == sorted(cells), f
+
+        orig = C.write_level
+        C.write_level = functools.partial(orig, spatial_sort=False)
+        B.write_level = C.write_level
+        try:
+            p_raw = str(tmp_path / "u")
+            B.build_pyramid(spark, images, p_raw, G=64, tilesize=8, run_id="u")
+        finally:
+            C.write_level = orig
+            B.write_level = orig
+
+        hs, ts = overlap_stats(p_sorted, 1, 7, 7)  # 8x8 corner of the 32x32 level
+        hu, tu = overlap_stats(p_raw, 1, 7, 7)
+        assert ts > 8 and tu > 8  # forced-small row groups actually happened
+        # Morton layout: most row groups' stats exclude the corner window,
+        # and never fewer than the producer-order control (row-major from
+        # applyInPandas's internal group sort bounds ty but not tx)
+        assert hs / ts < 0.5, (hs, ts)
+        assert hs <= hu, (hs, hu)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
