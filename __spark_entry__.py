@@ -592,6 +592,75 @@ def _ensure_streamed_pyramid(spark: SparkSession) -> str:
     return path
 
 
+def _ensure_streamed_cube(spark: SparkSession) -> str:
+    """Cube twin of ``_ensure_streamed_pyramid`` (round 5): two t-slices
+    of the G=2 mosaic (slice pixels = base + 7t mod 256, uint8 wrap)
+    streamed in two micro-batches — the second REPLACES (t=1, image 0)
+    with constant-9 pixels — then compacted. Exercises the cube delta
+    layout, per-(t, ancestor) cascade and t-preserving compaction."""
+    path = f"{_STREAMED_ORACLE_DIR}/cube"
+    done = f"{_STREAMED_ORACLE_DIR}/_cube_done"
+    if os.path.exists(done):
+        return path
+    import shutil
+
+    import numpy as np
+
+    from pyramidscheme_jl_spark.functions.codec import encode_tile
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+    from pyramidscheme_jl_spark.streaming.ingest import (
+        compact_pyramid,
+        ingest_cube_images,
+    )
+
+    shutil.rmtree(path, ignore_errors=True)
+    src = f"{_STREAMED_ORACLE_DIR}/cube_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    ddl = IMAGES_DDL + ", t int"
+    rows = []
+    for t in (0, 1):
+        for r in synth_images(G=2):
+            px = np.frombuffer(r["bytes"], dtype=np.uint8) + np.uint8(7 * t)
+            rows.append({**r, "bytes": px.tobytes(), "t": t})
+    spark.createDataFrame(rows, ddl).coalesce(2).write.parquet(f"{src}/b0")
+    ingest_cube_images(spark, f"{src}/*", path, G=2).awaitTermination(300)
+    repl = next(dict(r) for r in rows if r["t"] == 1 and r["image_id"] == "img-00000000")
+    repl["bytes"] = encode_tile(np.full((256, 256), 9, dtype=np.uint8))
+    spark.createDataFrame([repl], ddl).coalesce(1).write.parquet(f"{src}/b1")
+    ingest_cube_images(spark, f"{src}/*", path, G=2).awaitTermination(300)
+    compact_pyramid(spark, path, run_id="cube-oracle-compact")
+    open(done, "w").close()
+    return path
+
+
+def q_streamed_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5 oracle row (round 5): per-tile stats of a STREAMED (x, y, t)
+    cube — two slices, a rewrite in the second micro-batch, compacted —
+    vs DuckDB's closed-form recomputation (slice pixels
+    ((16*(gx+gy) + (x XOR y)) % 256 + 7t) % 256, (t=1, image 0) replaced
+    by 9s). Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.cube import read_cube_tiles
+
+    path = _ensure_streamed_cube(spark)
+
+    def q(c: str):
+        return F.expr(f"CAST(FLOOR({c} * 1048576 + 0.5) AS BIGINT)").alias(f"{c}_u")
+
+    return read_cube_tiles(spark, path).select(
+        F.col("t").cast("long").alias("t"),
+        F.col("z").cast("long").alias("z"),
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        q("vmin"),
+        q("vmax"),
+        q("vmean"),
+    )
+
+
 def q_streamed_pyramid_stats(spark: SparkSession, sf: str) -> DataFrame:
     """ST1/ST4 oracle row (VERDICT r4 #8): per-tile stats of a pyramid
     built ENTIRELY by streaming ingestion (delta layout, two batches with
@@ -658,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cat": q_union_cat,
         "events_topk": q_events_topk,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
+        "streamed_cube_stats": q_streamed_cube_stats,
         "cosine_near_dup": q_cosine_near_dup,
     }
 
@@ -1100,6 +1170,30 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(FLOOR(MAX(bm) * 1048576 + 0.5) AS BIGINT) AS vmax_u,
                    CAST(FLOOR(AVG(bm) * 1048576 + 0.5) AS BIGINT) AS vmean_u
             FROM lv GROUP BY 1, 2, 3
+        """,
+        # cube twin of streamed_pyramid_stats: one extra t dim in the
+        # closed form (slice pixels wrap uint8: (base + 7t) % 256)
+        "streamed_cube_stats": """
+            WITH px AS (
+              SELECT tt.t AS t, gx*256 + x AS ax, gy*256 + y AS ay,
+                     CASE WHEN tt.t = 1 AND gx = 0 AND gy = 0 THEN 9.0
+                          ELSE CAST(((16*(gx+gy) + xor(x, y)) % 256 + 7*tt.t) % 256 AS DOUBLE) END AS v
+              FROM generate_series(0, 1) g1(gx), generate_series(0, 1) g2(gy),
+                   generate_series(0, 255) s1(x), generate_series(0, 255) s2(y),
+                   (VALUES (0), (1)) tt(t)
+            ),
+            lv AS (
+              SELECT t, zz.z AS z, ax >> zz.z AS bx, ay >> zz.z AS by, AVG(v) AS bm
+              FROM px CROSS JOIN (VALUES (0), (1)) zz(z)
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT CAST(t AS BIGINT) AS t, CAST(z AS BIGINT) AS z,
+                   CAST(bx >> 8 AS BIGINT) AS tx, CAST(by >> 8 AS BIGINT) AS ty,
+                   CAST(256 AS BIGINT) AS w, CAST(256 AS BIGINT) AS h,
+                   CAST(FLOOR(MIN(bm) * 1048576 + 0.5) AS BIGINT) AS vmin_u,
+                   CAST(FLOOR(MAX(bm) * 1048576 + 0.5) AS BIGINT) AS vmax_u,
+                   CAST(FLOOR(AVG(bm) * 1048576 + 0.5) AS BIGINT) AS vmean_u
+            FROM lv GROUP BY 1, 2, 3, 4
         """,
         "token_stats": """
             SELECT doc_id AS id,
