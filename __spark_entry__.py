@@ -476,6 +476,20 @@ _IVF = dict(nlist=8, nprobe=2, seed=7, train_size=256, k=5)
 _PQ = dict(m=8, ksub=16, seed=7, train_size=256, k=5)
 
 
+def q_events_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable rollup (round 5): minute/hour/day count+sum hierarchy
+    where each coarser grain re-aggregates the finer grain's partials
+    (the pyramid cascade on time — one O(events) scan total). Values in
+    exact cents; epoch seconds UTC."""
+    from pyramidscheme_jl_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf, "events").select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return time_rollup(ev, ts_col="ts_s", value_col="cents")
+
+
 def q_events_asof_click(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (round 5; BASELINE's "operator Spark lacks" list): every
     'view' event matched to the user's latest prior 'click' within one
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_pq_topk": q_embedding_pq_topk,
         "events_asof_click": q_events_asof_click,
+        "events_time_rollup": q_events_time_rollup,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
         "union_cat": q_union_cat,
@@ -1313,6 +1328,21 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(v.t_us - c.ct_us AS BIGINT) AS gap_us, c.click_value
             FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.t_us >= c.ct_us
             WHERE v.t_us - c.ct_us <= 3600000000
+        """,
+        "events_time_rollup": """
+            WITH base AS (
+              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            m AS (SELECT t // 60 * 60 AS bucket_s, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS sum_v FROM base GROUP BY 1),
+            h AS (SELECT bucket_s // 3600 * 3600 AS bucket_s, CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(sum_v) AS BIGINT) AS sum_v FROM m GROUP BY 1),
+            d AS (SELECT bucket_s // 86400 * 86400 AS bucket_s, CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(sum_v) AS BIGINT) AS sum_v FROM h GROUP BY 1)
+            SELECT 'minute' AS grain, * FROM m
+            UNION ALL SELECT 'hour' AS grain, * FROM h
+            UNION ALL SELECT 'day' AS grain, * FROM d
         """,
         "events_topk": """
             SELECT user_id, event_id, CAST(rank AS BIGINT) AS rank FROM (

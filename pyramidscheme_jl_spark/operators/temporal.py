@@ -34,6 +34,62 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: grain -> seconds; ordered finest-first so each coarser grain can be
+#: produced from the previous grain's partials
+_GRAIN_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts_s",
+    value_col: str | None = None,
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy (BASELINE task
+    list's "hypertable rollup"): counts (+ optional sums) per minute /
+    hour / day bucket, where every COARSER grain is re-aggregated from
+    the previous grain's partial rows — the same decomposable-reducer
+    cascade the pyramid build uses on space, applied to time. An hour
+    row reads <= 60 minute partials instead of the raw events, so the
+    full hierarchy costs O(events) + O(minute rows) instead of
+    len(grains) x O(events) — at 10^12 events that is the difference
+    between one scan and three.
+
+    ``ts_col`` is epoch SECONDS (bigint) — convert timestamps upstream
+    so bucket arithmetic is exact integer math (engine-portable).
+    ``value_col`` must likewise be pre-quantized to an integer unit
+    (e.g. cents) by the caller; sums stay exact int64. Returns
+    ``(grain string, bucket_s long, n long[, sum_v long])``.
+    """
+    gs = [g for g in _GRAIN_SECONDS if g in grains]  # canonical fine->coarse
+    if gs != list(grains):
+        raise ValueError(f"grains must be finest-first from {list(_GRAIN_SECONDS)}")
+    aggs = [F.count("*").cast("long").alias("n")]
+    if value_col:
+        aggs.append(F.sum(F.col(value_col)).cast("long").alias("sum_v"))
+    sec0 = _GRAIN_SECONDS[gs[0]]
+    level = (
+        df.groupBy(
+            ((F.col(ts_col).cast("long") / sec0).cast("long") * sec0).alias("bucket_s")
+        )
+        .agg(*aggs)
+    )
+    out = level.select(F.lit(gs[0]).alias("grain"), "*")
+    for g in gs[1:]:
+        sec = _GRAIN_SECONDS[g]
+        re_aggs = [F.sum("n").cast("long").alias("n")]
+        if value_col:
+            re_aggs.append(F.sum("sum_v").cast("long").alias("sum_v"))
+        level = (
+            level.groupBy(
+                ((F.col("bucket_s") / sec).cast("long") * sec).alias("bucket_s")
+            )
+            .agg(*re_aggs)
+        )
+        out = out.unionByName(level.select(F.lit(g).alias("grain"), "*"))
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

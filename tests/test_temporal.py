@@ -81,3 +81,34 @@ def test_asof_join_plan_is_python_free(spark):
     assert "EvalPython" not in plan
     assert "Window" in plan
 
+
+
+def test_time_rollup_cascade_matches_direct(spark):
+    """Each coarser grain is re-aggregated from the finer grain's
+    partials; results must equal direct aggregation from the raw rows,
+    and grain totals must be conserved."""
+    rows = [(i, 60 * i + (i * 37) % 60, (i % 7) * 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, ts_s long, cents long")
+    from pyramidscheme_jl_spark.operators.temporal import time_rollup
+
+    out = time_rollup(df, ts_col="ts_s", value_col="cents").collect()
+    got = {(r["grain"], r["bucket_s"]): (r["n"], r["sum_v"]) for r in out}
+    import collections
+
+    direct = {g: collections.defaultdict(lambda: [0, 0]) for g in ("minute", "hour", "day")}
+    for _, t, c in rows:
+        for g, sec in (("minute", 60), ("hour", 3600), ("day", 86400)):
+            b = t // sec * sec
+            direct[g][b][0] += 1
+            direct[g][b][1] += c
+    for g, buckets in direct.items():
+        for b, (n, s) in buckets.items():
+            assert got[(g, b)] == (n, s), (g, b)
+    n_minutes = sum(1 for k in got if k[0] == "minute")
+    assert n_minutes > 400  # the cascade actually produced fine buckets
+    # conservation across grains
+    for g in ("minute", "hour", "day"):
+        assert sum(v[0] for k, v in got.items() if k[0] == g) == 500
+
+    with pytest.raises(ValueError, match="finest-first"):
+        time_rollup(df, grains=("day", "minute"))
