@@ -806,12 +806,13 @@ def _ivf_cent_values(sf_dir: str) -> str:
     )
 
 
-def _pq_cb_values(sf_dir: str) -> str:
-    """Quantized PQ codebook literals ``(m, j, i, c)`` for the PQ oracle —
-    same derivation discipline as ``_ivf_cent_values``: first
-    ``train_size`` rows by vec_id from the sf dir under test, per-subspace
-    seeded Lloyd's k-means (``S.train_pq_codebooks``), fixed-point
-    quantization."""
+def _pq_cb_values(sf_dir: str) -> tuple[str, int]:
+    """Quantized PQ codebook literals ``(m, j, i, c)`` plus the subspace
+    stride ``dsub`` (= embedding_dim / m, taken from the codebook shape so
+    the SQL never hardcodes it — ADVICE r5) for the PQ oracle. Same
+    derivation discipline as ``_ivf_cent_values``: first ``train_size``
+    rows by vec_id from the sf dir under test, per-subspace seeded Lloyd's
+    k-means (``S.train_pq_codebooks``), fixed-point quantization."""
     import duckdb
     import numpy as np
 
@@ -828,12 +829,13 @@ def _pq_cb_values(sf_dir: str) -> str:
     qb = S.quantized_centroids(
         books.reshape(_PQ["m"] * _PQ["ksub"], -1)
     ).reshape(_PQ["m"], _PQ["ksub"], -1)
-    return ", ".join(
+    values = ", ".join(
         f"({m}, {j}, {i}, {int(qb[m, j, i])})"
         for m in range(qb.shape[0])
         for j in range(qb.shape[1])
         for i in range(qb.shape[2])
     )
+    return values, int(qb.shape[2])
 
 
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
@@ -868,7 +870,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         )
         ivf_cent = None
     try:
-        pq_cb = _pq_cb_values(sf_dir)
+        pq_cb, pq_dsub = _pq_cb_values(sf_dir)
     except Exception as e:  # pragma: no cover - environment-dependent
         import sys
 
@@ -877,7 +879,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             f" ({e!r}); embedding_pq_topk degrades to a rows-only check",
             file=sys.stderr,
         )
-        pq_cb = None
+        pq_cb, pq_dsub = None, 0
     mh_aggs, _ = _minhash_sql_parts(8)
     band_cols = " , ".join(
         f"(SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig)"
@@ -1288,8 +1290,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               FROM embeddings),
             sc AS (
               SELECT d.vec_id, cb.m, cb.j,
-                     CAST(SUM((d.qv[cb.m * 8 + cb.i + 1] - cb.c)
-                            * (d.qv[cb.m * 8 + cb.i + 1] - cb.c)) AS BIGINT) AS s
+                     CAST(SUM((d.qv[cb.m * {pq_dsub} + cb.i + 1] - cb.c)
+                            * (d.qv[cb.m * {pq_dsub} + cb.i + 1] - cb.c)) AS BIGINT) AS s
               FROM d, cb GROUP BY 1, 2, 3),
             codes AS (
               SELECT vec_id, m, CAST(MIN(s * {_PQ["ksub"]} + j) % {_PQ["ksub"]} AS INT) AS code

@@ -510,8 +510,22 @@ _MP4_RAW_ENTRIES = (b"raw ", b"rgb ")
 _MP4_STUBBED_ENTRIES = (b"avc1", b"avc3", b"hev1", b"hvc1", b"vp09", b"av01")
 
 
+# 32-bit box-size ceiling; a box whose total size would exceed it is emitted
+# in the ISO-BMFF largesize form (size==1 marker + 64-bit size), which the
+# demux side (_mp4_boxes) already parses. Module constant so tests can lower
+# it and exercise the largesize path without multi-GiB payloads.
+_BOX_SIZE_LIMIT = 0xFFFFFFFF
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
+    if 8 + len(body) > _BOX_SIZE_LIMIT:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
     return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _box_header_len(body_len: int) -> int:
+    """Bytes of box header `_box` will emit for a body of this length."""
+    return 16 if 8 + body_len > _BOX_SIZE_LIMIT else 8
 
 
 def _full_box(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
@@ -539,7 +553,7 @@ def _chunk_offset_box(offsets: list[int]) -> bytes:
     2^32-1 — frames totaling >4 GiB previously escaped as struct.error,
     which the per-row ``on_error='skip'`` contract does not catch
     (ADVICE r4). The demux side already reads both."""
-    if offsets and offsets[-1] > 0xFFFFFFFF:
+    if offsets and offsets[-1] > _BOX_SIZE_LIMIT:
         return _full_box(
             b"co64", 0, 0,
             struct.pack(">I", len(offsets))
@@ -577,15 +591,20 @@ def encode_mp4_video(
     stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _video_sample_entry(fourcc, w, h))
     stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    if any(len(f) > _BOX_SIZE_LIMIT for f in frames):
+        # stsz entries are 32-bit; struct.error is not in the per-row
+        # skippable contract, ValueError is (ADVICE r5)
+        raise ValueError("mp4 mux: a single frame exceeds the 32-bit stsz limit")
     stsz = _full_box(
         b"stsz", 0, 0,
         struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
-    # chunk offsets are absolute file offsets: ftyp + mdat header precede
+    # chunk offsets are absolute file offsets: ftyp + mdat header precede.
+    # >4 GiB payloads get a largesize (16-byte-header) mdat, shifting them.
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat_payload = b"".join(frames)
     mdat = _box(b"mdat", mdat_payload)
-    base = len(ftyp) + 8
+    base = len(ftyp) + _box_header_len(len(mdat_payload))
     offsets, off = [], base
     for f in frames:
         offsets.append(off)
@@ -856,7 +875,7 @@ def encode_mp4_audio(samples: np.ndarray, rate: int, codec: str = "sowt") -> byt
     stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", frame, n))
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _box(b"mdat", pcm)
-    stco = _chunk_offset_box([len(ftyp) + 8])
+    stco = _chunk_offset_box([len(ftyp) + _box_header_len(len(pcm))])
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     url = _full_box(b"url ", 0, 1, b"")
     dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + url)

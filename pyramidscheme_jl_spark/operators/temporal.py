@@ -68,10 +68,12 @@ def time_rollup(
     if value_col:
         aggs.append(F.sum(F.col(value_col)).cast("long").alias("sum_v"))
     sec0 = _GRAIN_SECONDS[gs[0]]
+    # floor semantics, not double-divide + cast (which truncates toward
+    # zero and diverges from integer floor for pre-1970 epochs; ADVICE r5).
+    # t - pmod(t, sec) is pure int64 arithmetic — exact and engine-portable.
+    ts = F.col(ts_col).cast("long")
     level = (
-        df.groupBy(
-            ((F.col(ts_col).cast("long") / sec0).cast("long") * sec0).alias("bucket_s")
-        )
+        df.groupBy((ts - F.pmod(ts, F.lit(sec0))).alias("bucket_s"))
         .agg(*aggs)
     )
     out = level.select(F.lit(gs[0]).alias("grain"), "*")
@@ -80,10 +82,9 @@ def time_rollup(
         re_aggs = [F.sum("n").cast("long").alias("n")]
         if value_col:
             re_aggs.append(F.sum("sum_v").cast("long").alias("sum_v"))
+        b = F.col("bucket_s")
         level = (
-            level.groupBy(
-                ((F.col("bucket_s") / sec).cast("long") * sec).alias("bucket_s")
-            )
+            level.groupBy((b - F.pmod(b, F.lit(sec))).alias("bucket_s"))
             .agg(*re_aggs)
         )
         out = out.unionByName(level.select(F.lit(g).alias("grain"), "*"))

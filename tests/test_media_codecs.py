@@ -621,6 +621,47 @@ def test_chunk_offset_box_switches_to_co64_past_4gib():
     assert n == 3 and offs == (40, 0xFFFFFFFF, 0x1_0000_0010)
 
 
+def test_mp4_largesize_mdat_roundtrip_and_oversize_frame_contract(monkeypatch):
+    """ADVICE r5: the co64 branch was unreachable because a >4 GiB mdat
+    body hit struct.error in _box (and per-frame stsz) before stco mattered
+    — escaping the ValueError-only on_error='skip' contract. _box now emits
+    the ISO-BMFF largesize form (size==1 + 64-bit size), the muxer accounts
+    the 16-byte header in chunk offsets, and an oversize single frame is a
+    loud ValueError. Exercised by lowering the module size limit so the
+    path runs without multi-GiB payloads."""
+    import numpy as np
+    import pytest
+
+    from pyramidscheme_jl_spark.functions import media_codecs as mc
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, size=(4, 6)).astype(np.uint8).tobytes()
+              for _ in range(5)]
+    # each raw frame is 24 bytes; limit 40 => mdat body (120) is largesize
+    # and the later offsets exceed the lowered stco ceiling => co64
+    monkeypatch.setattr(mc, "_BOX_SIZE_LIMIT", 40)
+    buf = mc.encode_mp4_video(frames, 6, 4, codec="raw")
+    # the mdat box must carry the size==1 marker + 64-bit largesize
+    i = buf.find(b"mdat")
+    assert buf[i - 4:i] == b"\x00\x00\x00\x01"
+    assert int.from_bytes(buf[i + 4:i + 12], "big") == 16 + sum(map(len, frames))
+    assert b"co64" in buf and b"stco" not in buf
+
+    out, w, h, fps, codec = mc.decode_mp4_video(buf)
+    assert (w, h, codec) == (6, 4, "raw") and list(out) == frames
+
+    with pytest.raises(ValueError, match="stsz limit"):
+        mc.encode_mp4_video([b"x" * 64], 8, 8, codec="raw")
+
+    # audio twin: largesize mdat offsets stay exact
+    monkeypatch.setattr(mc, "_BOX_SIZE_LIMIT", 64)
+    pcm = rng.uniform(-0.5, 0.5, size=(128, 1))
+    abuf = mc.encode_mp4_audio(pcm, rate=8000, codec="sowt")
+    got, rate = mc.decode_mp4_audio(abuf)
+    ref, _ = mc.decode_wav(mc.encode_wav(pcm, 8000))
+    assert rate == 8000 and np.array_equal(got, ref)
+
+
 def test_mp4_raw_sample_length_must_match_dims():
     """ADVICE r4: a 'raw ' sample whose byte length contradicts the stsd
     (w, h) — or zero declared dims — must be a loud ValueError, not a

@@ -88,6 +88,8 @@ def test_time_rollup_cascade_matches_direct(spark):
     partials; results must equal direct aggregation from the raw rows,
     and grain totals must be conserved."""
     rows = [(i, 60 * i + (i * 37) % 60, (i % 7) * 100) for i in range(500)]
+    # pre-1970 epochs: floor(-90/60)*60 = -120, NOT trunc's -60 (ADVICE r5)
+    rows += [(1000 + i, -90 - 7000 * i, 100) for i in range(4)]
     df = spark.createDataFrame(rows, "event_id long, ts_s long, cents long")
     from pyramidscheme_jl_spark.operators.temporal import time_rollup
 
@@ -98,9 +100,10 @@ def test_time_rollup_cascade_matches_direct(spark):
     direct = {g: collections.defaultdict(lambda: [0, 0]) for g in ("minute", "hour", "day")}
     for _, t, c in rows:
         for g, sec in (("minute", 60), ("hour", 3600), ("day", 86400)):
-            b = t // sec * sec
+            b = t // sec * sec  # python // is floor — the pinned semantics
             direct[g][b][0] += 1
             direct[g][b][1] += c
+    assert set(got) == {(g, b) for g, bs in direct.items() for b in bs}
     for g, buckets in direct.items():
         for b, (n, s) in buckets.items():
             assert got[(g, b)] == (n, s), (g, b)
@@ -108,7 +111,7 @@ def test_time_rollup_cascade_matches_direct(spark):
     assert n_minutes > 400  # the cascade actually produced fine buckets
     # conservation across grains
     for g in ("minute", "hour", "day"):
-        assert sum(v[0] for k, v in got.items() if k[0] == g) == 500
+        assert sum(v[0] for k, v in got.items() if k[0] == g) == len(rows)
 
     with pytest.raises(ValueError, match="finest-first"):
         time_rollup(df, grains=("day", "minute"))
