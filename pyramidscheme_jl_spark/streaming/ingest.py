@@ -678,15 +678,16 @@ def _read_sibling_rows_local(
 
 
 def _sibling_union_scan(
-    spark: SparkSession, path: str, changed, z_lo: int, z_hi: int, with_t: bool
+    spark: SparkSession, path: str, changed, z_lo: int, z_hi: int, with_t: bool,
+    exclude_recomputed: bool = True,
 ):
     """Union of per-level pruned scans of the 4-sibling child sets of
     ``changed[z]`` for z in [z_lo, z_hi], each tagged with ``lvl``.
 
     Flat path: ``_children_of`` (pushable IN-lists + packed-int64 exact
     membership). Cube path: IN-lists on t/tx/ty + ONE broadcast left-semi
-    join on (lvl, t, parent) after the union — packed int64 would
-    overflow for epoch-scale t (review r4).
+    join on the enumerated allowed (lvl, t, tx, ty) child keys after the
+    union — packed int64 would overflow for epoch-scale t (review r4).
 
     Source levels INSIDE this pass's recompute range (z-1 in
     [z_lo, z_hi-1]) additionally EXCLUDE rows whose own key is in
@@ -694,17 +695,19 @@ def _sibling_union_scan(
     precedence over disk in ``_cascade_repair``), so their disk copies are
     pure scan+shuffle waste — for a spatially clustered batch they were
     ~70% of the scanned bytes (round-5 probe: the f64 intermediate levels
-    dwarf the uint8 base). Only unchanged boundary siblings survive."""
+    dwarf the uint8 base). Only unchanged boundary siblings survive.
+    ``exclude_recomputed=False`` disables that exclusion — the A/B handle
+    for ``tools/cube_scan_probe.py``, never used in production."""
     scans = []
     for z in range(z_lo, z_hi + 1):
         lvl = _read_level_or_empty(spark, path, z - 1, with_t)
         excl = None
-        if z_lo <= z - 1 <= z_hi - 1 and changed[z - 1]:
+        if exclude_recomputed and z_lo <= z - 1 <= z_hi - 1 and changed[z - 1]:
             if with_t:
-                # cubes keep the redundant intermediate reads: a packed
-                # NOT-IN would overflow at epoch-scale t (r4 review) and a
-                # tuple NOT-IN doesn't prune; their touched-slice scans are
-                # the documented less-tuned path
+                # cubes fold the exclusion into the one existing broadcast
+                # membership join below (a packed NOT-IN would overflow at
+                # epoch-scale t, r4 review; a SEPARATE anti-join measured
+                # +0.5 s of plan/job constant — tools/cube_scan_probe.py)
                 pass
             else:
                 ex = ",".join(
@@ -740,18 +743,28 @@ def _sibling_union_scan(
     for sc in scans[1:]:
         union = union.unionByName(sc)
     if with_t:
-        par_rows = [
-            (z - 1, t, px, py)
-            for z in range(z_lo, z_hi + 1)
-            for t, px, py in changed[z]
-        ]
-        pdf = spark.createDataFrame(par_rows, "lvl int, t int, _px int, _py int")
-        union = (
-            union.withColumn("_px", F.shiftright("tx", 1))
-            .withColumn("_py", F.shiftright("ty", 1))
-            .join(F.broadcast(pdf), ["lvl", "t", "_px", "_py"], "left_semi")
-            .drop("_px", "_py")
-        )
+        # ONE broadcast membership join does both exact parent membership
+        # AND the recomputed-tile exclusion (VERDICT r5 #4): enumerate the
+        # allowed CHILD keys driver-side — the 4-sibling sets of changed[z]
+        # minus the keys this pass recomputes in-group — instead of joining
+        # on parent then anti-joining on changed. Bounded at 4x the changed
+        # ancestor count; measured -53% payload bytes into the cascade
+        # shuffle at zero extra join cost (tools/cube_scan_probe.py).
+        allowed: list[tuple[int, int, int, int]] = []
+        for z in range(z_lo, z_hi + 1):
+            excl = (
+                set(changed[z - 1])
+                if exclude_recomputed and z_lo <= z - 1 <= z_hi - 1
+                else frozenset()
+            )
+            for t, px, py in changed[z]:
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        k = (t, 2 * px + dx, 2 * py + dy)
+                        if k not in excl:
+                            allowed.append((z - 1, *k))
+        adf = spark.createDataFrame(allowed, "lvl int, t int, tx int, ty int")
+        union = union.join(F.broadcast(adf), ["lvl", "t", "tx", "ty"], "left_semi")
     return union
 
 

@@ -317,3 +317,45 @@ def test_streaming_cube_delta_rewrite_last_writer_wins(spark, tmp_path):
         for z in (0, 1):
             got = _assemble_cube_level(spark, q_path, z, spec, t)
             np.testing.assert_allclose(got, oracle[z], rtol=1e-12)
+
+
+def test_cube_union_scan_exclusion_drops_recomputed_keys(spark, tmp_path):
+    """VERDICT r5 #4: the cube cascade's sibling union scan must not
+    re-read tiles the pass recomputes in-group. The exclusion is folded
+    into the one broadcast membership join (a separate anti-join measured
+    +0.5 s of job constant — tools/cube_scan_probe.py), so the excluded
+    arm ships strictly fewer rows and the set difference is exactly the
+    interior changed keys."""
+    from pyramidscheme_jl_spark.streaming.ingest import (
+        _changed_keys_by_level,
+        _sibling_union_scan,
+        ingest_cube_images,
+    )
+
+    rows = _cube_rows(G=4)
+    src = tmp_path / "exsrc"
+    src.mkdir()
+    spark.createDataFrame(rows, CUBE_DDL).coalesce(2).write.parquet(str(src / "b0"))
+    path = str(tmp_path / "excube")
+    ingest_cube_images(spark, f"{src}/*", path, G=4).awaitTermination(180)
+
+    # steady batch: the t=0 top-left 2x2 base quadrant -> changed level-1
+    # key (0,0,0) is recomputed in-group and must vanish from the level-2
+    # pass's source scan
+    base_keys = [(0, tx, ty) for tx in (0, 1) for ty in (0, 1)]
+    changed = _changed_keys_by_level(base_keys, 2)
+
+    def keys(flag):
+        df = _sibling_union_scan(
+            spark, path, changed, 1, 2, True, exclude_recomputed=flag
+        )
+        return {
+            (r["lvl"], r["t"], r["tx"], r["ty"])
+            for r in df.select("lvl", "t", "tx", "ty").collect()
+        }
+
+    with_excl, without = keys(True), keys(False)
+    assert without - with_excl == {(1, 0, 0, 0)}
+    assert with_excl < without
+    # level-0 sources sit below the recompute range: never excluded
+    assert {k for k in without if k[0] == 0} == {k for k in with_excl if k[0] == 0}
