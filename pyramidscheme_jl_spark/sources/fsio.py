@@ -78,5 +78,160 @@ class LocalFS:
         shutil.rmtree(d, ignore_errors=True)
 
 
+class ArrowFS(LocalFS):
+    """``pyarrow.fs``-backed implementation — the object-store deployment
+    path, demonstrated in-sandbox against ``pyarrow.fs.LocalFileSystem``
+    (VERDICT r5 #6). Constructed from a filesystem URI so instances stay
+    picklable (the FileSystem *handle* is not; it is materialized lazily
+    per process — executor closures ship only the URI string).
+
+    Two contract differences from POSIX, both from the module docstring:
+
+    - ``publish_file`` writes ``write_fn``'s bytes to process-local scratch
+      then streams them to the final name in ONE ``open_output_stream``
+      write — the object-store PUT is the atomic publish (deterministic
+      names keep retries idempotent). No rename exists or is needed.
+    - ``swap_dir`` is a **manifest-pointer commit**: PUT a hidden marker
+      object recording the versioned source prefix and its file list (the
+      commit point — one atomic object write, exactly an Iceberg snapshot
+      pointer), then materialize it (copy objects in, delete superseded
+      ones, drop the source prefix and the marker). A crash after the
+      marker PUT is recovered by ``recover_swap`` replaying the marker —
+      the ``backup`` directory of the POSIX impl has no analog because the
+      authoritative state is the marker + source prefix, not a rename.
+      Readers during materialization may observe a mixed prefix; a real
+      catalog deployment avoids even that by pointing readers at the
+      versioned prefix itself — this seam keeps literal-path readers
+      (``spark.read.parquet``) working.
+    """
+
+    def __init__(self, uri: str = "local"):
+        self.uri = uri
+        self._cached = None
+
+    def __getstate__(self):
+        return {"uri": self.uri}
+
+    def __setstate__(self, state):
+        self.uri = state["uri"]
+        self._cached = None
+
+    def _fs(self):
+        if self._cached is None:
+            from pyarrow import fs as pafs
+
+            if self.uri == "local":
+                self._cached = pafs.LocalFileSystem()
+            else:
+                self._cached, _ = pafs.FileSystem.from_uri(self.uri)
+        return self._cached
+
+    # -- primitives -------------------------------------------------------
+    def listdir(self, d: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        infos = self._fs().get_file_info(
+            pafs.FileSelector(d, allow_not_found=True)
+        )
+        return [i.base_name for i in infos]
+
+    def _file_names(self, d: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        infos = self._fs().get_file_info(
+            pafs.FileSelector(d, allow_not_found=True)
+        )
+        return [i.base_name for i in infos if i.type == pafs.FileType.File]
+
+    def makedirs(self, d: str) -> None:
+        self._fs().create_dir(d, recursive=True)
+
+    def exists(self, p: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._fs().get_file_info(p).type != pafs.FileType.NotFound
+
+    def getsize(self, p: str) -> int:
+        return self._fs().get_file_info(p).size
+
+    def publish_file(self, d: str, fname: str, write_fn) -> None:
+        import tempfile
+
+        fd, scratch = tempfile.mkstemp(prefix=".psjl-pub-")
+        os.close(fd)
+        try:
+            write_fn(scratch)
+            with open(scratch, "rb") as src, self._fs().open_output_stream(
+                os.path.join(d, fname)
+            ) as dst:
+                shutil.copyfileobj(src, dst, length=4 * 1024 * 1024)
+        finally:
+            try:
+                os.remove(scratch)
+            except FileNotFoundError:
+                pass
+
+    def remove(self, p: str) -> None:
+        from pyarrow import fs as pafs
+
+        if self._fs().get_file_info(p).type != pafs.FileType.NotFound:
+            self._fs().delete_file(p)
+
+    def rmtree(self, d: str) -> None:
+        from pyarrow import fs as pafs
+
+        if self._fs().get_file_info(d).type != pafs.FileType.NotFound:
+            self._fs().delete_dir(d)
+
+    # -- manifest-pointer swap -------------------------------------------
+    def _marker_path(self, live: str) -> str:
+        parent, base = os.path.split(live.rstrip("/"))
+        return os.path.join(parent, f".swap-commit-{base}")
+
+    def swap_dir(self, new: str, live: str, backup: str) -> None:
+        import json
+
+        marker = self._marker_path(live)
+        files = sorted(self._file_names(new))
+        payload = json.dumps({"new": new, "live": live, "files": files})
+        with self._fs().open_output_stream(marker) as f:
+            f.write(payload.encode())  # THE commit point
+        self._materialize_swap(marker)
+
+    def recover_swap(self, live: str) -> bool:
+        """Complete a swap whose process died after the marker commit.
+        Returns True if a pending marker was found and replayed."""
+        marker = self._marker_path(live)
+        if not self.exists(marker):
+            return False
+        self._materialize_swap(marker)
+        return True
+
+    def _materialize_swap(self, marker: str) -> None:
+        """Replayable: copy committed objects into the live prefix, delete
+        superseded ones, drop the source prefix and the marker. Every step
+        is idempotent, so a crash anywhere re-runs cleanly."""
+        import json
+
+        fs = self._fs()
+        with fs.open_input_stream(marker) as f:
+            rec = json.loads(f.read().decode())
+        new, live, files = rec["new"], rec["live"], set(rec["files"])
+        self.makedirs(live)
+        for name in sorted(files):
+            src_path = os.path.join(new, name)
+            if not self.exists(src_path):
+                continue  # already copied + source prefix partially dropped
+            with fs.open_input_stream(src_path) as src, fs.open_output_stream(
+                os.path.join(live, name)
+            ) as dst:
+                shutil.copyfileobj(src, dst, length=4 * 1024 * 1024)
+        for name in self._file_names(live):
+            if name not in files:
+                fs.delete_file(os.path.join(live, name))
+        self.rmtree(new)
+        fs.delete_file(marker)
+
+
 #: module default used when no fs is passed — tests inject mocks instead
 DEFAULT_FS = LocalFS()

@@ -1,0 +1,136 @@
+"""ArrowFS: the pyarrow.fs-backed fsio implementation (VERDICT r5 #6).
+
+The seam's claim is "an object-store impl slots in by subclassing" — these
+tests demonstrate it end-to-end against ``pyarrow.fs.LocalFileSystem``:
+the full streaming ingest + ancestor patch + terminal compaction runs
+green under ArrowFS and produces values identical to the POSIX LocalFS
+path, executors receive the injected subclass (pickled by URI, hydrated
+per process), and the manifest-pointer swap recovers from a crash between
+the marker commit and its materialization.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.sources.fsio import ArrowFS, LocalFS
+from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+from pyramidscheme_jl_spark.streaming.ingest import compact_pyramid, ingest_images
+
+
+def _run_pipeline(spark, tmp_path, tag, fs):
+    """Two-batch ingest (second batch rewrites image 0 — exercises the
+    ancestor-patch publishes) + terminal compaction, all through ``fs``."""
+    from pyramidscheme_jl_spark.functions.codec import encode_tile
+    from pyramidscheme_jl_spark.sources.synth import image_row
+
+    src = tmp_path / f"src_{tag}"
+    src.mkdir()
+    spark.createDataFrame(synth_images(G=4), IMAGES_DDL).coalesce(2).write.parquet(
+        str(src / "b0")
+    )
+    path = str(tmp_path / f"pyr_{tag}")
+    ingest_images(spark, f"{src}/*", path, G=4, fs=fs).awaitTermination(180)
+    repl = dict(image_row(0, G=4))
+    repl["bytes"] = encode_tile(np.full((256, 256), 7, dtype=np.uint8))
+    spark.createDataFrame([repl], IMAGES_DDL).coalesce(1).write.parquet(str(src / "b1"))
+    ingest_images(spark, f"{src}/*", path, G=4, fs=fs).awaitTermination(180)
+    compact_pyramid(spark, path, run_id=f"c-{tag}", fs=fs)
+    return path
+
+
+def test_arrow_fs_streaming_and_compaction_matches_localfs(spark, tmp_path):
+    from pyramidscheme_jl_spark.sources.catalog import read_level
+
+    # executor-side injection proof: a subclass that drops a hidden marker
+    # next to every published object, shipped to executors by value
+    class MarkerArrowFS(ArrowFS):
+        def publish_file(self, d, fname, write_fn):
+            super().publish_file(d, fname, write_fn)
+            with self._fs().open_output_stream(
+                os.path.join(d, f".amarker-{fname}")
+            ) as f:
+                f.write(b"1")
+
+    p_arrow = _run_pipeline(spark, tmp_path, "arrow", MarkerArrowFS())
+    p_local = _run_pipeline(spark, tmp_path, "local", LocalFS())
+
+    # compaction went through the pointer swap and cleaned up after itself
+    assert not glob.glob(f"{p_arrow}/tiles/.swap-commit-*")
+    assert not glob.glob(f"{p_arrow}/tiles/_compact_tmp_z*")
+    for z in (0, 1, 2):
+        assert glob.glob(f"{p_arrow}/tiles/z={z}/part-*.parquet")
+        a = sorted(
+            (r["tx"], r["ty"], r["vmean"], r["bytes"])
+            for r in read_level(spark, p_arrow, z).collect()
+        )
+        b = sorted(
+            (r["tx"], r["ty"], r["vmean"], r["bytes"])
+            for r in read_level(spark, p_local, z).collect()
+        )
+        assert a == b, f"level {z} diverges between ArrowFS and LocalFS"
+
+
+def test_arrow_fs_publish_streams_exact_bytes(tmp_path):
+    fs = ArrowFS()
+    d = str(tmp_path / "pub")
+    fs.makedirs(d)
+    payload = os.urandom(1 << 20)
+
+    def write(tmp):
+        with open(tmp, "wb") as f:
+            f.write(payload)
+
+    fs.publish_file(d, "obj.bin", write)
+    assert open(os.path.join(d, "obj.bin"), "rb").read() == payload
+    assert fs.getsize(os.path.join(d, "obj.bin")) == len(payload)
+    # retried publish (same deterministic name) last-writer-wins, no error
+    fs.publish_file(d, "obj.bin", write)
+    assert sorted(fs.listdir(d)) == ["obj.bin"]
+
+
+def test_arrow_fs_swap_crash_recovery(tmp_path):
+    """Crash after the marker PUT but before materialization: the marker
+    IS the commit — ``recover_swap`` replays it to completion; a second
+    recover is a no-op."""
+    fs = ArrowFS()
+    live, new = str(tmp_path / "z=0"), str(tmp_path / "_tmp_z0")
+    fs.makedirs(live)
+    fs.makedirs(new)
+    open(os.path.join(live, "delta-stale.parquet"), "wb").write(b"old")
+    open(os.path.join(live, ".hidden-marker"), "wb").write(b"x")
+    open(os.path.join(new, "part-0.parquet"), "wb").write(b"A" * 128)
+    open(os.path.join(new, "part-1.parquet"), "wb").write(b"B" * 64)
+
+    class CrashFS(ArrowFS):
+        def _materialize_swap(self, marker):
+            raise RuntimeError("simulated crash after commit")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        CrashFS().swap_dir(new, live, str(tmp_path / "bak"))
+
+    marker = str(tmp_path / ".swap-commit-z=0")
+    assert os.path.exists(marker)
+    rec = json.loads(open(marker).read())
+    assert rec["files"] == ["part-0.parquet", "part-1.parquet"]
+    # pre-recovery: live still holds the stale file (no torn rename state)
+    assert os.path.exists(os.path.join(live, "delta-stale.parquet"))
+
+    assert fs.recover_swap(live) is True
+    assert sorted(os.listdir(live)) == ["part-0.parquet", "part-1.parquet"]
+    assert open(os.path.join(live, "part-0.parquet"), "rb").read() == b"A" * 128
+    assert not os.path.exists(marker) and not os.path.exists(new)
+    assert fs.recover_swap(live) is False  # nothing pending
+
+
+def test_arrow_fs_pickles_by_uri():
+    import pickle
+
+    fs = ArrowFS()
+    fs._fs()  # hydrate the unpicklable handle
+    clone = pickle.loads(pickle.dumps(fs))
+    assert clone.uri == "local" and clone._cached is None
+    assert clone.exists("/")  # rehydrates lazily
