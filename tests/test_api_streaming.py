@@ -942,3 +942,40 @@ def test_ivfpq_topk_recall_and_exact_adc(spark):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_compaction_listdir_skipped_by_driver_counter(spark, tmp_path):
+    """VERDICT r5 #7: with the per-stream file-count memo seeded, a
+    steady batch must NOT list the delta level at all (one LIST per
+    batch gone on an object store); an unseeded or threshold-crossing
+    state must fall back to the real listing."""
+    from pyramidscheme_jl_spark.sources.fsio import LocalFS
+    from pyramidscheme_jl_spark.streaming.ingest import _maybe_compact_deltas
+
+    class ExplodingFS(LocalFS):
+        def listdir(self, d):
+            raise AssertionError("listdir must be skipped")
+
+    # seeded under-threshold state: returns without touching the fs
+    state = {"files": 2}
+    _maybe_compact_deltas(
+        spark, str(tmp_path / "nope"), 0, 5, ExplodingFS(), 3, state=state
+    )
+    assert state["files"] == 2
+
+    class CountingFS(LocalFS):
+        def __init__(self):
+            self.calls = 0
+
+        def listdir(self, d):
+            self.calls += 1
+            return super().listdir(d)
+
+    # unseeded state: one real listing corrects the memo to the actual
+    # count (empty dir here) so later batches skip again
+    d = tmp_path / "pyr" / "tiles" / "z=0"
+    d.mkdir(parents=True)
+    cfs = CountingFS()
+    state = {"files": None}
+    _maybe_compact_deltas(spark, str(tmp_path / "pyr"), 0, 5, cfs, 3, state=state)
+    assert cfs.calls == 1 and state["files"] == 0
