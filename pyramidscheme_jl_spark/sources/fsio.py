@@ -24,8 +24,13 @@ module changes.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
+
+#: in-process sequence for callable-name temp files (several tasks of one
+#: python worker process never overlap, but keep temps unique regardless)
+_PUB_SEQ = itertools.count()
 
 
 class LocalFS:
@@ -47,15 +52,28 @@ class LocalFS:
     def getsize(self, p: str) -> int:
         return os.path.getsize(p)
 
-    def publish_file(self, d: str, fname: str, write_fn) -> None:
+    def publish_file(self, d: str, fname, write_fn) -> str:
         """Atomically publish ``d/fname``: ``write_fn(tmp_path)`` writes the
         bytes, then one ``os.replace`` makes them visible — readers never
         observe a torn file, retried writers last-writer-win. Object-store
         impls call ``write_fn`` against a buffer/stream and PUT directly
-        (the PUT is the atomic publish)."""
-        tmp = os.path.join(d, f".{fname}.inprogress-{os.getpid()}")
-        write_fn(tmp)
+        (the PUT is the atomic publish).
+
+        ``fname`` may be a 0-arg callable, resolved AFTER ``write_fn``
+        completes — for writers whose name carries content-derived parts
+        (e.g. the delta key bounds) that are only known once the rows have
+        streamed through. Determinism still holds: the resolved name is a
+        pure function of the task's input, so retries republish the same
+        name. Returns the final name."""
+        if callable(fname):
+            tmp = os.path.join(d, f".inprogress-{os.getpid()}-{next(_PUB_SEQ)}")
+            write_fn(tmp)
+            fname = fname()
+        else:
+            tmp = os.path.join(d, f".{fname}.inprogress-{os.getpid()}")
+            write_fn(tmp)
         os.replace(tmp, os.path.join(d, fname))
+        return fname
 
     def swap_dir(self, new: str, live: str, backup: str) -> None:
         """Swap ``new`` into ``live``'s place keeping ``backup`` until the
@@ -154,13 +172,15 @@ class ArrowFS(LocalFS):
     def getsize(self, p: str) -> int:
         return self._fs().get_file_info(p).size
 
-    def publish_file(self, d: str, fname: str, write_fn) -> None:
+    def publish_file(self, d: str, fname, write_fn) -> str:
         import tempfile
 
         fd, scratch = tempfile.mkstemp(prefix=".psjl-pub-")
         os.close(fd)
         try:
             write_fn(scratch)
+            if callable(fname):  # content-derived name (see LocalFS)
+                fname = fname()
             with open(scratch, "rb") as src, self._fs().open_output_stream(
                 os.path.join(d, fname)
             ) as dst:
@@ -170,6 +190,7 @@ class ArrowFS(LocalFS):
                 os.remove(scratch)
             except FileNotFoundError:
                 pass
+        return fname
 
     def remove(self, p: str) -> None:
         from pyarrow import fs as pafs

@@ -74,6 +74,7 @@ Scale shape (per micro-batch, O(batch) work and O(1) Spark jobs):
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -198,10 +199,26 @@ def _write_tiles_filewise(rows: list[dict], path: str, z: int, with_t: bool = Fa
         _write_one_tile(d, r, _tile_fname(r, with_t), with_t=with_t)
 
 
-def _delta_fname(ordinal: int, pid: int) -> str:
+def _delta_fname(
+    ordinal: int, pid: int, bounds=None, merged: bool = False
+) -> str:
     """Deterministic per-(batch, task-partition) delta filename — batch
-    ordinal first so lexical order == commit order."""
-    return f"delta-b{int(ordinal):08d}-p{int(pid):05d}.parquet"
+    ordinal first so lexical order == commit order. ``bounds`` =
+    ``(txmin, txmax, tymin, tymax)`` rides in the NAME so the driver
+    tail (and any object-store reader) can prune whole files without a
+    footer GET — the delta analog of the filewise ``tile-<tx>-<ty>``
+    contract. Deterministic: the bounds are a pure function of the
+    task's rows, so retries republish the same name."""
+    tag = "m" if merged else "p"
+    stem = f"delta-b{int(ordinal):08d}-{tag}{int(pid):05d}"
+    if bounds is not None:
+        x0, x1, y0, y1 = (int(v) for v in bounds)
+        stem += f"-x{x0}-{x1}-y{y0}-{y1}"
+    return stem + ".parquet"
+
+
+#: bounds-bearing delta name (older bound-less names read unpruned)
+_DELTA_BOUNDED = re.compile(r"^delta-.*-x(\d+)-(\d+)-y(\d+)-(\d+)\.parquet$")
 
 
 def _tile_table(pdf: pd.DataFrame, with_t: bool, ordinal: int):
@@ -290,7 +307,14 @@ def _write_tiles_distributed(
                 writer.close()
 
             pid = TaskContext.get().partitionId()
-            fs.publish_file(d, _delta_fname(ordinal, pid), write)
+
+            def fname():  # resolved post-write: bounds from the seen keys
+                tx = pd.concat([k["tx"] for k in keys])
+                ty = pd.concat([k["ty"] for k in keys])
+                bounds = (tx.min(), tx.max(), ty.min(), ty.max())
+                return _delta_fname(ordinal, pid, bounds)
+
+            fs.publish_file(d, fname, write)
             for kdf in keys:
                 yield kdf.assign(_pid=pid)
 
@@ -638,15 +662,19 @@ def _read_sibling_rows_local(
     ``lvl`` and ``_ord`` columns match ``_sibling_union_scan``'s shape.
     Filewise ``tile-<tx>-<ty>`` files (all ancestor levels) are pruned by
     NAME — only the needed sibling files are ever opened; base-level
-    delta files carry no coordinates in their names, so a z_lo=1 tail
-    reads whatever the level dir holds (bounded by ``compact_pyramid``'s
-    maintenance contract)."""
-    import re
+    delta files carry the task's key BOUNDS in their names
+    (``-x<min>-<max>-y<min>-<max>``), so a z_lo=1 tail skips whole delta
+    files without a footer open (bound-less legacy names fall back to
+    the filtered read; ``compact_pyramid`` remains the hard bound on the
+    level's file count). File reads run in a small thread pool — pyarrow
+    drops the GIL during IO/decompress and the sequential loop was ~1 s
+    of the steady small-batch floor (round-6 profile)."""
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
     tile_named = re.compile(r"tile-(\d+)-(\d+)\.parquet$")
-    frames = []
+    work = []  # (z-1, d, fname, txs, tys, packed)
     for z in range(z_lo, z_hi + 1):
         parents = sorted(changed[z])
         if not parents:
@@ -667,22 +695,39 @@ def _read_sibling_rows_local(
                     continue
                 if (((ftx >> 1) << 32) | (fty >> 1)) not in packed_set:
                     continue
-            tab = pq.read_table(
-                os.path.join(d, fname),
-                filters=[("tx", "in", txs), ("ty", "in", tys)],
-            )
-            if tab.num_rows == 0:
-                continue
-            pdf = tab.to_pandas()
-            pair = ((pdf["tx"].values >> 1).astype(np.int64) << 32) | (
-                pdf["ty"].values >> 1
-            )
-            pdf = pdf[np.isin(pair, packed)]
-            if not len(pdf):
-                continue
-            if "_ord" not in pdf.columns:
-                pdf = pdf.assign(_ord=np.nan)
-            frames.append(pdf.assign(lvl=z - 1))
+            else:
+                mb = _DELTA_BOUNDED.match(fname)
+                if mb:
+                    x0, x1, y0, y1 = (int(v) for v in mb.groups())
+                    if not any(x0 <= t <= x1 for t in txset) or not any(
+                        y0 <= t <= y1 for t in tyset
+                    ):
+                        continue
+            work.append((z - 1, d, fname, txs, tys, packed))
+
+    def read_one(item):
+        lvl, d, fname, txs, tys, packed = item
+        tab = pq.read_table(
+            os.path.join(d, fname),
+            filters=[("tx", "in", txs), ("ty", "in", tys)],
+        )
+        if tab.num_rows == 0:
+            return None
+        pdf = tab.to_pandas()
+        pair = ((pdf["tx"].values >> 1).astype(np.int64) << 32) | (
+            pdf["ty"].values >> 1
+        )
+        pdf = pdf[np.isin(pair, packed)]
+        if not len(pdf):
+            return None
+        if "_ord" not in pdf.columns:
+            pdf = pdf.assign(_ord=np.nan)
+        return pdf.assign(lvl=lvl)
+
+    frames = []
+    if work:
+        with ThreadPoolExecutor(max_workers=min(8, len(work))) as ex:
+            frames = [f for f in ex.map(read_one, work) if f is not None]
     if not frames:
         return pd.DataFrame(
             columns=["lvl", *[f.name for f in TILE_SCHEMA.fields if f.name != "z"], "_ord"]
@@ -711,9 +756,25 @@ def _sibling_union_scan(
     dwarf the uint8 base). Only unchanged boundary siblings survive.
     ``exclude_recomputed=False`` disables that exclusion — the A/B handle
     for ``tools/cube_scan_probe.py``, never used in production."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # building each level's source is dominated by the JVM file listing
+    # (a filewise ancestor level holds one file per tile); the listings
+    # are independent, so run them concurrently — ~0.5 s/batch of serial
+    # driver time at G=128 (round-6 profile)
+    zs = list(range(z_lo, z_hi + 1))
+    with ThreadPoolExecutor(max_workers=len(zs)) as ex:
+        lvls = dict(
+            zip(
+                zs,
+                ex.map(
+                    lambda z: _read_level_or_empty(spark, path, z - 1, with_t), zs
+                ),
+            )
+        )
     scans = []
-    for z in range(z_lo, z_hi + 1):
-        lvl = _read_level_or_empty(spark, path, z - 1, with_t)
+    for z in zs:
+        lvl = lvls[z]
         excl = None
         if exclude_recomputed and z_lo <= z - 1 <= z_hi - 1 and changed[z - 1]:
             if with_t:
@@ -923,6 +984,8 @@ def _maybe_compact_deltas(
             return
         from itertools import chain
 
+        bounds = []  # per-chunk (txmin, txmax, tymin, tymax)
+
         def write(tmp):
             writer = None
             for pdf in chain([first], it):
@@ -932,10 +995,23 @@ def _maybe_compact_deltas(
                 if writer is None:
                     writer = pq.ParquetWriter(tmp, tab.schema, compression="zstd")
                 writer.write_table(tab)
+                bounds.append(
+                    (pdf["tx"].min(), pdf["tx"].max(), pdf["ty"].min(), pdf["ty"].max())
+                )
             writer.close()
 
         pid = TaskContext.get().partitionId()
-        fs.publish_file(d, f"delta-b{int(ordinal):08d}-m{pid:05d}.parquet", write)
+
+        def fname():
+            b = (
+                min(x0 for x0, _, _, _ in bounds),
+                max(x1 for _, x1, _, _ in bounds),
+                min(y0 for _, _, y0, _ in bounds),
+                max(y1 for _, _, _, y1 in bounds),
+            )
+            return _delta_fname(ordinal, pid, b, merged=True)
+
+        fs.publish_file(d, fname, write)
         yield pd.DataFrame({"n": [len(first)]})
 
     merged.mapInPandas(write_partition, "n long").write.format("noop").mode(

@@ -658,8 +658,11 @@ def test_fs_seam_injection(spark, tmp_path):
     # defined INSIDE the test so cloudpickle ships it by value to executors
     class MarkerFS(LocalFS):
         def publish_file(self, d, fname, write_fn):
-            super().publish_file(d, fname, write_fn)
-            open(os.path.join(d, f".marker-{fname}"), "w").close()
+            # fname may be a callable (content-derived names); the base
+            # impl resolves it and returns the final name
+            final = super().publish_file(d, fname, write_fn)
+            open(os.path.join(d, f".marker-{final}"), "w").close()
+            return final
 
     src = tmp_path / "src"
     src.mkdir()
@@ -979,3 +982,56 @@ def test_compaction_listdir_skipped_by_driver_counter(spark, tmp_path):
     state = {"files": None}
     _maybe_compact_deltas(spark, str(tmp_path / "pyr"), 0, 5, cfs, 3, state=state)
     assert cfs.calls == 1 and state["files"] == 0
+
+
+def test_delta_name_bounds_prune_driver_tail(spark, tmp_path):
+    """Round 6: delta filenames carry the task's key bounds
+    (-x<min>-<max>-y<min>-<max>) so the driver tail skips whole files
+    without a footer open. Proven adversarially: a GARBAGE parquet file
+    whose name-bounds don't intersect the needed siblings must be
+    skipped (opening it would raise); bound-less legacy names still
+    read; and real ingested files all carry bounds."""
+    import glob
+    import os
+
+    from pyramidscheme_jl_spark.sources.catalog import level_path
+    from pyramidscheme_jl_spark.streaming.ingest import (
+        _DELTA_BOUNDED,
+        _read_sibling_rows_local,
+        ingest_images,
+    )
+    from pyramidscheme_jl_spark.sources.fsio import LocalFS
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(synth_images(G=4), IMAGES_DDL).coalesce(2).write.parquet(
+        str(src / "b0")
+    )
+    q_path = str(tmp_path / "pyr")
+    ingest_images(spark, f"{src}/*", q_path, G=4).awaitTermination(120)
+    deltas = [
+        os.path.basename(f)
+        for f in glob.glob(f"{level_path(q_path, 0)}/delta-*.parquet")
+    ]
+    assert deltas and all(_DELTA_BOUNDED.match(f) for f in deltas), deltas
+
+    # garbage file, bounds far outside the 4x4 grid: pruned by name, so
+    # the read below cannot crash on it
+    bad = os.path.join(level_path(q_path, 0), "delta-b00000099-p00099-x500-600-y500-600.parquet")
+    with open(bad, "w") as f:
+        f.write("not parquet at all")
+
+    changed = {1: {(0, 0)}, 2: set()}
+    pdf = _read_sibling_rows_local(q_path, changed, 1, 1, LocalFS())
+    got = {(r.tx, r.ty) for r in pdf.itertuples()}
+    assert got == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    # a bound-less legacy name IS opened — rename the garbage file to the
+    # legacy pattern and the same read must now fail on it
+    legacy = os.path.join(level_path(q_path, 0), "delta-b00000099-p00099.parquet")
+    os.rename(bad, legacy)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _read_sibling_rows_local(q_path, changed, 1, 1, LocalFS())
+    os.remove(legacy)

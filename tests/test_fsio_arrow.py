@@ -49,11 +49,14 @@ def test_arrow_fs_streaming_and_compaction_matches_localfs(spark, tmp_path):
     # next to every published object, shipped to executors by value
     class MarkerArrowFS(ArrowFS):
         def publish_file(self, d, fname, write_fn):
-            super().publish_file(d, fname, write_fn)
+            # fname may be a callable (content-derived names); the base
+            # impl resolves it and returns the final name
+            final = super().publish_file(d, fname, write_fn)
             with self._fs().open_output_stream(
-                os.path.join(d, f".amarker-{fname}")
+                os.path.join(d, f".amarker-{final}")
             ) as f:
                 f.write(b"1")
+            return final
 
     p_arrow = _run_pipeline(spark, tmp_path, "arrow", MarkerArrowFS())
     p_local = _run_pipeline(spark, tmp_path, "local", LocalFS())
