@@ -91,6 +91,15 @@ def main() -> None:
             "NOTE: one Exchange on the by-key + Window sort — the sort-merge-"
             "join physical shape; no python stage, no range-bucket explosion."
         ),
+        "embedding_ivfpq_topk": (
+            "NOTE: the composed 10^12-vector shape (VERDICT r5 #1): ONE "
+            "ArrowEvalPython emits (list_id, residual codes) for the whole "
+            "corpus, the probed-list equi-join bounds candidates on the "
+            "nlist key space, and the per-(query, list) LUT ADC sum is JVM "
+            "zip_with/aggregate over the codes column only — compression "
+            "AND pruning, multiplicative; rerank joins the tiny candidate "
+            "set back against id+vector."
+        ),
         "embedding_ivf_topk": (
             "NOTE: the ArrowEvalPython on the corpus side is the assign "
             "matmul — the MEASURED round-5 winner over the unrolled-codegen "
@@ -109,6 +118,7 @@ def main() -> None:
         "block_agg_median",
         "embedding_ivf_topk",
         "embedding_pq_topk",
+        "embedding_ivfpq_topk",
         "events_asof_click",
         "bpe_tokens",
     ):
