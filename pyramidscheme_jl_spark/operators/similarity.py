@@ -597,6 +597,17 @@ def _ivfpq_encode_udf(qcent: np.ndarray, qbooks: np.ndarray):
     return enc
 
 
+def auto_rerank(n_rows: int, nlist: int, k: int) -> int:
+    """The measured refinement rule from BENCH/ANN_RECALL.md: ADC cannot
+    rank within a quantization cell (tightly clustered vectors share codes
+    and tie), so at 200k rows a rerank budget scaled to k collapsed recall
+    to 0.35-0.45 while rerank >= cell occupancy restored 1.0 at ~2% extra
+    wall. The budget must therefore cover the EXPECTED OCCUPANCY of one
+    probed list (ceil(N / nlist)) — it scales with the corpus, not with k.
+    The 4k floor keeps tiny corpora from degenerating to rerank < k."""
+    return max(4 * int(k), -(-int(n_rows) // int(nlist)))
+
+
 def ivfpq_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -609,7 +620,7 @@ def ivfpq_topk(
     train_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank: int | None = None,
+    rerank: int | str | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ ANN top-k — the actual 10^12-vector architecture
     (VERDICT r5 #1): PQ codes stored per IVF list, ADC scans ONLY the
@@ -631,7 +642,16 @@ def ivfpq_topk(
     twin reproduces every rank bit-for-bit. ``rerank=R`` refines the ADC
     top-R per query with exact distances (the deployment-shape id-indexed
     fetch), pinned recall >= 0.9 in tests. Ties break (score, n_id).
+
+    ``rerank="auto"`` applies the measured occupancy rule (``auto_rerank``:
+    R = max(4k, ceil(N/nlist)), one count job — at deployment N is catalog
+    metadata). ``pq_topk`` has no list structure to estimate occupancy
+    from, so there the caller sizes R per ANN_RECALL.md's guidance.
     """
+    if rerank == "auto":
+        rerank = auto_rerank(data.count(), nlist, k)
+    elif isinstance(rerank, str):
+        raise ValueError(f"rerank must be an int, None, or 'auto'; got {rerank!r}")
     sample = (
         data.orderBy(id_col).limit(train_size).select(vec_col).toPandas()[vec_col].tolist()
     )

@@ -946,6 +946,27 @@ def test_ivfpq_topk_recall_and_exact_adc(spark):
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
 
+    # rerank="auto" encodes the ANN_RECALL occupancy rule: R = max(4k,
+    # ceil(N/nlist)) — here max(20, ceil(200/4)) = 50 — and must produce
+    # rows identical to passing that R explicitly.
+    from pyramidscheme_jl_spark.operators.similarity import auto_rerank
+
+    assert auto_rerank(200, nlist, k) == 50
+    assert auto_rerank(200_000, 64, 10) == 3125  # the measured 200k regime
+    assert auto_rerank(10, 64, 10) == 40  # tiny corpus: the 4k floor
+    auto = ivfpq_topk(
+        df, queries, k=k, nlist=nlist, nprobe=nprobe, m=m, ksub=ksub,
+        seed=seed, train_size=200, rerank="auto",
+    ).collect()
+    explicit = ivfpq_topk(
+        df, queries, k=k, nlist=nlist, nprobe=nprobe, m=m, ksub=ksub,
+        seed=seed, train_size=200, rerank=50,
+    ).collect()
+    srt = lambda rs: sorted((r["query_id"], r["rank"], r["n_id"], r["d2"]) for r in rs)
+    assert srt(auto) == srt(explicit)
+    with pytest.raises(ValueError, match="auto"):
+        ivfpq_topk(df, queries, k=k, nlist=nlist, rerank="bogus")
+
 
 def test_compaction_listdir_skipped_by_driver_counter(spark, tmp_path):
     """VERDICT r5 #7: with the per-stream file-count memo seeded, a
