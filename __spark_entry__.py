@@ -392,6 +392,17 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash(docs, bits=16)
 
 
+def q_hamming_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming<=3 near-dup pairs on a 60-bit SimHash fingerprint via the
+    pigeonhole band join (dedup.hamming_near_dup) — the operator that
+    consumes a 64-bit image phash (BASELINE input_hint) or any BIGINT
+    fingerprint. 60 bits = the full usable width of the portable token
+    hash; dist <= 3 is selective (2.9k pairs of 125k possible at sf0.01)."""
+    docs = _t(spark, sf, "documents")
+    s = D.simhash(docs, bits=60).withColumnRenamed("simhash", "fp")
+    return D.hamming_near_dup(s, fp_col="fp", id_col="id", r=3, bits=60)
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     s = TX.quality_score(_t(spark, sf, "documents"))
     return s.select(
@@ -743,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "hamming_near_dup": q_hamming_near_dup,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -1174,6 +1186,29 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               GROUP BY id, b)
             SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY id
+        """,
+        # hamming_near_dup: same sig construction at 60 bits, then the
+        # EXACT pair predicate (DuckDB can afford the 125k-pair quadratic at
+        # oracle scale; the engine side is the banded join — same rows)
+        "hamming_near_dup": """
+            WITH ts AS (
+              SELECT DISTINCT doc_id AS id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents)),
+            hashed AS (
+              SELECT id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM ts),
+            votes AS (
+              SELECT id, b,
+                     SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b)
+              GROUP BY id, b),
+            sig AS (
+              SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+              FROM votes GROUP BY id)
+            SELECT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
         "text_quality": """
             WITH s AS (

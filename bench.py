@@ -65,6 +65,7 @@ EXTRA = [
     "events_topk",
     "union_cat",
     "cosine_near_dup",
+    "hamming_near_dup",
 ]
 
 # streamed-stats rows build a memoized /dev/shm fixture on first call; one

@@ -247,3 +247,81 @@ def simhash_dup_pairs(
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b_fp"))).alias("dist"),
         )
     )
+
+
+def hamming_near_dup(
+    df: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "id",
+    r: int = 3,
+    bits: int = 64,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= ``r`` on an integer fingerprint
+    column — the operator that consumes a 64-bit image ``phash`` (the
+    BASELINE input_hint column) or any SimHash/fingerprint BIGINT.
+
+    Pigeonhole band join: split the ``bits`` fingerprint bits into
+    ``bands`` (default ``r + 1``) contiguous segments — two fingerprints
+    within hamming distance ``r`` differ in at most ``r`` segments, so they
+    AGREE exactly on at least one. Candidate pairs come from an equi-join on
+    ``(band_index, segment_value)`` (never a scan product: the fan-out is a
+    fixed ``bands``x row explosion each side), deduped per pair, then the
+    exact ``bit_count(a XOR b) <= r`` filter — all JVM expressions.
+
+    At 10^12 rows the join key space is bounded (band x 2^seg_bits) and the
+    only skew risk is a mass-duplicated fingerprint value; run
+    ``exact_dedup``-style grouping on ``fp_col`` first (join distinct
+    fingerprints, expand groups after) when a corpus is known to carry
+    byte-identical images, or wrap the join input in
+    ``joins.salted_repartition``.
+
+    Sign-safe for full 64-bit fingerprints stored in a signed BIGINT:
+    segments are extracted with ``shiftright + mask`` (the mask clears the
+    arithmetic-shift sign fill) and ``bit_count``/``XOR`` operate on the
+    two's-complement pattern identically in any engine.
+    """
+    if r < 0:
+        raise ValueError(f"hamming radius must be >= 0, got {r}")
+    b = bands if bands is not None else r + 1
+    if b < r + 1:
+        raise ValueError(
+            f"bands={b} cannot guarantee recall at r={r}: a pair may differ "
+            f"in every band (pigeonhole needs bands >= r + 1)"
+        )
+    if b > bits:
+        raise ValueError(f"bands={b} exceeds fingerprint bits={bits}")
+    # segment bit ranges, widths as even as possible (low bits first)
+    widths = [bits // b + (1 if i < bits % b else 0) for i in range(b)]
+    los = [sum(widths[:i]) for i in range(b)]
+    segs = F.array(
+        *[
+            F.shiftright(F.col(fp_col), lo).bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+            for lo, w in zip(los, widths)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).cast("long").alias("fp"),
+        F.posexplode(segs).alias("band", "seg"),
+    )
+    a, bb = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        # a pair agreeing on several bands matches once per band
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.withColumn(
+        "dist", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    ).where(F.col("dist") <= r)

@@ -320,6 +320,99 @@ def test_simhash_hamming_widening(spark):
     assert got0 == {t for t in want if t[2] == 0}
 
 
+def test_hamming_near_dup_matches_brute_force(spark):
+    """Pigeonhole band join returns EXACTLY the hamming<=r pairs — including
+    fingerprints with bit 63 set (negative BIGINT: the mask must clear the
+    arithmetic-shift sign fill) and pairs agreeing on several bands (the
+    per-pair dedup)."""
+    from pyramidscheme_jl_spark.operators.dedup import hamming_near_dup
+
+    def s64(v: int) -> int:  # wrap a python int into two's-complement int64
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = (1 << 63) - 12345  # bit 62..0 pattern
+    neg = -(1 << 63) + 77     # bit 63 set
+    fps = [
+        ("a", base),
+        ("b", s64(base ^ (1 << 5))),                 # dist 1 from a
+        ("c", s64(base ^ (1 << 5) ^ (1 << 40))),     # dist 2 from a, 1 from b
+        ("d", neg),
+        ("e", s64(neg ^ (1 << 63) ^ (1 << 0) ^ (1 << 62))),  # dist 3 from d
+        ("f", s64(base ^ 0xFF)),                     # dist 8 from a — excluded at r=3
+        ("g", base),                                 # dist 0 dup of a
+    ]
+    df = spark.createDataFrame(fps, "id string, fp long")
+    want = {
+        (x, y, bin((fx ^ fy) & ((1 << 64) - 1)).count("1"))
+        for i, (x, fx) in enumerate(fps)
+        for (y, fy) in fps[i + 1 :]
+        if bin((fx ^ fy) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in hamming_near_dup(df, r=3, bits=64).collect()
+    }
+    assert got == want and ("a", "g", 0) in want and ("d", "e", 3) in want
+    # wider bands than the minimum still exact (more, smaller segments)
+    got8 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in hamming_near_dup(df, r=3, bits=64, bands=8).collect()
+    }
+    assert got8 == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dup(df, r=3, bands=3)
+    with _pytest.raises(ValueError, match="exceeds"):
+        hamming_near_dup(df, r=3, bits=8, bands=9)
+
+
+def test_hamming_near_dup_on_real_phash(spark):
+    """The input_hint consumer path: 64-bit image phashes of the synthetic
+    mosaic, plus perturbed variants whose phash drifts a few bits — the
+    operator finds exactly the pairs the numpy brute force predicts."""
+    import numpy as np
+
+    from pyramidscheme_jl_spark.operators.dedup import hamming_near_dup
+    from pyramidscheme_jl_spark.sources.synth import phash64
+
+    # 16 structurally distinct images (the mosaic fixture is a brightness
+    # shift of ONE pattern — every phash identical — so this test uses
+    # varied gradients; verified min cross-pattern distance 18)
+    def patt(i):
+        x = np.arange(64, dtype=np.int64)[None, :]
+        y = np.arange(64, dtype=np.int64)[:, None]
+        return (((i * 3 + 1) * x + (i * 5 + 2) * y + (x * y if i % 2 else x ^ y)) % 256).astype(
+            np.uint8
+        )
+
+    rows = []
+    for i in range(16):
+        img = patt(i)
+        rows.append((f"img-{i:03d}", phash64(img)))
+        if i < 3:  # brighten (i+1)^2 blocks: dist 0 / 2 / >6 (measured)
+            pert = img.astype(np.int64)
+            pert[: 8 * (i + 1), : 8 * (i + 1)] += 60
+            rows.append((f"img-{i:03d}-v2", phash64(np.clip(pert, 0, 255).astype(np.uint8))))
+    want = {
+        (x, y, bin((fx ^ fy) & ((1 << 64) - 1)).count("1"))
+        for i, (x, fx) in enumerate(rows)
+        for (y, fy) in rows[i + 1 :]
+        if bin((fx ^ fy) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    # an exact-dup pair, a genuine near-dup pair, and a perturbed-past-r exclusion
+    assert ("img-001", "img-001-v2", 2) in want
+    assert not any("img-002-v2" in (a, b) for a, b, _ in want)
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in hamming_near_dup(df, fp_col="phash", id_col="image_id", r=6).collect()
+    }
+    assert got == want
+
+
 def test_similarity_module_spark(spark):
     from pyramidscheme_jl_spark.operators.similarity import (
         brute_force_topk,
