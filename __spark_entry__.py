@@ -675,6 +675,96 @@ def _ensure_streamed_cube(spark: SparkSession) -> str:
     return path
 
 
+# CCW, strictly convex, integer vertices, and EVERY edge has dx+dy odd —
+# so the doubled pixel-center cross product 2c = dx*(2py+1-2y1) - dy*(2px+1-2x1)
+# is always ODD, hence never zero: no pixel center can lie on an edge and the
+# engine's even-odd ray cast agrees with the oracle's strict half-plane test
+# on every pixel (alternating (x+y) vertex parity forces even ring sizes)
+_ZONAL_RING_P1 = [(60, 40), (251, 62), (470, 92), (461, 300), (200, 480), (41, 300)]
+_ZONAL_RING_P2 = [(30, 30), (100, 45), (56, 110), (31, 80)]
+_ZONAL_RING_P3 = [(300, 20), (501, 60), (480, 200), (320, 161)]
+_ZONAL_POLYS = [
+    {"polygon_id": "p1", "ring": [[float(x), float(y)] for x, y in _ZONAL_RING_P1]},
+    {"polygon_id": "p2", "ring": [[float(x), float(y)] for x, y in _ZONAL_RING_P2]},
+    {"polygon_id": "p3", "ring": [[float(x), float(y)] for x, y in _ZONAL_RING_P3]},
+]
+
+
+def _ensure_zonal_pyramid(spark: SparkSession) -> str:
+    """Memoized built-pyramid fixture for the raster-zonal oracle: the G=4
+    mosaic at 128px (512x512 base, 4x4 tiles of 128) — deterministic
+    closed-form pixels, so DuckDB recomputes every zonal aggregate from
+    the pixel formula + integer half-plane tests."""
+    root = "/dev/shm/psjl_zonal_oracle_v1"  # own root: the streamed-fixture
+    # builder rmtree's _STREAMED_ORACLE_DIR wholesale on rebuild
+    path = f"{root}/pyr"
+    done = f"{root}/_done"
+    if os.path.exists(done):
+        return path
+    from pyramidscheme_jl_spark.operators.build import build_pyramid
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    images = spark.createDataFrame(synth_images(G=4, size=128), IMAGES_DDL)
+    build_pyramid(spark, images, path, G=4, reducer="mean", tilesize=128, run_id="zonal-oracle")
+    open(done, "w").close()
+    return path
+
+
+def _zonal_halfplane_sql(ring: list[tuple[int, int]]) -> str:
+    """Strict-interior test for a CCW CONVEX integer-vertex polygon at the
+    pixel center (px+0.5, py+0.5), scaled by 2 so every term is an exact
+    integer: AND over edges of cross((v2-v1), (c-v1)) > 0. The paired
+    pytest asserts no pixel center lies ON an edge, so strict > matches
+    the engine's even-odd ray cast exactly."""
+    n = len(ring)
+    for i in range(n):  # convexity guard: oracle semantics require it
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        x3, y3 = ring[(i + 2) % n]
+        if (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1) <= 0:
+            raise ValueError(f"ring not strictly convex CCW at vertex {i}")
+        if ((x2 - x1) + (y2 - y1)) % 2 == 0:
+            raise ValueError(
+                f"edge {i} has even dx+dy: a pixel center could lie ON it, "
+                "making the strict half-plane oracle diverge from ray cast"
+            )
+    conds = []
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        conds.append(
+            f"(({2 * (x2 - x1)})*(2*py+1 - {2 * y1})"
+            f" - ({2 * (y2 - y1)})*(2*px+1 - {2 * x1}) > 0)"
+        )
+    return " AND ".join(conds)
+
+
+def q_zonal_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster zonal statistics over a BUILT pyramid (joins.zonal_raster):
+    per-polygon pixel aggregates with the three-tier filter+refine plan —
+    pushed cell-range scan, stats-only interior tiles (no bytes read),
+    decoded boundary shell. Oracle: DuckDB recomputes from the closed-form
+    mosaic pixels + exact integer half-plane tests. Fixed-size by design
+    (the subsystem under test is the tile-pruning plan); ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import zonal_raster
+
+    path = _ensure_zonal_pyramid(spark)
+    res = zonal_raster(spark, path, _ZONAL_POLYS, z=0)
+    return res.select(
+        "polygon_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+        F.expr("CAST(sum_px AS BIGINT) * 1000 DIV n_px").alias("mean_milli"),
+    )
+
+
 def q_streamed_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
     """ST5 oracle row (round 5): per-tile stats of a STREAMED (x, y, t)
     cube — two slices, a rewrite in the second micro-batch, compacted —
@@ -770,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
         "union_cat": q_union_cat,
         "events_topk": q_events_topk,
+        "zonal_raster": q_zonal_raster,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "streamed_cube_stats": q_streamed_cube_stats,
         "cosine_near_dup": q_cosine_near_dup,
@@ -956,6 +1047,14 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             file=sys.stderr,
         )
         ipq_cent, ipq_cb, ipq_dsub = None, None, 0
+    zr_union = " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, v FROM pix WHERE {_zonal_halfplane_sql(ring)}"
+        for pid, ring in (
+            ("p1", _ZONAL_RING_P1),
+            ("p2", _ZONAL_RING_P2),
+            ("p3", _ZONAL_RING_P3),
+        )
+    )
     mh_aggs, _ = _minhash_sql_parts(8)
     band_cols = " , ".join(
         f"(SELECT id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bkey FROM sig)"
@@ -1266,6 +1365,26 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # by 7s in micro-batch 1). Level-z pixels are means of 2^z x 2^z
         # base blocks — exact dyadic rationals in both engines, quantized
         # at 2^20 for the hash.
+        # raster zonal over the BUILT pyramid fixture: DuckDB regenerates
+        # the 512x512 mosaic pixels closed-form and tests each pixel CENTER
+        # (2px+1, 2py+1 vs doubled integer vertices — exact int math)
+        # against the convex rings; the engine side reads tiles.
+        "zonal_raster": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS v
+                   FROM xs CROSS JOIN ys),
+                 hits AS ({zr_union})
+            SELECT polygon_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MIN(v) AS BIGINT) AS min_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px,
+                   CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+            FROM hits GROUP BY polygon_id
+        """,
         "streamed_pyramid_stats": """
             WITH px AS (
               SELECT gx*256 + x AS ax, gy*256 + y AS ay,

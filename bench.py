@@ -68,9 +68,10 @@ EXTRA = [
     "hamming_near_dup",
 ]
 
-# streamed-stats rows build a memoized /dev/shm fixture on first call; one
-# untimed call absorbs fixture creation, the timed call measures the query
-STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats"]
+# fixture-building rows (streamed pyramids / the zonal built pyramid)
+# memoize a /dev/shm dataset on first call; one untimed call absorbs
+# fixture creation, the timed call measures the query
+STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats", "zonal_raster"]
 
 #: auto-rep threshold (VERDICT r5 #1): any query slower than 1.5x its
 #: previous-round number re-runs once and records both reps — drift like

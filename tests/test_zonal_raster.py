@@ -1,0 +1,132 @@
+"""Raster zonal statistics (joins.zonal_raster): per-polygon PIXEL
+aggregates over a built pyramid level — filter+refine at tile granularity
+(pushed cell-range scan, stats-only interior tiles, decoded boundary
+shell). Brute-force oracle: numpy ray-cast over the closed-form mosaic.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyramidscheme_jl_spark.functions.cells import points_in_polygon
+from pyramidscheme_jl_spark.operators.build import build_pyramid
+from pyramidscheme_jl_spark.operators.joins import zonal_raster
+from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, image_pixels, synth_images
+
+G, SIZE = 4, 64  # 256x256 base, 4x4 tiles of 64
+
+
+@pytest.fixture(scope="module")
+def pyr_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zonal") / "pyr")
+    images = spark.createDataFrame(synth_images(G=G, size=SIZE), IMAGES_DDL)
+    build_pyramid(spark, images, path, G=G, reducer="mean", tilesize=SIZE, run_id="t")
+    return path
+
+
+def _base() -> np.ndarray:
+    b = np.zeros((G * SIZE, G * SIZE), dtype=np.float64)
+    for gy in range(G):
+        for gx in range(G):
+            b[gy * SIZE : (gy + 1) * SIZE, gx * SIZE : (gx + 1) * SIZE] = image_pixels(
+                gx, gy, SIZE
+            )
+    return b
+
+
+def _brute(plane: np.ndarray, ring, scale: float) -> dict:
+    """Aggregates of plane pixels whose CENTERS (world px) fall in ring;
+    a level-z pixel spans ``scale`` base px."""
+    h, w = plane.shape
+    cx = (np.arange(w) + 0.5) * scale
+    cy = (np.arange(h) + 0.5) * scale
+    gx, gy = np.meshgrid(cx, cy)
+    m = points_in_polygon(gx.ravel(), gy.ravel(), np.asarray(ring, dtype=np.float64))
+    v = plane.ravel()[m]
+    return {"n": int(m.sum()), "s": float(v.sum()), "mn": float(v.min()), "mx": float(v.max())}
+
+
+# a CONCAVE simple polygon (arrow head) — the operator is not convex-only —
+# plus a small convex quad inside one tile and one with full interior tiles
+RINGS = {
+    "arrow": [(20.0, 30.0), (200.0, 40.0), (120.0, 90.0), (210.0, 200.0), (30.0, 170.0)],
+    "quad": [(10.0, 10.0), (50.0, 14.0), (46.0, 52.0), (12.0, 44.0)],
+    "big": [(30.0, 20.0), (235.0, 46.0), (230.0, 150.0), (100.0, 240.0), (20.0, 150.0)],
+}
+
+
+def _polys():
+    return [{"polygon_id": k, "ring": [list(v) for v in r]} for k, r in RINGS.items()]
+
+
+def test_zonal_raster_base_level_matches_brute_force(spark, pyr_path):
+    got = {r["polygon_id"]: r for r in zonal_raster(spark, pyr_path, _polys(), z=0).collect()}
+    base = _base()
+    for pid, ring in RINGS.items():
+        want = _brute(base, ring, 1.0)
+        g = got[pid]
+        # integer-valued pixel sums are exact in float64 regardless of
+        # addition order — equality is exact, not approximate
+        assert (g["n_px"], g["sum_px"], g["min_px"], g["max_px"]) == (
+            want["n"], want["s"], want["mn"], want["mx"],
+        ), pid
+        assert g["mean_px"] == want["s"] / want["n"]
+
+
+def test_zonal_raster_level1_float_tiles(spark, pyr_path):
+    """z=1 tiles are float64 means — the stats fast path must NOT apply
+    (nanmean hides the count); everything decodes, still exact: level-1
+    pixels are dyadic rationals, so sums are order-independent."""
+    got = {r["polygon_id"]: r for r in zonal_raster(spark, pyr_path, _polys(), z=1).collect()}
+    base = _base()
+    lvl1 = base.reshape(base.shape[0] // 2, 2, base.shape[1] // 2, 2).mean(axis=(1, 3))
+    for pid, ring in RINGS.items():
+        want = _brute(lvl1, ring, 2.0)
+        g = got[pid]
+        assert (g["n_px"], g["sum_px"], g["min_px"], g["max_px"]) == (
+            want["n"], want["s"], want["mn"], want["mx"],
+        ), pid
+
+
+def test_zonal_raster_plan_prunes_bytes_and_pushes_cells(spark, pyr_path):
+    """The scale contract: the interior branch's parquet scan must not
+    materialize the pixel payload, and the cover must reach the scan as
+    pushed cell-range predicates (row-group pruning via the Morton layout)."""
+    df = zonal_raster(spark, pyr_path, _polys(), z=0)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b and "ReadSchema" in b]
+    assert len(scans) >= 2
+    assert any("bytes" not in s for s in scans), "no metadata-only interior scan"
+    assert all("GreaterThanOrEqual(cell," in s for s in scans), "cover not pushed to scan"
+
+
+def test_zonal_raster_disjoint_polygon_yields_no_row(spark, pyr_path):
+    polys = [{"polygon_id": "off", "ring": [[300.0, 300.0], [340.0, 304.0], [320.0, 340.0]]}]
+    # world is padded to 256 — a ring beyond the data extent covers nothing
+    assert zonal_raster(spark, pyr_path, polys, z=0).count() == 0
+
+
+def test_zonal_raster_level_out_of_range(spark, pyr_path):
+    with pytest.raises(ValueError, match="out of range"):
+        zonal_raster(spark, pyr_path, _polys(), z=99)
+
+
+def test_oracle_rings_parity_guard():
+    """The DuckDB oracle's strict half-plane test is exact only because no
+    pixel center can lie on an edge: every fixture edge has dx+dy odd (the
+    doubled cross product is odd, hence nonzero). Pin the property and the
+    builder's guard."""
+    import __spark_entry__ as E
+
+    for ring in (E._ZONAL_RING_P1, E._ZONAL_RING_P2, E._ZONAL_RING_P3):
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            assert ((x2 - x1) + (y2 - y1)) % 2 == 1, (ring, i)
+        E._zonal_halfplane_sql(ring)  # must not raise
+    with pytest.raises(ValueError, match="even dx\\+dy"):
+        E._zonal_halfplane_sql([(0, 0), (10, 0), (5, 7)])
+    with pytest.raises(ValueError, match="convex"):
+        E._zonal_halfplane_sql([(0, 0), (5, 7), (10, 0)])  # CW
