@@ -765,6 +765,30 @@ def q_zonal_raster(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_raster_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster point extraction (joins.raster_extract): pyramid pixel values
+    at point locations — points derived deterministically from ``part``
+    keys over the built-pyramid fixture, value recomputed closed-form in
+    DuckDB. x/y are pixel centers (k + 0.5), reported doubled for exact
+    integer hashing."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import raster_extract
+
+    path = _ensure_zonal_pyramid(spark)
+    pts = _t(spark, sf, "part").select(
+        F.concat(F.lit("pt-"), F.col("p_partkey").cast("string")).alias("point_id"),
+        ((F.col("p_partkey") * 7919) % 512 + 0.5).cast("double").alias("x"),
+        ((F.col("p_partkey") * 104729) % 512 + 0.5).cast("double").alias("y"),
+    )
+    res = raster_extract(spark, path, pts, z=0)
+    return res.select(
+        "point_id",
+        (F.col("x") * 2).cast("long").alias("x2"),
+        (F.col("y") * 2).cast("long").alias("y2"),
+        F.col("value").cast("long").alias("value"),
+    )
+
+
 def q_streamed_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
     """ST5 oracle row (round 5): per-tile stats of a STREAMED (x, y, t)
     cube — two slices, a rewrite in the second micro-batch, compacted —
@@ -861,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_cat": q_union_cat,
         "events_topk": q_events_topk,
         "zonal_raster": q_zonal_raster,
+        "raster_extract": q_raster_extract,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "streamed_cube_stats": q_streamed_cube_stats,
         "cosine_near_dup": q_cosine_near_dup,
@@ -1384,6 +1409,21 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY polygon_id
+        """,
+        # raster point extraction over the same fixture: every point is a
+        # pixel center derived from part keys; DuckDB recomputes the pixel
+        # closed-form — validates the full decode+gather path per point
+        "raster_extract": """
+            WITH p AS (
+              SELECT p_partkey,
+                     (p_partkey * 7919) % 512 AS ix,
+                     (p_partkey * 104729) % 512 AS iy
+              FROM part)
+            SELECT concat('pt-', p_partkey) AS point_id,
+                   CAST(ix * 2 + 1 AS BIGINT) AS x2,
+                   CAST(iy * 2 + 1 AS BIGINT) AS y2,
+                   CAST((16*((ix//128)+(iy//128)) + xor(ix%128, iy%128)) % 256 AS BIGINT) AS value
+            FROM p
         """,
         "streamed_pyramid_stats": """
             WITH px AS (

@@ -130,3 +130,51 @@ def test_oracle_rings_parity_guard():
         E._zonal_halfplane_sql([(0, 0), (10, 0), (5, 7)])
     with pytest.raises(ValueError, match="convex"):
         E._zonal_halfplane_sql([(0, 0), (5, 7), (10, 0)])  # CW
+
+
+def test_raster_extract_matches_brute_force(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.joins import raster_extract
+
+    base = _base()
+    rng = np.random.RandomState(11)
+    pts = [(f"p{i}", float(rng.uniform(0, G * SIZE)), float(rng.uniform(0, G * SIZE)))
+           for i in range(300)]
+    # boundary semantics: just-inside kept, on/over the max edge and
+    # negative coordinates dropped (outside the half-open data extent)
+    pts += [("edge", G * SIZE - 1e-3, 1e-3), ("out", float(G * SIZE), 0.0), ("neg", -0.5, 3.0)]
+    df = spark.createDataFrame(pts, "point_id string, x double, y double")
+    got = {r["point_id"]: r["value"] for r in raster_extract(spark, pyr_path, df, z=0).collect()}
+    n = G * SIZE
+    for pid, x, y in pts:
+        ix, iy = int(np.floor(x)), int(np.floor(y))
+        if 0 <= ix < n and 0 <= iy < n:
+            assert got[pid] == base[iy, ix], (pid, x, y)
+        else:
+            assert pid not in got, pid
+    assert "edge" in got and "out" not in got and "neg" not in got
+
+
+def test_raster_extract_level1_and_pushdown(spark, pyr_path):
+    """z=1 gathers the mean-level pixels (dyadic exact); a sparse probe
+    set pushes its touched cells into the tile scan as an IN filter."""
+    from pyramidscheme_jl_spark.operators.joins import raster_extract
+
+    base = _base()
+    lvl1 = base.reshape(base.shape[0] // 2, 2, base.shape[1] // 2, 2).mean(axis=(1, 3))
+    pts = [("a", 10.0, 10.0), ("b", 130.0, 70.0), ("c", 255.0, 255.0)]
+    df = spark.createDataFrame(pts, "point_id string, x double, y double")
+    res = raster_extract(spark, pyr_path, df, z=1)
+    got = {r["point_id"]: r["value"] for r in res.collect()}
+    for pid, x, y in pts:
+        assert got[pid] == lvl1[int(y // 2), int(x // 2)], pid
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tile_scans = [b for b in plan.split("\n\n") if "Scan parquet" in b and "bytes" in b]
+    assert tile_scans and all("In(cell, [" in s for s in tile_scans), (
+        "touched cells not pushed into the tile scan"
+    )
+    # and the probe-set cap disables pushdown without changing results
+    res_nopush = raster_extract(spark, pyr_path, df, z=1, max_pushdown_cells=1)
+    got2 = {r["point_id"]: r["value"] for r in res_nopush.collect()}
+    assert got2 == got
