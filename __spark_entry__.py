@@ -789,6 +789,33 @@ def q_raster_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rasterize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector->raster burn (raster.rasterize_polygons): the three fixture
+    rings painted 10/20/30 (last wins) over a 512x512/128 tile grid;
+    per-tile stats vs DuckDB's closed-form paint (reverse-order CASE over
+    the exact integer half-plane tests). Mean quantization mirrors the
+    engine's double division exactly: both sides compute sum/n in IEEE
+    double, scale by 2^20, FLOOR(+0.5). Fixed-size by design."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.raster import rasterize_polygons
+
+    polys = [dict(p, value=v) for p, v in zip(_ZONAL_POLYS, (10.0, 20.0, 30.0))]
+    tiles = rasterize_polygons(spark, polys, (512, 512), tilesize=128)
+
+    def q(c: str):
+        return F.expr(f"CAST(FLOOR({c} * 1048576 + 0.5) AS BIGINT)").alias(f"{c}_u")
+
+    return tiles.select(
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        q("vmin"),
+        q("vmax"),
+        q("vmean"),
+    )
+
+
 def q_streamed_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
     """ST5 oracle row (round 5): per-tile stats of a STREAMED (x, y, t)
     cube — two slices, a rewrite in the second micro-batch, compacted —
@@ -886,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": q_events_topk,
         "zonal_raster": q_zonal_raster,
         "raster_extract": q_raster_extract,
+        "rasterize_stats": q_rasterize_stats,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "streamed_cube_stats": q_streamed_cube_stats,
         "cosine_near_dup": q_cosine_near_dup,
@@ -1424,6 +1452,29 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(iy * 2 + 1 AS BIGINT) AS y2,
                    CAST((16*((ix//128)+(iy//128)) + xor(ix%128, iy%128)) % 256 AS BIGINT) AS value
             FROM p
+        """,
+        # vector->raster: DuckDB paints the same rings closed-form (CASE in
+        # REVERSE paint order — last polygon wins) and aggregates per tile;
+        # the engine side is the burned TILE_SCHEMA rows' stats columns
+        "rasterize_stats": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (SELECT px, py FROM xs CROSS JOIN ys),
+                 val AS (
+                   SELECT px, py,
+                          CASE WHEN {_zonal_halfplane_sql(_ZONAL_RING_P3)} THEN 30.0
+                               WHEN {_zonal_halfplane_sql(_ZONAL_RING_P2)} THEN 20.0
+                               WHEN {_zonal_halfplane_sql(_ZONAL_RING_P1)} THEN 10.0
+                          END AS v
+                   FROM pix)
+            SELECT CAST(px // 128 AS BIGINT) AS tx,
+                   CAST(py // 128 AS BIGINT) AS ty,
+                   CAST(128 AS BIGINT) AS w,
+                   CAST(128 AS BIGINT) AS h,
+                   CAST(FLOOR(MIN(v) * 1048576 + 0.5) AS BIGINT) AS vmin_u,
+                   CAST(FLOOR(MAX(v) * 1048576 + 0.5) AS BIGINT) AS vmax_u,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(v) * 1048576 + 0.5) AS BIGINT) AS vmean_u
+            FROM val WHERE v IS NOT NULL GROUP BY 1, 2
         """,
         "streamed_pyramid_stats": """
             WITH px AS (

@@ -66,6 +66,7 @@ EXTRA = [
     "union_cat",
     "cosine_near_dup",
     "hamming_near_dup",
+    "rasterize_stats",
 ]
 
 # fixture-building rows (streamed pyramids / the zonal built pyramid)
