@@ -73,7 +73,16 @@ def rasterize_polygons(
         cells, is_full = polygon_to_cells_classified(rings[pid], res0, spec.world)
         for c, full in zip(cells.tolist(), is_full.tolist()):
             lo, hi = cell_range(np.int64(c), res0)
-            rows.append((pid, ordinal, bool(full), int(lo), int(hi)))
+            # chunk the leaf interval: explode(sequence(lo, hi)) builds the
+            # whole array in ONE task row — Spark caps arrays near 2^31 and
+            # a 4^12-leaf array would blow task memory long before that.
+            # 2^16 leaves/chunk keeps every sequence tiny while the chunk
+            # rows stay a driver-side list (a res-k full cover yields
+            # 4^(res0-k)/2^16 rows — dims-sized for any realistic polygon).
+            lo, hi = int(lo), int(hi)
+            step = 1 << 16
+            for s in range(lo, hi + 1, step):
+                rows.append((pid, ordinal, bool(full), s, min(s + step - 1, hi)))
     if not rows:
         return spark.createDataFrame([], TILE_SCHEMA)
     covers = spark.createDataFrame(
