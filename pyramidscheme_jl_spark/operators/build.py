@@ -47,7 +47,7 @@ from ..functions.reducers import (
     reducer_hash,
     reducer_name,
 )
-from ..plans.grid import compute_nlevels, tile_count, tile_extent
+from ..plans.grid import DEFAULT_TILESIZE, compute_nlevels, tile_count, tile_extent
 from ..sources.catalog import (
     TILE_SCHEMA,
     append_manifest,
@@ -330,7 +330,13 @@ def _assemble_parent(spec: PyramidSpec, z: int):
         W = int((pdf["qx"] * half + pdf["w"]).max())
         H = int((pdf["qy"] * half + pdf["h"]).max())
         shape = (H, W, c) if c > 1 else (H, W)
-        arr = np.zeros(shape, dtype=np.dtype(dt))
+        # uncovered area (a SPARSE base: rasterized/partial mosaics) is
+        # missing data, not zero — NaN for float dtypes so skipmissing
+        # reducers and tile stats stay correct; int dtypes have no missing
+        # representation and keep 0 (dense builds never hit either case:
+        # absent quarters only occur past the data extent, excluded by W/H)
+        kind = np.dtype(dt).kind
+        arr = np.full(shape, np.nan if kind == "f" else 0, dtype=np.dtype(dt))
         for qx, qy, buf, w, h in zip(pdf["qx"], pdf["qy"], pdf["bytes"], pdf["w"], pdf["h"]):
             q = decode_tile(buf, int(h), int(w), dt, c)
             x0, y0 = int(qx) * half, int(qy) * half
@@ -422,7 +428,10 @@ def build_tail_driver(
     W = max(r["tx"] * T_ + r["w"] for r in prev_rows)
     H = max(r["ty"] * T_ + r["h"] for r in prev_rows)
     shape = (H, W, c) if c > 1 else (H, W)
-    plane = np.zeros(shape, dtype=np.dtype(dt))
+    # sparse-base aware like _assemble_parent: uncovered area is missing
+    # data (NaN) for float dtypes, 0 for ints (no missing representation)
+    kind = np.dtype(dt).kind
+    plane = np.full(shape, np.nan if kind == "f" else 0, dtype=np.dtype(dt))
     for r in prev_rows:
         a = decode_tile(r["bytes"], int(r["h"]), int(r["w"]), dt, c)
         plane[r["ty"] * T_ : r["ty"] * T_ + r["h"], r["tx"] * T_ : r["tx"] * T_ + r["w"]] = a
@@ -471,6 +480,92 @@ def build_level_direct(
         "pty", F.shiftright("ty", z)
     )
     return grouped.groupBy("ptx", "pty").applyInPandas(assemble, TILE_SCHEMA)
+
+
+def build_overviews(
+    spark: SparkSession,
+    path: str,
+    reducer="mean",
+    run_id: str = "overviews-0",
+    resume: bool = False,
+    level_dtype: str | None = None,
+    fuse_threshold: int = 64,
+    verbose: bool = False,
+) -> PyramidSpec:
+    """Build levels 1..n over an EXISTING stored base level — the
+    reference's flagship ``buildpyramids(path)`` shape (open a stored
+    array, write only the overviews; src/PyramidScheme.jl:353-390), and
+    the step that turns ``rasterize_polygons`` output (or any imported /
+    foreign-written base) into a full pyramid.
+
+    Same commit protocol as ``build_pyramid``: parquet level first, then
+    manifest lineage rows (a level is committed iff its manifest rows
+    exist), so ``resume=True`` restarts mid-build safely; the geometric
+    tip fuses driver-side below ``fuse_threshold`` tiles. Sparse bases
+    are first-class: uncovered quarters assemble as NaN (float dtypes)
+    and skipmissing reducers do the rest."""
+    import time
+
+    from ..functions.reducers import REDUCERS
+    from ..sources.catalog import read_multiscales
+
+    if not callable(reducer) and reducer not in REDUCERS:
+        raise KeyError(f"unknown reducer {reducer!r}; supported: {REDUCERS} or a callable")
+    ms = read_multiscales(path)
+    if ms is not None and all(k in ms for k in ("base_w", "base_h", "tilesize")):
+        spec = PyramidSpec(int(ms["base_w"]), int(ms["base_h"]), int(ms["tilesize"]))
+    else:  # derive plan constants from the stored base (api.open fallback)
+        base = read_level(spark, path, 0)
+        mx = base.agg(
+            F.max(F.col("tx") * DEFAULT_TILESIZE + F.col("w")).alias("w"),
+            F.max(F.col("ty") * DEFAULT_TILESIZE + F.col("h")).alias("h"),
+        ).collect()[0]
+        spec = PyramidSpec(int(mx["w"]), int(mx["h"]), DEFAULT_TILESIZE)
+    rname = reducer_name(reducer)
+    rhash = reducer_hash(reducer if level_dtype is None else f"{rname}@{level_dtype}")
+    done = set(committed_levels(spark, path, run_id)) if resume else set()
+    ordinal = 0
+    z = 1
+    while z <= spec.nlevels:
+        if z in done:
+            ordinal += 1
+            z += 1
+            continue
+        ntx, nty = tile_count((spec.base_w, spec.base_h), z - 1, spec.tilesize)
+        if spec.nlevels - z + 1 >= 2 and ntx * nty <= fuse_threshold:
+            prev_rows = [r.asDict() for r in read_level(spark, path, z - 1).collect()]
+            t0 = time.perf_counter()
+            tail = build_tail_driver(prev_rows, z, spec, reducer, level_dtype)
+            for zz in range(z, spec.nlevels + 1):
+                if zz in done:
+                    ordinal += 1
+                    continue
+                write_level_driver(tail[zz], path, zz)
+                append_manifest(
+                    spark, path, manifest_lineage(path, zz, run_id, rname, rhash, ordinal)
+                )
+                ordinal += 1
+            if verbose:
+                print(
+                    f"[overviews] tail {z}..{spec.nlevels} fused driver-side "
+                    f"in {time.perf_counter() - t0:.2f}s",
+                    flush=True,
+                )
+            break
+        t0 = time.perf_counter()
+        built = build_level(read_level(spark, path, z - 1), z, spec, reducer, level_dtype)
+        write_level(built, path, z)
+        append_manifest(
+            spark, path, manifest_lineage(path, z, run_id, rname, rhash, ordinal)
+        )
+        if verbose:
+            print(f"[overviews] level {z} committed in {time.perf_counter() - t0:.2f}s", flush=True)
+        ordinal += 1
+        z += 1
+    write_multiscales(
+        path, spec.nlevels, spec.tilesize, spec.base_w, spec.base_h, rname, rhash
+    )
+    return spec
 
 
 def build_pyramid(

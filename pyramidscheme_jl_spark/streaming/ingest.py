@@ -364,12 +364,15 @@ def _children_of(level_df: DataFrame, parents: list[tuple[int, int]]) -> DataFra
 
 def _assemble_from_quarters(quarters, half):
     """[(qx, qy, quarter_array)] -> assembled parent array (ragged-edge
-    aware: extent is the max covered, missing quarters stay zero)."""
+    aware: extent is the max covered; interior gaps from a SPARSE base are
+    missing data — NaN for float dtypes, 0 for ints which cannot represent
+    missing; dense streams never hit either, matching build.py)."""
     W = max(qx * half + q.shape[1] for qx, _, q in quarters)
     H = max(qy * half + q.shape[0] for _, qy, q in quarters)
     c = quarters[0][2].shape[2] if quarters[0][2].ndim == 3 else 1
     shape = (H, W, c) if c > 1 else (H, W)
-    arr = np.zeros(shape, dtype=quarters[0][2].dtype)
+    dt = quarters[0][2].dtype
+    arr = np.full(shape, np.nan if dt.kind == "f" else 0, dtype=dt)
     for qx, qy, q in quarters:
         arr[qy * half : qy * half + q.shape[0], qx * half : qx * half + q.shape[1]] = q
     return arr

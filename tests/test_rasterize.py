@@ -104,3 +104,68 @@ def test_rasterize_roundtrip_into_engine(spark, tmp_path):
     ).reshape(W, W)
     v = plane[m & ~np.isnan(plane)]
     assert zr[0]["n_px"] == len(v) and zr[0]["sum_px"] == v.sum()
+
+
+def test_build_overviews_over_rasterized_base(spark, tmp_path):
+    """The reference's buildpyramids(path) shape: levels built over an
+    EXISTING stored base — here the sparse burned raster — with NaN
+    (missing) propagating through skipmissing reducers, never 0."""
+    from pyramidscheme_jl_spark.api import PyramidDataset
+    from pyramidscheme_jl_spark.operators.build import build_overviews
+    from pyramidscheme_jl_spark.sources.catalog import read_level, write_level, write_multiscales
+
+    path = str(tmp_path / "burned_pyr")
+    tiles = rasterize_polygons(spark, POLYS, (W, W), tilesize=64)
+    write_level(tiles, path, 0)
+    write_multiscales(path, 0, 64, W, W, "rasterize", "none")
+
+    spec = build_overviews(spark, path, reducer="mean", run_id="ov")
+    assert spec.nlevels == 2  # 4x4 tiles of 64 -> 2 overview levels
+
+    plane = _plane()
+    lvl = plane.copy()
+    for z in (1, 2):
+        # nan-aware 2x2 block mean (skipmissing)
+        lvl = lvl.reshape(lvl.shape[0] // 2, 2, lvl.shape[1] // 2, 2)
+        with np.errstate(invalid="ignore"):
+            lvl = np.nanmean(np.nanmean(lvl, axis=3), axis=1)
+        rows = read_level(spark, path, z).collect()
+        seen = np.full(lvl.shape, np.nan)
+        for r in rows:
+            arr = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+            seen[r["ty"] * 64 : r["ty"] * 64 + r["h"], r["tx"] * 64 : r["tx"] * 64 + r["w"]] = arr
+        both_nan = np.isnan(seen) & np.isnan(lvl)
+        assert (both_nan | (seen == lvl)).all(), f"level {z} mismatch"
+        # the critical regression guard: missing data must never read as 0
+        assert not ((lvl != 0) & np.isnan(lvl) & (seen == 0)).any()
+
+    # the built pyramid is a first-class dataset: open + window read work
+    ds = PyramidDataset.open(spark, path, tilesize=64)
+    assert ds.nlevels == 2
+    # resume is a no-op on a complete build (manifest says all committed)
+    build_overviews(spark, path, reducer="mean", run_id="ov", resume=True)
+    assert read_level(spark, path, 2).count() == len(rows)
+
+
+def test_sparse_mosaic_build_fills_nan_not_zero(spark, tmp_path):
+    """A bulk build whose images table is missing an interior mosaic slot:
+    the absent quarter must assemble as NaN (missing), not silently 0 —
+    and skipmissing mean must ignore it in the next level."""
+    from pyramidscheme_jl_spark.operators.build import build_pyramid
+    from pyramidscheme_jl_spark.sources.catalog import read_level
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, image_pixels, synth_images
+
+    rows = [r for r in synth_images(G=2, size=64) if r["image_id"] != "img-00000003"]
+    path = str(tmp_path / "sparse")
+    images = spark.createDataFrame(rows, IMAGES_DDL)
+    build_pyramid(spark, images, path, G=2, reducer="mean", tilesize=64, run_id="s",
+                  fuse_threshold=0)  # force the distributed assemble path
+    lv1 = {(r["tx"], r["ty"]): r for r in read_level(spark, path, 1).collect()}
+    r = lv1[(0, 0)]
+    arr = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+    # quarter (1,1) came from the missing image: NaN, not zeros
+    assert np.isnan(arr[32:, 32:]).all()
+    want = image_pixels(0, 0, 64).reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    assert (arr[:32, :32] == want).all()
+    # and the stored stats skipped the missing quarter
+    assert r["vmin"] == np.nanmin(arr) and not np.isnan(r["vmean"])
