@@ -403,6 +403,22 @@ def q_hamming_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return D.hamming_near_dup(s, fp_col="fp", id_col="id", r=3, bits=60)
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the hamming<=3 near-dup pairs
+    (dedup.connected_components): the dedup GROUP decision — component =
+    min reachable doc id. Oracle: DuckDB recursive CTE transitive closure
+    over the identical quadratic pair set."""
+    docs = _t(spark, sf, "documents")
+    s = D.simhash(docs, bits=60).withColumnRenamed("simhash", "fp")
+    pairs = D.hamming_near_dup(s, fp_col="fp", id_col="id", r=3, bits=60).select(
+        "id_a", "id_b"
+    )
+    return D.connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     s = TX.quality_score(_t(spark, sf, "documents"))
     return s.select(
@@ -896,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "hamming_near_dup": q_hamming_near_dup,
+        "dedup_components": q_dedup_components,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -1361,6 +1378,36 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
             FROM sig a JOIN sig b ON a.id < b.id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        """,
+        # transitive closure of the SAME pair set as hamming_near_dup: a
+        # recursive CTE computes every reachable node, MIN per node is the
+        # component id — bounded at oracle scale by component size
+        "dedup_components": """
+            WITH RECURSIVE ts AS (
+              SELECT DISTINCT doc_id AS id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents)),
+            hashed AS (
+              SELECT id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM ts),
+            votes AS (
+              SELECT id, b,
+                     SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b)
+              GROUP BY id, b),
+            sig AS (
+              SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+              FROM votes GROUP BY id),
+            pairs AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM sig a JOIN sig b ON a.id < b.id
+              WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+            edges AS (SELECT ia AS s, ib AS d FROM pairs UNION SELECT ib, ia FROM pairs),
+            nodes AS (SELECT DISTINCT s AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+            SELECT id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY id
         """,
         "text_quality": """
             WITH s AS (

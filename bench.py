@@ -67,6 +67,7 @@ EXTRA = [
     "cosine_near_dup",
     "hamming_near_dup",
     "rasterize_stats",
+    "dedup_components",
 ]
 
 # fixture-building rows (streamed pyramids / the zonal built pyramid)

@@ -331,3 +331,61 @@ def hamming_near_dup(
     return pairs.withColumn(
         "dist", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
     ).where(F.col("dist") <= r)
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: ``(id, component)``
+    where ``component`` is the smallest node id reachable — the decision
+    step that turns pair generators (hamming/minhash/jaccard/cosine) into
+    dedup GROUPS (keep min-id, drop the rest).
+
+    Min-label propagation with a driver-side convergence loop (the same
+    shape as knn_join's ring loop): each round every node takes the min of
+    its own label and its neighbors' labels; each round is ONE equi-join +
+    hash aggregate over the (symmetrized, localCheckpointed) edge list,
+    and the loop ends when a round changes nothing — the driver sees only
+    the changed-row COUNT, never data rows. Rounds needed = component
+    diameter: near-dup components are dense clusters of paraphrases
+    (diameter 2-4 in practice); a pathological path graph of length
+    ``max_iter`` raises rather than returning wrong labels.
+
+    Nodes appear iff they occur in ``edges`` — singletons carry no dedup
+    decision and would double the output for nothing at corpus scale.
+    """
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    e = e.localCheckpoint(eager=True)  # fixed topology: rounds re-scan this, not the generator
+    labels = e.select("src").distinct().withColumn("comp", F.col("src"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            e.join(
+                labels.select(F.col("src").alias("dst"), F.col("comp").alias("dcomp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nbr_min"))
+        )
+        new = labels.join(nbr, "src", "left").select(
+            "src",
+            F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter — raise it for path-like graphs)"
+    )

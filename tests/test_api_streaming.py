@@ -413,6 +413,28 @@ def test_hamming_near_dup_on_real_phash(spark):
     assert got == want
 
 
+def test_connected_components(spark):
+    """Min-label propagation: exact components on a hand graph (two
+    clusters + a chain crossing partition boundaries), singleton
+    exclusion, and the non-convergence guard."""
+    import pytest as _pytest
+
+    from pyramidscheme_jl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 4), (6, 5), (3, 6)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    # 1-2-3-6-5-4 is one chain component; 10-11 the other; no singletons
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    # a path graph longer than max_iter raises instead of mislabeling
+    path = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(path, max_iter=2)
+    assert {r["component"] for r in connected_components(path).collect()} == {0}
+
+
 def test_similarity_module_spark(spark):
     from pyramidscheme_jl_spark.operators.similarity import (
         brute_force_topk,
