@@ -302,7 +302,11 @@ def hamming_near_dup(
     los = [sum(widths[:i]) for i in range(b)]
     segs = F.array(
         *[
-            F.shiftright(F.col(fp_col), lo).bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+            F.shiftright(F.col(fp_col), lo).bitwiseAND(
+                # w == 64 (r=0, bands=1): (1<<64)-1 overflows a long literal;
+                # all-ones in two's complement is -1 and keeps fp intact
+                F.lit(-1 if w == 64 else (1 << w) - 1).cast("long")
+            )
             for lo, w in zip(los, widths)
         ]
     )

@@ -361,6 +361,13 @@ def test_hamming_near_dup_matches_brute_force(spark):
     }
     assert got8 == want
 
+    # r=0 collapses to ONE 64-bit band (exact-duplicate join): the segment
+    # mask must be all-ones without overflowing a long literal
+    got0 = {
+        (r["id_a"], r["id_b"]) for r in hamming_near_dup(df, r=0, bits=64).collect()
+    }
+    assert got0 == {(x, y, d)[:2] for x, y, d in want if d == 0} == {("a", "g")}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="pigeonhole"):
