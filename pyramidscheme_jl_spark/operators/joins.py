@@ -604,7 +604,7 @@ def zonal_raster(
     path: str,
     polygons: list[dict],
     z: int = 0,
-    max_pushdown_ranges: int = 512,
+    max_pushdown_ranges: int = 64,
 ) -> DataFrame:
     """Raster zonal statistics: per-polygon aggregates of the PIXELS of a
     built pyramid level — the raster twin of ``zonal_stats`` (reference has
@@ -647,16 +647,40 @@ def zonal_raster(
     res_z = spec.cell_res(z)
     covers, rings, ress = _covers_df(spark, polygons, res_z, spec.world)
 
-    # driver-side cover -> cell ranges at res_z for the pushed scan filter
+    # driver-side cover -> cell ranges at res_z for the pushed scan filter.
+    # The filter is an OPTIMIZATION ONLY (the broadcast cover join is what
+    # guarantees exactness), so it may over-approximate: adjacent intervals
+    # merge, and when the cover is fragmented the intervals COARSEN to at
+    # most ``max_pushdown_ranges`` by closing the smallest Morton gaps — a
+    # 497-term OR chain measured ~3.5 s of plan+eval cost at bench scale,
+    # while <=64 ranges keep row-group pruning with negligible overhead.
     cover_rows = covers.collect()  # dims-sized (compact covers of the polygon list)
     ranges: set[tuple[int, int]] = set()
     for r in cover_rows:
         lo, hi = cell_range(np.int64(r["cover_cell"]), res_z)
         ranges.add((int(lo), int(hi)))
     tiles = read_level(spark, path, z)
-    if 0 < len(ranges) <= max_pushdown_ranges:
-        pred = None
+    if ranges and max_pushdown_ranges > 0:
+        merged: list[list[int]] = []
         for lo, hi in sorted(ranges):
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(hi, merged[-1][1])
+            else:
+                merged.append([lo, hi])
+        while len(merged) > max_pushdown_ranges:
+            gaps = [
+                (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+            ]
+            gaps.sort()
+            # close the smallest third of the gaps per pass (O(n log n) total)
+            for _, i in sorted(gaps[: max(1, len(gaps) // 3)], key=lambda g: -g[1]):
+                if i + 1 < len(merged):
+                    merged[i][1] = merged[i + 1][1]
+                    del merged[i + 1]
+                if len(merged) <= max_pushdown_ranges:
+                    break
+        pred = None
+        for lo, hi in merged:
             c = F.col("cell").between(F.lit(lo), F.lit(hi))
             pred = c if pred is None else (pred | c)
         tiles = tiles.where(pred)
@@ -727,6 +751,11 @@ def zonal_raster(
     decode_rows = cand.where(~(F.col("is_full") & int_dtype)).select(
         "bytes", "w", "h", "c", "dtype", "xmin", "ymin", "xmax", "ymax",
         "polygon_id", "is_full",
+    )
+    # ray-cast cost is CPU-per-pixel, not bytes: keep the boundary shell
+    # spread across tasks instead of letting AQE coalesce by byte size
+    decode_rows = decode_rows.repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
     )
     partials = decode_rows.mapInPandas(refine, part_schema)
 
@@ -799,7 +828,9 @@ def raster_extract(
     if 0 < len(probe) <= max_pushdown_cells:
         tiles = tiles.where(F.col("cell").isin([r["cell"] for r in probe]))
 
-    joined = tiles.join(grouped, "cell")
+    joined = tiles.join(grouped, "cell").repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    )  # gather cost scales with points-per-tile, not row bytes — keep spread
 
     out_schema = T.StructType(
         [
