@@ -5,6 +5,7 @@ the rest of the engine (write_level -> raster_extract / zonal_raster).
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pyramidscheme_jl_spark.functions.cells import points_in_polygon
 from pyramidscheme_jl_spark.functions.codec import decode_tile
@@ -169,3 +170,70 @@ def test_sparse_mosaic_build_fills_nan_not_zero(spark, tmp_path):
     assert (arr[:32, :32] == want).all()
     # and the stored stats skipped the missing quarter
     assert r["vmin"] == np.nanmin(arr) and not np.isnan(r["vmean"])
+
+
+def test_image_phash_dedup_pipeline_end_to_end(spark):
+    """The input_hint story end-to-end: an images table (image_id, bytes,
+    w, h, fmt, caption, phash) with perturbed duplicates -> REAL decode +
+    phash via image_features -> hamming near-dup pairs -> connected
+    components -> keep-min decision. Every stage is the engine's own
+    operator; ground truth is numpy phash distances."""
+    import numpy as np
+
+    from pyramidscheme_jl_spark.functions.codec import encode_tile
+    from pyramidscheme_jl_spark.operators.dedup import connected_components, hamming_near_dup
+    from pyramidscheme_jl_spark.operators.multimodal import image_features
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, phash64
+
+    def patt(i):
+        x = np.arange(64, dtype=np.int64)[None, :]
+        y = np.arange(64, dtype=np.int64)[:, None]
+        return (((i * 3 + 1) * x + (i * 5 + 2) * y + (x * y if i % 2 else x ^ y)) % 256).astype(
+            np.uint8
+        )
+
+    rows, fps = [], {}
+    for i in range(12):
+        img = patt(i)
+        rows.append({"image_id": f"img-{i:03d}", "bytes": encode_tile(img), "w": 64,
+                     "h": 64, "fmt": "raw", "caption": f"c{i}", "phash": 0})
+        fps[f"img-{i:03d}"] = phash64(img)
+        if i < 2:  # two perturbed near-dups
+            pert = np.clip(img.astype(np.int64) + (np.arange(64)[None, :] < 8) * 60, 0, 255
+                           ).astype(np.uint8)
+            rows.append({"image_id": f"img-{i:03d}-v2", "bytes": encode_tile(pert),
+                         "w": 64, "h": 64, "fmt": "raw", "caption": f"c{i}", "phash": 0})
+            fps[f"img-{i:03d}-v2"] = phash64(pert)
+
+    images = spark.createDataFrame(rows, IMAGES_DDL)
+    # stage 1: REAL decode -> phash (the stored phash column is ignored on
+    # purpose: the pipeline must be able to fingerprint raw corpora)
+    feats = image_features(images).select("image_id", "phash")
+    got_fps = {r["image_id"]: r["phash"] for r in feats.collect()}
+    assert got_fps == fps
+    # stage 2+3: near-dup pairs -> components
+    pairs = hamming_near_dup(feats, fp_col="phash", id_col="image_id", r=6)
+    comp = connected_components(pairs)
+    keep = comp.groupBy("component").agg(F.min("id").alias("keep_id")).collect()
+    want_pairs = {
+        (a, b) for a in fps for b in fps
+        if a < b and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == want_pairs and len(want_pairs) >= 1
+    # every perturbed image whose phash stayed within r groups with exactly
+    # its original; ones that drifted past r form no component (dedup
+    # correctly does NOT merge them)
+    members = {}
+    for r in comp.collect():
+        members.setdefault(r["component"], set()).add(r["id"])
+    near = {i for i in range(2)
+            if bin((fps[f"img-{i:03d}"] ^ fps[f"img-{i:03d}-v2"]) & ((1 << 64) - 1)).count("1") <= 6}
+    assert near, "fixture must keep at least one perturbation within r"
+    for i in range(2):
+        in_comp = any(f"img-{i:03d}-v2" in m for m in members.values())
+        assert in_comp == (i in near)
+        if i in near:
+            grp = next(m for m in members.values() if f"img-{i:03d}-v2" in m)
+            assert grp == {f"img-{i:03d}", f"img-{i:03d}-v2"}
+    assert {r["keep_id"] for r in keep} == {f"img-{i:03d}" for i in near}
