@@ -832,6 +832,28 @@ def q_rasterize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zonal_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(polygon, t) zonal statistics over the STREAMED (x, y, t) cube
+    fixture (joins.zonal_cube): the time axis rides through the tile
+    split, the Arrow refine, and the final aggregate. Oracle: DuckDB
+    regenerates both t-slices closed-form — including the (t=1, image 0)
+    rewrite — and applies the exact integer half-plane tests."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import zonal_cube
+
+    path = _ensure_streamed_cube(spark)
+    res = zonal_cube(spark, path, _ZONAL_POLYS, z=0)
+    return res.select(
+        "polygon_id",
+        F.col("t").cast("long").alias("t"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+        F.expr("CAST(sum_px AS BIGINT) * 1000 DIV n_px").alias("mean_milli"),
+    )
+
+
 def q_streamed_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
     """ST5 oracle row (round 5): per-tile stats of a STREAMED (x, y, t)
     cube — two slices, a rewrite in the second micro-batch, compacted —
@@ -931,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_raster": q_zonal_raster,
         "raster_extract": q_raster_extract,
         "rasterize_stats": q_rasterize_stats,
+        "zonal_cube_stats": q_zonal_cube_stats,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "streamed_cube_stats": q_streamed_cube_stats,
         "cosine_near_dup": q_cosine_near_dup,
@@ -1522,6 +1545,30 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(FLOOR(MAX(v) * 1048576 + 0.5) AS BIGINT) AS vmax_u,
                    CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(v) * 1048576 + 0.5) AS BIGINT) AS vmean_u
             FROM val WHERE v IS NOT NULL GROUP BY 1, 2
+        """,
+        # cube zonal: both t-slices regenerated closed-form (with the
+        # (t=1, image 0) -> 9 rewrite) x the same convex parity-safe rings
+        "zonal_cube_stats": f"""
+            WITH px AS (
+              SELECT tt.t AS t, gx*256 + x AS px, gy*256 + y AS py,
+                     CASE WHEN tt.t = 1 AND gx = 0 AND gy = 0 THEN 9
+                          ELSE CAST(((16*(gx+gy) + xor(x, y)) % 256 + 7*tt.t) % 256 AS BIGINT) END AS v
+              FROM generate_series(0, 1) g1(gx), generate_series(0, 1) g2(gy),
+                   generate_series(0, 255) s1(x), generate_series(0, 255) s2(y),
+                   (VALUES (0), (1)) tt(t)),
+                 hits AS (
+                   SELECT 'p1' AS polygon_id, t, v FROM px WHERE {_zonal_halfplane_sql(_ZONAL_RING_P1)}
+                   UNION ALL
+                   SELECT 'p2' AS polygon_id, t, v FROM px WHERE {_zonal_halfplane_sql(_ZONAL_RING_P2)}
+                   UNION ALL
+                   SELECT 'p3' AS polygon_id, t, v FROM px WHERE {_zonal_halfplane_sql(_ZONAL_RING_P3)})
+            SELECT polygon_id, CAST(t AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MIN(v) AS BIGINT) AS min_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px,
+                   CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+            FROM hits GROUP BY 1, 2
         """,
         "streamed_pyramid_stats": """
             WITH px AS (

@@ -599,6 +599,160 @@ def bbox_join(
     )
 
 
+def _zonal_over_tiles(
+    spark: SparkSession,
+    tiles: DataFrame,
+    spec,
+    polygons: list[dict],
+    res_z: int,
+    extra_keys: tuple[str, ...] = (),
+    max_pushdown_ranges: int = 64,
+) -> DataFrame:
+    """Shared zonal core (flat pyramids and (x, y, t) cubes): filter+refine
+    at TILE granularity over any TILE_SCHEMA-shaped DataFrame. See
+    ``zonal_raster`` for the three cost tiers; ``extra_keys`` (e.g. ``t``)
+    ride through the split, the Arrow refine, and the final group-by."""
+    from ..functions.cells import cell_range
+    from ..functions.codec import decode_tile
+
+    covers, rings, ress = _covers_df(spark, polygons, res_z, spec.world)
+
+    # driver-side cover -> cell ranges at res_z for the pushed scan filter.
+    # The filter is an OPTIMIZATION ONLY (the broadcast cover join is what
+    # guarantees exactness), so it may over-approximate: adjacent intervals
+    # merge, and when the cover is fragmented the intervals COARSEN to at
+    # most ``max_pushdown_ranges`` by closing the smallest Morton gaps — a
+    # 497-term OR chain measured ~3.5 s of plan+eval cost at bench scale,
+    # while <=64 ranges keep row-group pruning with negligible overhead.
+    cover_rows = covers.collect()  # dims-sized (compact covers of the polygon list)
+    ranges: set[tuple[int, int]] = set()
+    for r in cover_rows:
+        lo, hi = cell_range(np.int64(r["cover_cell"]), res_z)
+        ranges.add((int(lo), int(hi)))
+    if ranges and max_pushdown_ranges > 0:
+        merged: list[list[int]] = []
+        for lo, hi in sorted(ranges):
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(hi, merged[-1][1])
+            else:
+                merged.append([lo, hi])
+        while len(merged) > max_pushdown_ranges:
+            gaps = [
+                (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+            ]
+            gaps.sort()
+            # close the smallest third of the gaps per pass (O(n log n) total)
+            for _, i in sorted(gaps[: max(1, len(gaps) // 3)], key=lambda g: -g[1]):
+                if i + 1 < len(merged):
+                    merged[i][1] = merged[i + 1][1]
+                    del merged[i + 1]
+                if len(merged) <= max_pushdown_ranges:
+                    break
+        pred = None
+        for lo, hi in merged:
+            cnd = F.col("cell").between(F.lit(lo), F.lit(hi))
+            pred = cnd if pred is None else (pred | cnd)
+        tiles = tiles.where(pred)
+
+    anc = F.array(*[parent_cell_expr("cell", res_z, r) for r in ress])
+    keys = list(extra_keys)
+    cand = (
+        tiles.select(
+            *keys, "bytes", "w", "h", "c", "dtype", "vmin", "vmax", "vmean",
+            "xmin", "ymin", "xmax", "ymax",
+            F.explode(anc).alias("jcell"),
+        )
+        .join(F.broadcast(covers), F.col("jcell") == covers["cover_cell"], "inner")
+    )
+
+    int_dtype = F.col("dtype").rlike("^u?int")
+    interior = cand.where(F.col("is_full") & int_dtype).select(
+        "polygon_id",
+        *keys,
+        (F.col("w").cast("long") * F.col("h")).alias("n"),
+        F.round(F.col("vmean") * F.col("w") * F.col("h")).alias("s"),
+        F.col("vmin").alias("mn"),
+        F.col("vmax").alias("mx"),
+    )
+
+    ring_items = sorted(rings.items())
+    key_fields = [
+        T.StructField(k, T.IntegerType()) for k in keys
+    ]
+    part_schema = T.StructType(
+        [
+            T.StructField("polygon_id", T.StringType()),
+            *key_fields,
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("mn", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def refine(batches):
+        ringmap = dict(ring_items)
+        cols = list(part_schema.fieldNames())
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for row in pdf.itertuples(index=False):
+                arr = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c).astype(
+                    np.float64, copy=False
+                )
+                if arr.ndim == 3:  # multi-channel: aggregate the channel mean
+                    arr = arr.mean(axis=2)
+                if row.is_full:
+                    mask = np.ones(arr.shape, dtype=bool)
+                else:
+                    sx = (row.xmax - row.xmin) / row.w
+                    sy = (row.ymax - row.ymin) / row.h
+                    cx = row.xmin + (np.arange(row.w) + 0.5) * sx
+                    cy = row.ymin + (np.arange(row.h) + 0.5) * sy
+                    gx, gy = np.meshgrid(cx, cy)
+                    mask = points_in_polygon(
+                        gx.ravel(), gy.ravel(), ringmap[row.polygon_id]
+                    ).reshape(arr.shape)
+                mask &= ~np.isnan(arr)
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                vals = arr[mask]
+                out["polygon_id"].append(row.polygon_id)
+                for k in keys:
+                    out[k].append(getattr(row, k))
+                out["n"].append(n)
+                out["s"].append(float(vals.sum()))
+                out["mn"].append(float(vals.min()))
+                out["mx"].append(float(vals.max()))
+            pdf_out = pd.DataFrame(out, columns=cols)
+            for k in keys:
+                pdf_out[k] = pdf_out[k].astype("int32")
+            yield pdf_out
+
+    decode_rows = cand.where(~(F.col("is_full") & int_dtype)).select(
+        *keys, "bytes", "w", "h", "c", "dtype", "xmin", "ymin", "xmax", "ymax",
+        "polygon_id", "is_full",
+    )
+    # ray-cast cost is CPU-per-pixel, not bytes: keep the boundary shell
+    # spread across tasks instead of letting AQE coalesce by byte size
+    decode_rows = decode_rows.repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    )
+    partials = decode_rows.mapInPandas(refine, part_schema)
+
+    return (
+        interior.unionByName(partials)
+        .groupBy("polygon_id", *keys)
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("s").alias("sum_px"),
+            F.min("mn").alias("min_px"),
+            F.max("mx").alias("max_px"),
+        )
+        .withColumn("mean_px", F.col("sum_px") / F.col("n_px"))
+    )
+
+
 def zonal_raster(
     spark: SparkSession,
     path: str,
@@ -637,138 +791,38 @@ def zonal_raster(
     Polygons with zero covered pixels produce no row.
     """
     from ..api import PyramidDataset
-    from ..functions.cells import cell_range
-    from ..functions.codec import decode_tile
     from ..sources.catalog import read_level
 
     spec = PyramidDataset.open(spark, path).spec
     if z < 0 or z >= spec.nlevels + 1:
         raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
-    res_z = spec.cell_res(z)
-    covers, rings, ress = _covers_df(spark, polygons, res_z, spec.world)
-
-    # driver-side cover -> cell ranges at res_z for the pushed scan filter.
-    # The filter is an OPTIMIZATION ONLY (the broadcast cover join is what
-    # guarantees exactness), so it may over-approximate: adjacent intervals
-    # merge, and when the cover is fragmented the intervals COARSEN to at
-    # most ``max_pushdown_ranges`` by closing the smallest Morton gaps — a
-    # 497-term OR chain measured ~3.5 s of plan+eval cost at bench scale,
-    # while <=64 ranges keep row-group pruning with negligible overhead.
-    cover_rows = covers.collect()  # dims-sized (compact covers of the polygon list)
-    ranges: set[tuple[int, int]] = set()
-    for r in cover_rows:
-        lo, hi = cell_range(np.int64(r["cover_cell"]), res_z)
-        ranges.add((int(lo), int(hi)))
-    tiles = read_level(spark, path, z)
-    if ranges and max_pushdown_ranges > 0:
-        merged: list[list[int]] = []
-        for lo, hi in sorted(ranges):
-            if merged and lo <= merged[-1][1] + 1:
-                merged[-1][1] = max(hi, merged[-1][1])
-            else:
-                merged.append([lo, hi])
-        while len(merged) > max_pushdown_ranges:
-            gaps = [
-                (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
-            ]
-            gaps.sort()
-            # close the smallest third of the gaps per pass (O(n log n) total)
-            for _, i in sorted(gaps[: max(1, len(gaps) // 3)], key=lambda g: -g[1]):
-                if i + 1 < len(merged):
-                    merged[i][1] = merged[i + 1][1]
-                    del merged[i + 1]
-                if len(merged) <= max_pushdown_ranges:
-                    break
-        pred = None
-        for lo, hi in merged:
-            c = F.col("cell").between(F.lit(lo), F.lit(hi))
-            pred = c if pred is None else (pred | c)
-        tiles = tiles.where(pred)
-
-    anc = F.array(*[parent_cell_expr("cell", res_z, r) for r in ress])
-    cand = (
-        tiles.select(
-            "bytes", "w", "h", "c", "dtype", "vmin", "vmax", "vmean",
-            "xmin", "ymin", "xmax", "ymax",
-            F.explode(anc).alias("jcell"),
-        )
-        .join(F.broadcast(covers), F.col("jcell") == covers["cover_cell"], "inner")
+    return _zonal_over_tiles(
+        spark, read_level(spark, path, z), spec, polygons, spec.cell_res(z),
+        max_pushdown_ranges=max_pushdown_ranges,
     )
 
-    int_dtype = F.col("dtype").rlike("^u?int")
-    interior = cand.where(F.col("is_full") & int_dtype).select(
-        "polygon_id",
-        (F.col("w").cast("long") * F.col("h")).alias("n"),
-        F.round(F.col("vmean") * F.col("w") * F.col("h")).alias("s"),
-        F.col("vmin").alias("mn"),
-        F.col("vmax").alias("mx"),
-    )
 
-    ring_items = sorted(rings.items())
-    part_schema = T.StructType(
-        [
-            T.StructField("polygon_id", T.StringType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("s", T.DoubleType()),
-            T.StructField("mn", T.DoubleType()),
-            T.StructField("mx", T.DoubleType()),
-        ]
-    )
+def zonal_cube(
+    spark: SparkSession,
+    path: str,
+    polygons: list[dict],
+    z: int = 0,
+    max_pushdown_ranges: int = 64,
+) -> DataFrame:
+    """Per-(polygon, t) zonal statistics over an (x, y, t) cube level —
+    ``zonal_raster`` with the time dimension riding through the tile
+    split, the Arrow refine, and the final hash aggregate (one partial row
+    per (tile, t, polygon); the t axis adds keys, never extra scans)."""
+    from ..api import PyramidDataset
+    from ..operators.cube import read_cube_level
 
-    def refine(batches):
-        ringmap = dict(ring_items)
-        for pdf in batches:
-            out = {"polygon_id": [], "n": [], "s": [], "mn": [], "mx": []}
-            for row in pdf.itertuples(index=False):
-                arr = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c).astype(
-                    np.float64, copy=False
-                )
-                if arr.ndim == 3:  # multi-channel: aggregate the channel mean
-                    arr = arr.mean(axis=2)
-                if row.is_full:
-                    mask = np.ones(arr.shape, dtype=bool)
-                else:
-                    sx = (row.xmax - row.xmin) / row.w
-                    sy = (row.ymax - row.ymin) / row.h
-                    cx = row.xmin + (np.arange(row.w) + 0.5) * sx
-                    cy = row.ymin + (np.arange(row.h) + 0.5) * sy
-                    gx, gy = np.meshgrid(cx, cy)
-                    mask = points_in_polygon(
-                        gx.ravel(), gy.ravel(), ringmap[row.polygon_id]
-                    ).reshape(arr.shape)
-                mask &= ~np.isnan(arr)
-                n = int(mask.sum())
-                if n == 0:
-                    continue
-                vals = arr[mask]
-                out["polygon_id"].append(row.polygon_id)
-                out["n"].append(n)
-                out["s"].append(float(vals.sum()))
-                out["mn"].append(float(vals.min()))
-                out["mx"].append(float(vals.max()))
-            yield pd.DataFrame(out, columns=list(part_schema.fieldNames()))
-
-    decode_rows = cand.where(~(F.col("is_full") & int_dtype)).select(
-        "bytes", "w", "h", "c", "dtype", "xmin", "ymin", "xmax", "ymax",
-        "polygon_id", "is_full",
-    )
-    # ray-cast cost is CPU-per-pixel, not bytes: keep the boundary shell
-    # spread across tasks instead of letting AQE coalesce by byte size
-    decode_rows = decode_rows.repartition(
-        max(spark.sparkContext.defaultParallelism, 8)
-    )
-    partials = decode_rows.mapInPandas(refine, part_schema)
-
-    return (
-        interior.unionByName(partials)
-        .groupBy("polygon_id")
-        .agg(
-            F.sum("n").alias("n_px"),
-            F.sum("s").alias("sum_px"),
-            F.min("mn").alias("min_px"),
-            F.max("mx").alias("max_px"),
-        )
-        .withColumn("mean_px", F.col("sum_px") / F.col("n_px"))
+    tiles = read_cube_level(spark, path, z)
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z >= spec.nlevels + 1:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    return _zonal_over_tiles(
+        spark, tiles, spec, polygons, spec.cell_res(z), extra_keys=("t",),
+        max_pushdown_ranges=max_pushdown_ranges,
     )
 
 
