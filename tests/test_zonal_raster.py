@@ -178,3 +178,46 @@ def test_raster_extract_level1_and_pushdown(spark, pyr_path):
     res_nopush = raster_extract(spark, pyr_path, df, z=1, max_pushdown_cells=1)
     got2 = {r["point_id"]: r["value"] for r in res_nopush.collect()}
     assert got2 == got
+
+
+def test_zonal_cube_per_t_matches_brute_force(spark, tmp_path):
+    """Cube zonal: per-(polygon, t) aggregates over a batch-built cube —
+    the t axis rides the group keys; values per slice differ so a t mixup
+    cannot cancel out."""
+    from pyramidscheme_jl_spark.functions.codec import encode_tile
+    from pyramidscheme_jl_spark.operators.cube import build_cube
+    from pyramidscheme_jl_spark.operators.joins import zonal_cube
+
+    n = 2 * SIZE  # G=2 mosaic of 64px slices
+    rows = []
+    for t in (0, 1):
+        for i in range(4):
+            gx, gy = i % 2, i // 2
+            img = ((image_pixels(gx, gy, SIZE).astype(np.int64) + 7 * t) % 256).astype(np.uint8)
+            rows.append({"image_id": f"img-{i:08d}", "bytes": encode_tile(img),
+                         "w": SIZE, "h": SIZE, "fmt": "raw", "caption": "", "phash": 0,
+                         "t": t})
+    images = spark.createDataFrame(rows, IMAGES_DDL + ", t int")
+    path = str(tmp_path / "cube")
+    build_cube(spark, images, path, G=2, reducer="mean", tilesize=SIZE, run_id="zc")
+
+    ring = [[10.0, 12.0], [100.0, 20.0], [90.0, 110.0], [20.0, 100.0]]
+    got = {
+        (r["polygon_id"], r["t"]): r
+        for r in zonal_cube(spark, path, [{"polygon_id": "q", "ring": ring}], z=0).collect()
+    }
+    assert set(got) == {("q", 0), ("q", 1)}
+    ys, xs = np.mgrid[0:n, 0:n]
+    m = points_in_polygon(xs.ravel() + 0.5, ys.ravel() + 0.5, np.asarray(ring)).reshape(n, n)
+    for t in (0, 1):
+        plane = np.zeros((n, n))
+        for gy in range(2):
+            for gx in range(2):
+                plane[gy * SIZE : (gy + 1) * SIZE, gx * SIZE : (gx + 1) * SIZE] = (
+                    image_pixels(gx, gy, SIZE).astype(np.int64) + 7 * t
+                ) % 256
+        v = plane[m]
+        g = got[("q", t)]
+        assert (g["n_px"], g["sum_px"], g["min_px"], g["max_px"]) == (
+            int(m.sum()), v.sum(), v.min(), v.max(),
+        ), t
