@@ -491,6 +491,7 @@ def build_overviews(
     level_dtype: str | None = None,
     fuse_threshold: int = 64,
     verbose: bool = False,
+    tilesize: int | None = None,
 ) -> PyramidSpec:
     """Build levels 1..n over an EXISTING stored base level — the
     reference's flagship ``buildpyramids(path)`` shape (open a stored
@@ -513,14 +514,31 @@ def build_overviews(
         raise KeyError(f"unknown reducer {reducer!r}; supported: {REDUCERS} or a callable")
     ms = read_multiscales(path)
     if ms is not None and all(k in ms for k in ("base_w", "base_h", "tilesize")):
-        spec = PyramidSpec(int(ms["base_w"]), int(ms["base_h"]), int(ms["tilesize"]))
+        ms_ts = int(ms["tilesize"])
+        if tilesize is not None and tilesize != ms_ts:
+            raise ValueError(
+                f"tilesize={tilesize} contradicts the stored multiscales doc ({ms_ts})"
+            )
+        spec = PyramidSpec(int(ms["base_w"]), int(ms["base_h"]), ms_ts)
     else:  # derive plan constants from the stored base (api.open fallback)
+        ts = tilesize if tilesize is not None else DEFAULT_TILESIZE
         base = read_level(spark, path, 0)
         mx = base.agg(
-            F.max(F.col("tx") * DEFAULT_TILESIZE + F.col("w")).alias("w"),
-            F.max(F.col("ty") * DEFAULT_TILESIZE + F.col("h")).alias("h"),
+            F.max(F.col("tx") * ts + F.col("w")).alias("w"),
+            F.max(F.col("ty") * ts + F.col("h")).alias("h"),
+            F.max(F.greatest("w", "h")).alias("maxwh"),
+            F.count("*").alias("n"),
         ).collect()[0]
-        spec = PyramidSpec(int(mx["w"]), int(mx["h"]), DEFAULT_TILESIZE)
+        # any multi-tile level has full-size interior tiles, so the max
+        # tile edge IS the tilesize — a mismatch means the assumed default
+        # would plan a corrupt pyramid (e.g. a 128px-tile base read as 256)
+        if int(mx["n"]) > 1 and int(mx["maxwh"]) != ts:
+            raise ValueError(
+                f"stored base has {mx['maxwh']}px tiles but tilesize resolves "
+                f"to {ts} and no multiscales doc exists; pass tilesize= "
+                "explicitly (guessing would plan a corrupt pyramid)"
+            )
+        spec = PyramidSpec(int(mx["w"]), int(mx["h"]), ts)
     rname = reducer_name(reducer)
     rhash = reducer_hash(reducer if level_dtype is None else f"{rname}@{level_dtype}")
     done = set(committed_levels(spark, path, run_id)) if resume else set()

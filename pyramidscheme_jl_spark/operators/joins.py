@@ -665,7 +665,11 @@ def _zonal_over_tiles(
         .join(F.broadcast(covers), F.col("jcell") == covers["cover_cell"], "inner")
     )
 
-    int_dtype = F.col("dtype").rlike("^u?int")
+    # stats fast path: integer dtype (no NaN possible) AND single-channel —
+    # stored vmin/vmax are per-CHANNEL extremes while the decode tier
+    # aggregates the per-pixel channel MEAN; mixing the two definitions
+    # would corrupt min/max for c>1 (review r6)
+    int_dtype = F.col("dtype").rlike("^u?int") & (F.col("c") == 1)
     interior = cand.where(F.col("is_full") & int_dtype).select(
         "polygon_id",
         *keys,
@@ -816,10 +820,10 @@ def zonal_cube(
     from ..api import PyramidDataset
     from ..operators.cube import read_cube_level
 
-    tiles = read_cube_level(spark, path, z)
     spec = PyramidDataset.open(spark, path).spec
     if z < 0 or z >= spec.nlevels + 1:
         raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    tiles = read_cube_level(spark, path, z)
     return _zonal_over_tiles(
         spark, tiles, spec, polygons, spec.cell_res(z), extra_keys=("t",),
         max_pushdown_ranges=max_pushdown_ranges,

@@ -59,6 +59,11 @@ def rasterize_polygons(
     pixels hold ``fill`` (NaN by default, so tile stats are
     skipmissing-correct like every other tile in the engine).
     """
+    if np.isnan(fill) and not np.issubdtype(np.dtype(dtype), np.floating):
+        raise ValueError(
+            f"dtype {dtype!r} cannot represent the default NaN fill — pass an "
+            "explicit integer fill (astype on NaN is undefined, not a nodata)"
+        )
     spec = PyramidSpec(base_shape[0], base_shape[1], tilesize)
     res0 = spec.res0
     rings: dict[str, np.ndarray] = {}

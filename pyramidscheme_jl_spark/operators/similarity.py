@@ -505,7 +505,10 @@ def pq_topk(
         lut_rows.append((qid, luts))
     spark = data.sparkSession
     luts_df = spark.createDataFrame(
-        lut_rows, f"query_id {dict(data.dtypes)[id_col]}, luts array<array<bigint>>"
+        # query_id values come from the QUERIES side — type the column from
+        # it (a string-keyed queries df against a bigint-keyed corpus would
+        # otherwise fail createDataFrame)
+        lut_rows, f"query_id {dict(queries.dtypes)[id_col]}, luts array<array<bigint>>"
     )
     scored = (
         d.crossJoin(F.broadcast(luts_df))
@@ -685,7 +688,8 @@ def ivfpq_topk(
     spark = data.sparkSession
     luts_df = spark.createDataFrame(
         lut_rows,
-        f"query_id {dict(data.dtypes)[id_col]}, list_id int, luts array<array<bigint>>",
+        # query_id typed from the QUERIES side (see pq_topk)
+        f"query_id {dict(queries.dtypes)[id_col]}, list_id int, luts array<array<bigint>>",
     )
     scored = (
         d.join(F.broadcast(luts_df), "list_id")

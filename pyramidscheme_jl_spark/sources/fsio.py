@@ -170,7 +170,10 @@ class ArrowFS(LocalFS):
         return self._fs().get_file_info(p).type != pafs.FileType.NotFound
 
     def getsize(self, p: str) -> int:
-        return self._fs().get_file_info(p).size
+        size = self._fs().get_file_info(p).size
+        if size is None:  # FileInfo(NotFound).size — match LocalFS's contract
+            raise FileNotFoundError(p)
+        return size
 
     def publish_file(self, d: str, fname, write_fn) -> str:
         import tempfile

@@ -237,3 +237,22 @@ def test_image_phash_dedup_pipeline_end_to_end(spark):
             grp = next(m for m in members.values() if f"img-{i:03d}-v2" in m)
             assert grp == {f"img-{i:03d}", f"img-{i:03d}-v2"}
     assert {r["keep_id"] for r in keep} == {f"img-{i:03d}" for i in near}
+
+
+def test_review_guards(spark, tmp_path):
+    """Round-6 review pins: int dtype rejects the default NaN fill;
+    build_overviews refuses to guess a tilesize for a bare multi-tile base."""
+    from pyramidscheme_jl_spark.operators.build import build_overviews
+    from pyramidscheme_jl_spark.sources.catalog import write_level
+
+    with pytest.raises(ValueError, match="NaN fill"):
+        rasterize_polygons(spark, POLYS, (W, W), dtype="uint8")
+
+    path = str(tmp_path / "bare128")
+    tiles = rasterize_polygons(spark, POLYS, (W, W), tilesize=128)
+    write_level(tiles, path, 0)  # NO multiscales doc on purpose
+    with pytest.raises(ValueError, match="tilesize"):
+        build_overviews(spark, path)
+    # the explicit parameter unblocks it
+    spec = build_overviews(spark, path, tilesize=128)
+    assert spec.tilesize == 128 and spec.nlevels == 1
