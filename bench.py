@@ -454,48 +454,77 @@ def main() -> None:
         total += min(t2, t1) - t1  # total reflects the adjudicated number
         timings[name] = min(t1, t2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "pyramid-build tiles/sec + spatial-join rows/sec + full oracle-query latencies",
-                "value": round(total, 3),
-                "unit": "sec",
-                # rounds 2-5 timed only HEADLINE; this subtotal is the
-                # apples-to-apples number vs BENCH_r{2..5}.json's `value`
-                "value_r5_queries": round(
-                    timings["pyramid_build"] + timings["pip_join"]
-                    + sum(timings[n] for n in HEADLINE), 3,
-                ),
-                "queries": timings,
-                "query_reps": query_reps,
-                "read_window_reps_sec": read_window_reps,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "tiles_per_sec": round(tiles_per_sec, 1),
-                "base_px_per_sec": round(base_px_per_sec, 1),
-                "build_reps_sec": [round(d, 3) for d in dts],  # best-of shown above
-                "build_reps_steal_pct": rep_steal,
-                "steal_pct": steal.pcts,
-                "query_warmup_sec": warmup_sec,
-                "pip_points": n_pts,
-                "pip_pairs": n_pairs,
-                "pip_rows_per_sec": round(n_pts / dt_pip, 1),
-                "ingest_tiles": n_ing_tiles,
-                "ingest_sec": round(dt_ingest, 3),
-                "ingest_tiles_per_sec": round(n_ing_tiles / dt_ingest, 1),
-                "jpeg_images": n_jpegs,
-                "jpeg_decode_px_per_sec": round(n_jpegs * 65536 / dt_codec, 1),
-                "jpeg_decode_imgs_per_sec": round(n_jpegs / dt_codec, 1),
-                "jpeg_reps_sec": codec_reps,
-                "knn_controls": knn_controls,
-                "knn_skew_over_uniform": round(
-                    knn_controls["knn_skew_synth"]
-                    / max(knn_controls["knn_uniform_synth"], 1e-9),
-                    3,
-                ),
-            }
-        )
+    full = {
+        "metric": "pyramid-build tiles/sec + spatial-join rows/sec + full oracle-query latencies",
+        "value": round(total, 3),
+        "unit": "sec",
+        # rounds 2-5 timed only HEADLINE; this subtotal is the
+        # apples-to-apples number vs BENCH_r{2..5}.json's `value`
+        "value_r5_queries": round(
+            timings["pyramid_build"] + timings["pip_join"]
+            + sum(timings[n] for n in HEADLINE), 3,
+        ),
+        "queries": timings,
+        "query_reps": query_reps,
+        "read_window_reps_sec": read_window_reps,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "tiles_per_sec": round(tiles_per_sec, 1),
+        "base_px_per_sec": round(base_px_per_sec, 1),
+        "build_reps_sec": [round(d, 3) for d in dts],  # best-of shown above
+        "build_reps_steal_pct": rep_steal,
+        "steal_pct": steal.pcts,
+        "query_warmup_sec": warmup_sec,
+        "pip_points": n_pts,
+        "pip_pairs": n_pairs,
+        "pip_rows_per_sec": round(n_pts / dt_pip, 1),
+        "ingest_tiles": n_ing_tiles,
+        "ingest_sec": round(dt_ingest, 3),
+        "ingest_tiles_per_sec": round(n_ing_tiles / dt_ingest, 1),
+        "jpeg_images": n_jpegs,
+        "jpeg_decode_px_per_sec": round(n_jpegs * 65536 / dt_codec, 1),
+        "jpeg_decode_imgs_per_sec": round(n_jpegs / dt_codec, 1),
+        "jpeg_reps_sec": codec_reps,
+        "knn_controls": knn_controls,
+        "knn_skew_over_uniform": round(
+            knn_controls["knn_skew_synth"]
+            / max(knn_controls["knn_uniform_synth"], 1e-9),
+            3,
+        ),
+    }
+    # Full telemetry (steal%, reps, controls) goes to a file; the driver
+    # captures only a ~2000-char stdout tail, which the full dict outgrew
+    # in round 6 (BENCH_r06.json came back `parsed: null`). The final
+    # stdout line is a compact dict guaranteed to fit that window.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_bench_full.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f)
+    compact = {
+        "metric": "oracle-suite sec (full telemetry: BENCH/last_bench_full.json)",
+        "value": full["value"],
+        "unit": "sec",
+        "value_r5_queries": full["value_r5_queries"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "tiles_per_sec": full["tiles_per_sec"],
+        "base_px_per_sec": full["base_px_per_sec"],
+        "pip_rows_per_sec": full["pip_rows_per_sec"],
+        "ingest_tiles_per_sec": full["ingest_tiles_per_sec"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900:  # never outgrow the driver's tail window again
+        # drop the longest-named query rows first; their full values
+        # remain in BENCH/last_bench_full.json
+        victim = max(compact["queries"], key=len)
+        del compact["queries"][victim]
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -668,8 +668,14 @@ def _zonal_over_tiles(
     # stats fast path: integer dtype (no NaN possible) AND single-channel —
     # stored vmin/vmax are per-CHANNEL extremes while the decode tier
     # aggregates the per-pixel channel MEAN; mixing the two definitions
-    # would corrupt min/max for c>1 (review r6)
-    int_dtype = F.col("dtype").rlike("^u?int") & (F.col("c") == 1)
+    # would corrupt min/max for c>1 (review r6). Width capped at 32 bits
+    # (ADVICE r6): the tier recovers the pixel sum as round(vmean·w·h),
+    # exact only while the true sum fits a double's 53-bit mantissa —
+    # holds for ≤32-bit values × ≤2^16 px/tile (≤2^48), not for
+    # int64/uint64 tiles, which route to the decode tier instead.
+    int_dtype = (
+        F.col("dtype").rlike("^u?int(8|16|32)$") & (F.col("c") == 1)
+    )
     interior = cand.where(F.col("is_full") & int_dtype).select(
         "polygon_id",
         *keys,
@@ -777,12 +783,15 @@ def zonal_raster(
        level layout (K3b) this skips whole row groups of non-intersecting
        tiles: the scan is O(cover), not O(level).
     2. **Stats-only interior** — tiles under a FULLY-interior cover cell
-       with an integer dtype contribute ``(w*h, round(vmean*w*h), vmin,
-       vmax)`` from their metadata columns alone; the column-pruned scan
-       never materializes ``bytes`` for them. Exact: integer tiles carry no
-       NaN, the stored mean is sum/(w*h) to 1 ulp, and round() recovers the
-       integer sum. (Float tiles may hide NaN — nanmean loses the count —
-       so they route to tier 3 with a skip-the-ray-cast flag.)
+       with an integer dtype of WIDTH <= 32 bits contribute ``(w*h,
+       round(vmean*w*h), vmin, vmax)`` from their metadata columns alone;
+       the column-pruned scan never materializes ``bytes`` for them.
+       Exact: integer tiles carry no NaN, the stored mean is sum/(w*h) to
+       1 ulp, and round() recovers the integer sum because <=32-bit values
+       x <=2^16 px/tile keep the true sum under double's 53-bit mantissa.
+       (Float tiles may hide NaN — nanmean loses the count — and
+       int64/uint64 sums can exceed 2^53 where the recovery is silently
+       off (ADVICE r6), so both route to tier 3.)
     3. **Decode boundary shell** — boundary tiles (and interior float
        tiles) decode in an Arrow-batched stage; pixel CENTERS ray-cast
        against the polygon ring (same even-odd kernel as J3), NaNs skipped,

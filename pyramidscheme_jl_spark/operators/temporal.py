@@ -180,8 +180,16 @@ def asof_join(
         matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
     else:
         tl = _ordinal_long(F.col("__t"), left.schema[on].dataType)
-        wd = F.lit(int(bucket_width)).cast("long")
-        u = u.withColumn("__bk", ((tl - F.pmod(tl, wd)) / wd).cast("long"))
+        # `div` keeps everything in int64 — Spark's `/` is double division,
+        # which rounds ordinals >= 2^53 (ns-scale ints) to the wrong bucket
+        # (ADVICE r6). pmod first keeps floor semantics for negatives.
+        u = u.withColumn("__tl", tl).withColumn(
+            "__bk",
+            F.expr(
+                f"(__tl - pmod(__tl, {int(bucket_width)}L)) "
+                f"div {int(bucket_width)}L"
+            ),
+        ).drop("__tl")
         w = (
             Window.partitionBy(*by, "__bk")
             .orderBy(*order)

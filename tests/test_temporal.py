@@ -171,3 +171,35 @@ def test_asof_join_timestamp_ntz_on(spark):
     # only the eid=1 match (5 s gap); eid=2's gap is 10 s
     tol = asof_join(l, r, on="ts", by="user", tiebreak="qid", tolerance=5_000_000)
     assert {row.eid for row in tol.collect()} == {1}
+
+
+def test_asof_join_bucketed_exact_past_2p53(spark):
+    """ADVICE r6: bucket ids must come from int64 `div`, not double
+    division — at nanosecond-scale ordinals (>= 2^53) double rounding
+    would mis-bucket rows. Two ordinals one bucket apart near 2^60 must
+    land in different buckets and match exactly like the plain window."""
+    base = 1 << 60
+    w = 1000
+    l = spark.createDataFrame(
+        [(1, "u", base + 1500), (2, "u", base + 2500)], "eid long, user string, t long"
+    )
+    r = spark.createDataFrame(
+        [(10, "u", base + 1400, 1.0), (11, "u", base + 2400, 2.0)],
+        "qid long, user string, t long, v double",
+    )
+    plain = sorted(
+        map(tuple, asof_join(l, r, on="t", by="user", tiebreak="qid").collect())
+    )
+    buck = sorted(
+        map(
+            tuple,
+            asof_join(
+                l, r, on="t", by="user", tiebreak="qid", bucket_width=w
+            ).collect(),
+        )
+    )
+    assert buck == plain
+    got = {(row.eid, row.v_right) for row in asof_join(
+        l, r, on="t", by="user", tiebreak="qid", bucket_width=w
+    ).collect()}
+    assert got == {(1, 1.0), (2, 2.0)}

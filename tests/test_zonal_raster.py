@@ -221,3 +221,41 @@ def test_zonal_cube_per_t_matches_brute_force(spark, tmp_path):
         assert (g["n_px"], g["sum_px"], g["min_px"], g["max_px"]) == (
             int(m.sum()), v.sum(), v.min(), v.max(),
         ), t
+
+
+def test_zonal_int64_tiles_route_to_decode_tier(spark):
+    """ADVICE r6: the stats-only interior tier recovers the pixel sum as
+    round(vmean*w*h) — exact only while the true sum fits double's 53-bit
+    mantissa, so 64-bit integer tiles must DECODE instead. Detection: a
+    full-interior tile whose stored vmean deliberately LIES. int32 (fast
+    path trusts metadata) reproduces the lie; int64 (decode tier reads
+    pixels) reports the truth."""
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+    from pyramidscheme_jl_spark.operators.joins import _zonal_over_tiles
+    from pyramidscheme_jl_spark.sources.catalog import TILE_SCHEMA
+
+    spec = PyramidSpec(4 * SIZE, 4 * SIZE, SIZE)
+    # a polygon covering tile (1,1) entirely (full-interior cover cells)
+    ring = [(60.0, 60.0), (196.0, 62.0), (194.0, 196.0), (62.0, 194.0)]
+    polys = [{"polygon_id": "p", "ring": [list(v) for v in ring]}]
+
+    def tiles_df(dtype):
+        rows = []
+        for ty in range(4):
+            for tx in range(4):
+                arr = np.full((SIZE, SIZE), 7, dtype=dtype)
+                row = _tile_row(spec, 0, tx, ty, arr)
+                row["vmean"] = 999.0  # the lie tier 2 would trust
+                rows.append(row)
+        sdf = spark.createDataFrame(_rows_to_pdf(rows), TILE_SCHEMA)
+        return sdf.withColumn("z", F.lit(0).cast("int"))
+
+    res_z = spec.cell_res(0)
+    got64 = _zonal_over_tiles(spark, tiles_df(np.int64), spec, polys, res_z).collect()[0]
+    got32 = _zonal_over_tiles(spark, tiles_df(np.int32), spec, polys, res_z).collect()[0]
+    # decode tier: every counted pixel is 7
+    assert got64["mean_px"] == pytest.approx(7.0)
+    # tier-2 rows exist for int32 (interior tiles trusted the lie), so the
+    # blended mean must exceed the truth — proving the fast path ran there
+    assert got32["mean_px"] > 7.0
+    assert got64["n_px"] == got32["n_px"]
