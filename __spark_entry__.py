@@ -832,6 +832,125 @@ def q_rasterize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- r7: holes + multipolygons across the spatial surface -----------------
+# A holed multipolygon in the pip fixture's 128-world (points are the
+# integer part lattice; vertices at .5 keep lattice points off every edge):
+# outer A with a rectangular hole, plus a disjoint quad B.
+_MP_OUTER_A = [(4.5, 0.5), (80.5, 0.5), (80.5, 12.5), (4.5, 12.5)]
+_MP_HOLE_A = [(20.5, 3.5), (40.5, 3.5), (40.5, 9.5), (20.5, 9.5)]
+_MP_PART_B = [(90.5, 1.5), (120.5, 2.5), (110.5, 11.5), (92.5, 8.5)]
+# The zonal/rasterize twin in the 512-world: the (non-convex) P1 hexagon
+# with a rectangular hole, plus a disjoint triangle outside P1; and an
+# overlapping quad that paints INTO the hole (rasterize paint-order test).
+_MPZ_HOLE = [(150.0, 150.0), (300.0, 150.0), (300.0, 250.0), (150.0, 250.0)]
+_MPZ_TRI = [(480.0, 430.0), (505.0, 445.0), (470.0, 470.0)]
+_MPZ_QUAD = [(170.0, 170.0), (280.0, 175.0), (270.0, 230.0), (175.0, 225.0)]
+
+
+def _evenodd_sql(rings, cx: str, cy: str) -> str:
+    """Even-odd crossing-parity predicate at ``(cx, cy)`` over ALL rings'
+    closed edges — the exact SQL twin of ``points_in_polygon`` (identical
+    IEEE-double expression ``dx*(cy-y1)/dy + x1`` with the same half-open
+    crossing rule), so holes and multipolygon parts fall out of the same
+    parity test on both engines. Horizontal edges are skipped on both
+    sides (the crossing condition is identically false)."""
+    terms = []
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = float(ring[i][0]), float(ring[i][1])
+            x2, y2 = float(ring[(i + 1) % n][0]), float(ring[(i + 1) % n][1])
+            if y2 == y1:
+                continue  # numpy: cond is False; SQL: avoid div-by-zero
+            terms.append(
+                f"CASE WHEN (({y1!r} > {cy}) <> ({y2!r} > {cy})) AND "
+                f"({cx} < {x2 - x1!r} * ({cy} - {y1!r}) / {y2 - y1!r} + {x1!r}) "
+                "THEN 1 ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def q_pip_join_mp(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 over a HOLED MULTIPOLYGON (r7): outer ring with a rectangular
+    hole plus a disjoint part, one ``polygon_id`` — lattice points inside
+    the hole must NOT match; points in either part must. Exercises
+    ``as_rings`` normalization through cover planning, full-cell
+    classification (no full cell inside the hole), and the multi-ring
+    ray-cast refine."""
+    from pyramidscheme_jl_spark.operators.joins import (
+        point_in_polygon_join,
+        with_point_cells,
+    )
+
+    pts = _points_part(spark, sf).select(
+        F.format_string("p-%09d", F.col("p_partkey").cast("int")).alias("point_id"),
+        F.col("px").cast("double").alias("x"),
+        F.col("py").cast("double").alias("y"),
+    )
+    pts = with_point_cells(pts, 5, 128.0)
+    polys = [{"polygon_id": "mp-a", "ring": [[_MP_OUTER_A, _MP_HOLE_A], [_MP_PART_B]]}]
+    out = point_in_polygon_join(spark, pts, polys, 5, 128.0)
+    return out.select(
+        F.substring("point_id", 3, 9).cast("long").alias("p_partkey"), "polygon_id"
+    )
+
+
+def q_zonal_raster_mp(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster zonal statistics over a HOLED MULTIPOLYGON (r7): P1 minus a
+    rectangular hole plus a disjoint triangle, one zone. Hole pixels are
+    excluded by the same even-odd parity on both engines; interior tiles
+    strictly between outer and hole still take the stats-only tier."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import zonal_raster
+
+    path = _ensure_zonal_pyramid(spark)
+    polys = [{
+        "polygon_id": "mph",
+        "ring": [[[list(v) for v in _ZONAL_RING_P1], [list(v) for v in _MPZ_HOLE]],
+                 [[list(v) for v in _MPZ_TRI]]],
+    }]
+    res = zonal_raster(spark, path, polys, z=0)
+    return res.select(
+        "polygon_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+        F.expr("CAST(sum_px AS BIGINT) * 1000 DIV n_px").alias("mean_milli"),
+    )
+
+
+def q_rasterize_mp(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector->raster burn with holes + paint order (r7): the holed
+    multipolygon burns 10, then an overlapping quad burns 20 INTO the
+    hole region — hole pixels of the first polygon stay unburned unless
+    the second covers them (GDAL interior-ring semantics + last-wins
+    paint order in one fixture)."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.raster import rasterize_polygons
+
+    polys = [
+        {"polygon_id": "mph", "value": 10.0,
+         "ring": [[[list(v) for v in _ZONAL_RING_P1], [list(v) for v in _MPZ_HOLE]],
+                  [[list(v) for v in _MPZ_TRI]]]},
+        {"polygon_id": "q20", "value": 20.0, "ring": [list(v) for v in _MPZ_QUAD]},
+    ]
+    tiles = rasterize_polygons(spark, polys, (512, 512), tilesize=128)
+
+    def q(c: str):
+        return F.expr(f"CAST(FLOOR({c} * 1048576 + 0.5) AS BIGINT)").alias(f"{c}_u")
+
+    return tiles.select(
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        q("vmin"),
+        q("vmax"),
+        q("vmean"),
+    )
+
+
 def q_zonal_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(polygon, t) zonal statistics over the STREAMED (x, y, t) cube
     fixture (joins.zonal_cube): the time axis rides through the tile
@@ -953,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_raster": q_zonal_raster,
         "raster_extract": q_raster_extract,
         "rasterize_stats": q_rasterize_stats,
+        "pip_join_mp": q_pip_join_mp,
+        "zonal_raster_mp": q_zonal_raster_mp,
+        "rasterize_mp": q_rasterize_mp,
         "zonal_cube_stats": q_zonal_cube_stats,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "streamed_cube_stats": q_streamed_cube_stats,
@@ -1535,6 +1657,61 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                           CASE WHEN {_zonal_halfplane_sql(_ZONAL_RING_P3)} THEN 30.0
                                WHEN {_zonal_halfplane_sql(_ZONAL_RING_P2)} THEN 20.0
                                WHEN {_zonal_halfplane_sql(_ZONAL_RING_P1)} THEN 10.0
+                          END AS v
+                   FROM pix)
+            SELECT CAST(px // 128 AS BIGINT) AS tx,
+                   CAST(py // 128 AS BIGINT) AS ty,
+                   CAST(128 AS BIGINT) AS w,
+                   CAST(128 AS BIGINT) AS h,
+                   CAST(FLOOR(MIN(v) * 1048576 + 0.5) AS BIGINT) AS vmin_u,
+                   CAST(FLOOR(MAX(v) * 1048576 + 0.5) AS BIGINT) AS vmax_u,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(v) * 1048576 + 0.5) AS BIGINT) AS vmean_u
+            FROM val WHERE v IS NOT NULL GROUP BY 1, 2
+        """,
+        # r7 holed multipolygon: even-odd parity over the concatenated
+        # closed edge list of [outer, hole] + [part] — the same crossing
+        # expression as the engine kernel, term-for-term in IEEE double
+        "pip_join_mp": f"""
+            WITH pts AS (
+              SELECT p_partkey,
+                     CAST(p_partkey % 128 AS DOUBLE) AS px,
+                     CAST(p_partkey // 128 % 128 AS DOUBLE) AS py
+              FROM part)
+            SELECT p_partkey, 'mp-a' AS polygon_id
+            FROM pts
+            WHERE {_evenodd_sql([_MP_OUTER_A, _MP_HOLE_A, _MP_PART_B], "px", "py")}
+        """,
+        "zonal_raster_mp": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS v,
+                          CAST(px AS DOUBLE) + 0.5 AS cx,
+                          CAST(py AS DOUBLE) + 0.5 AS cy
+                   FROM xs CROSS JOIN ys)
+            SELECT 'mph' AS polygon_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_px,
+                   CAST(MIN(v) AS BIGINT) AS min_px,
+                   CAST(MAX(v) AS BIGINT) AS max_px,
+                   CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+            FROM pix
+            WHERE {_evenodd_sql([_ZONAL_RING_P1, _MPZ_HOLE, _MPZ_TRI], "cx", "cy")}
+        """,
+        # holes + paint order: the quad (painted LAST) wins wherever it
+        # overlaps — including inside the first polygon's hole
+        "rasterize_mp": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (SELECT px, py,
+                                CAST(px AS DOUBLE) + 0.5 AS cx,
+                                CAST(py AS DOUBLE) + 0.5 AS cy
+                         FROM xs CROSS JOIN ys),
+                 val AS (
+                   SELECT px, py,
+                          CASE WHEN {_evenodd_sql([_MPZ_QUAD], "cx", "cy")} THEN 20.0
+                               WHEN {_evenodd_sql([_ZONAL_RING_P1, _MPZ_HOLE, _MPZ_TRI], "cx", "cy")} THEN 10.0
                           END AS v
                    FROM pix)
             SELECT CAST(px // 128 AS BIGINT) AS tx,

@@ -68,12 +68,14 @@ EXTRA = [
     "hamming_near_dup",
     "rasterize_stats",
     "dedup_components",
+    "pip_join_mp",
+    "rasterize_mp",
 ]
 
 # fixture-building rows (streamed pyramids / the zonal built pyramid)
 # memoize a /dev/shm dataset on first call; one untimed call absorbs
 # fixture creation, the timed call measures the query
-STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats", "zonal_raster", "raster_extract", "zonal_cube_stats"]
+STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats", "zonal_raster", "raster_extract", "zonal_cube_stats", "zonal_raster_mp"]
 
 #: auto-rep threshold (VERDICT r5 #1): any query slower than 1.5x its
 #: previous-round number re-runs once and records both reps — drift like

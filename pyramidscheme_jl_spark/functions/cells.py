@@ -160,20 +160,70 @@ def compact_cells(cells) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd ray cast: are points inside the (closed) ring?
+def as_rings(geom) -> list[np.ndarray]:
+    """Normalize a geometry to a flat list of (n, 2) float64 rings under
+    EVEN-ODD semantics (r7: polygon holes + multipolygons — the last
+    semantic gap between demo polygons and real GIS boundary data, where
+    admin regions / land cover / lakes are multipolygon-with-holes on row
+    one). Accepted shapes:
+
+    - a single ring: (n, 2) array-like                      -> [ring]
+    - a ring list  : [outer, hole, ...] or several outers   -> as-is
+    - a multipolygon: [[outer, hole, ...], [outer, ...]]    -> flattened
+
+    Under even-odd, the flat list IS the geometry: a point inside exactly
+    one ring (an outer) is in; inside two (outer + hole) is out; disjoint
+    parts are independent. No orientation or nesting bookkeeping needed —
+    which is also why the DuckDB oracle twin is just the concatenated
+    closed edge list of every ring."""
+    arr = None
+    try:
+        arr = np.asarray(geom, dtype=np.float64)
+    except (ValueError, TypeError):
+        pass
+    if arr is not None and arr.ndim == 2 and arr.shape[1] == 2:
+        return [arr]
+    if arr is not None and arr.ndim == 3 and arr.shape[2] == 2:
+        return [arr[i] for i in range(arr.shape[0])]
+    out: list[np.ndarray] = []
+    for part in geom:  # ragged list: rings and/or nested polygons
+        out.extend(as_rings(part))
+    if not out:
+        raise ValueError("empty geometry: no rings")
+    return out
+
+
+def _ring_edges(rings: list[np.ndarray]):
+    """Concatenated closed edge arrays (x1, y1, x2, y2) — each ring closes
+    onto itself; NO edge spans two rings."""
+    if len(rings) == 1:
+        x1, y1 = rings[0][:, 0], rings[0][:, 1]
+        return x1, y1, np.roll(x1, -1), np.roll(y1, -1)
+    xs1 = [r[:, 0] for r in rings]
+    ys1 = [r[:, 1] for r in rings]
+    return (
+        np.concatenate(xs1),
+        np.concatenate(ys1),
+        np.concatenate([np.roll(x, -1) for x in xs1]),
+        np.concatenate([np.roll(y, -1) for y in ys1]),
+    )
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring) -> np.ndarray:
+    """Vectorized even-odd ray cast: are points inside the geometry?
 
     Half-open boundary rule: edges crossing strictly above the point count;
     a point exactly on a horizontal edge or right boundary is outside, on a
     left/bottom boundary inside — consistent & deterministic, pinned by tests
     (FIXTURES.md §4 boundary rule).
-    ``ring``: (n, 2) array of vertices (auto-closed).
+    ``ring``: any ``as_rings`` shape — a single (n, 2) ring (auto-closed),
+    a ring list ``[outer, hole, ...]``, or a multipolygon. Crossings sum
+    over ALL rings' edges, so holes and disjoint parts fall out of the
+    same parity test (r7).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    r = np.asarray(ring, dtype=np.float64)
-    x1, y1 = r[:, 0], r[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    x1, y1, x2, y2 = _ring_edges(as_rings(ring))
     # (chunk, nedges) crossing test, cache-blocked: the full (npts, nedges)
     # float64 matrix is ~70 MB for a 256px tile against a 128-edge ring and
     # the kernel becomes memory-bandwidth-bound (measured: the un-blocked
@@ -197,11 +247,10 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     return out
 
 
-def _segments_intersect_rect(ring: np.ndarray, rx0, ry0, rx1, ry1) -> bool:
-    """Does any ring edge intersect the axis-aligned rect? (Cohen-style tests)"""
-    r = np.asarray(ring, dtype=np.float64)
-    ax, ay = r[:, 0], r[:, 1]
-    bx, by = np.roll(ax, -1), np.roll(ay, -1)
+def _segments_intersect_rect(ring, rx0, ry0, rx1, ry1) -> bool:
+    """Does any edge of the geometry intersect the axis-aligned rect?
+    (Cohen-style tests; ``ring`` takes any ``as_rings`` shape.)"""
+    ax, ay, bx, by = _ring_edges(as_rings(ring))
     # quick reject: edge bbox disjoint from rect
     reject = (
         (np.maximum(ax, bx) < rx0)
@@ -234,17 +283,20 @@ def _segments_intersect_rect(ring: np.ndarray, rx0, ry0, rx1, ry1) -> bool:
 
 
 def polygon_to_cells_classified(
-    ring: np.ndarray, res: int, world: float
+    ring, res: int, world: float
 ) -> tuple[np.ndarray, np.ndarray]:
     """Compact cover split into (cells, is_full) where ``is_full`` marks cells
-    entirely inside the polygon.
+    entirely inside the geometry (for holed polygons: inside the outer AND
+    outside every hole — the even-odd corner test plus the no-edge/no-vertex
+    guards over ALL rings give exactly that).
 
     The distinction drives the filter+refine join (J3): points in *full*
     cells are inside with no ray-cast at all — at scale that's the vast
     majority, so the exact test runs only on the boundary shell.
     """
-    cover = polygon_to_cells(ring, res, world, compact=True)
-    ring = np.asarray(ring, dtype=np.float64)
+    rings = as_rings(ring)
+    cover = polygon_to_cells(rings, res, world, compact=True)
+    allv = np.concatenate(rings)
     is_full = np.zeros(len(cover), dtype=bool)
     ix, iy, r = cell_to_xy(cover)
     for i in range(len(cover)):
@@ -252,44 +304,48 @@ def polygon_to_cells_classified(
         x0, y0 = ix[i] * size, iy[i] * size
         x1, y1 = x0 + size, y0 + size
         corners = points_in_polygon(
-            np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]), ring
+            np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]), rings
         )
         vert_in = (
-            (ring[:, 0] >= x0) & (ring[:, 0] <= x1) & (ring[:, 1] >= y0) & (ring[:, 1] <= y1)
+            (allv[:, 0] >= x0) & (allv[:, 0] <= x1) & (allv[:, 1] >= y0) & (allv[:, 1] <= y1)
         ).any()
         is_full[i] = bool(
-            corners.all() and not vert_in and not _segments_intersect_rect(ring, x0, y0, x1, y1)
+            corners.all() and not vert_in and not _segments_intersect_rect(rings, x0, y0, x1, y1)
         )
     return cover, is_full
 
 
-def polygon_to_cells(ring: np.ndarray, res: int, world: float, compact: bool = True) -> np.ndarray:
-    """Compact cover of a polygon: recursive quadtree descent.
+def polygon_to_cells(ring, res: int, world: float, compact: bool = True) -> np.ndarray:
+    """Compact cover of a geometry (any ``as_rings`` shape): recursive
+    quadtree descent.
 
-    - cell fully inside polygon  -> keep at current res (compact)
-    - cell disjoint from polygon -> drop
+    - cell fully inside          -> keep at current res (compact)
+    - cell disjoint              -> drop (this includes cells wholly inside
+      a HOLE: all four corners test outside under even-odd, and no hole
+      edge crosses the cell)
     - partial                    -> recurse until ``res``; keep intersecting leaves
 
-    The cover is a superset of the polygon (leaf cells may only partially
+    The cover is a superset of the geometry (leaf cells may only partially
     overlap) — callers refine with exact ray casting (filter+refine join J3).
     """
-    ring = np.asarray(ring, dtype=np.float64)
+    rings = as_rings(ring)
+    allv = np.concatenate(rings)
+    bx0, by0 = allv[:, 0].min(), allv[:, 1].min()
+    bx1, by1 = allv[:, 0].max(), allv[:, 1].max()
     out: list[int] = []
 
     def visit(r: int, ix: int, iy: int) -> None:
         size = world / (1 << r)
         x0, y0 = ix * size, iy * size
         x1, y1 = x0 + size, y0 + size
-        bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
-        bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
         if x1 <= bx0 or x0 >= bx1 or y1 <= by0 or y0 >= by1:
             return
         corners_in = points_in_polygon(
-            np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]), ring
+            np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]), rings
         )
-        edge_hit = _segments_intersect_rect(ring, x0, y0, x1, y1)
+        edge_hit = _segments_intersect_rect(rings, x0, y0, x1, y1)
         vert_in = (
-            (ring[:, 0] >= x0) & (ring[:, 0] <= x1) & (ring[:, 1] >= y0) & (ring[:, 1] <= y1)
+            (allv[:, 0] >= x0) & (allv[:, 0] <= x1) & (allv[:, 1] >= y0) & (allv[:, 1] <= y1)
         ).any()
         if corners_in.all() and not edge_hit and not vert_in:
             out.append(int(xy_to_cell(ix, iy, r)))  # fully inside

@@ -120,14 +120,22 @@ def salted_repartition(
 
 def _covers_df(
     spark: SparkSession, polygons: list[dict], res: int, world: float
-) -> tuple[DataFrame, dict[str, np.ndarray], list[int]]:
-    """Driver-side planning: compact covers for each polygon (dims-sized)."""
+) -> tuple[DataFrame, dict[str, list[np.ndarray]], list[int]]:
+    """Driver-side planning: compact covers for each polygon (dims-sized).
+
+    Each polygon dict carries its geometry under ``"ring"`` (or the alias
+    ``"rings"``) in any ``as_rings`` shape: a single ring, a ring list
+    ``[outer, hole, ...]``, or a multipolygon (r7). The returned ringmap
+    values are normalized ring LISTS — every refine kernel feeds them to
+    ``points_in_polygon``, which takes that shape natively."""
+    from ..functions.cells import as_rings
+
     rows = []
-    rings: dict[str, np.ndarray] = {}
+    rings: dict[str, list[np.ndarray]] = {}
     for p in polygons:
-        ring = np.asarray(p["ring"], dtype=np.float64)
-        rings[p["polygon_id"]] = ring
-        cells, is_full = polygon_to_cells_classified(ring, res, world)
+        geom = as_rings(p.get("rings", p.get("ring")))
+        rings[p["polygon_id"]] = geom
+        cells, is_full = polygon_to_cells_classified(geom, res, world)
         for c, f in zip(cells.tolist(), is_full.tolist()):
             rows.append((p["polygon_id"], int(c), int(cell_res(np.int64(c))), bool(f)))
     schema = "polygon_id string, cover_cell long, cover_res int, is_full boolean"

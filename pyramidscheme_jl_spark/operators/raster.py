@@ -52,13 +52,18 @@ def rasterize_polygons(
     fill: float = np.nan,
     dtype: str = "float64",
 ) -> DataFrame:
-    """Burn ``polygons`` (dicts with ``polygon_id``, ``ring`` and an
-    optional ``value_key`` burn value, default 1.0) into base-level tiles
-    of a ``base_shape`` raster. Returns a TILE_SCHEMA DataFrame (z=0),
-    one row per tile containing at least one burned pixel; unburned
-    pixels hold ``fill`` (NaN by default, so tile stats are
-    skipmissing-correct like every other tile in the engine).
+    """Burn ``polygons`` (dicts with ``polygon_id``, ``ring`` — any
+    ``as_rings`` shape: single ring, ``[outer, hole, ...]``, or a
+    multipolygon (r7) — and an optional ``value_key`` burn value, default
+    1.0) into base-level tiles of a ``base_shape`` raster. Returns a
+    TILE_SCHEMA DataFrame (z=0), one row per tile containing at least one
+    burned pixel; unburned pixels hold ``fill`` (NaN by default, so tile
+    stats are skipmissing-correct like every other tile in the engine).
+    Hole pixels are NOT burned (even-odd), matching GDAL's rasterize
+    semantics for interior rings.
     """
+    from ..functions.cells import as_rings
+
     if np.isnan(fill) and not np.issubdtype(np.dtype(dtype), np.floating):
         raise ValueError(
             f"dtype {dtype!r} cannot represent the default NaN fill — pass an "
@@ -66,14 +71,14 @@ def rasterize_polygons(
         )
     spec = PyramidSpec(base_shape[0], base_shape[1], tilesize)
     res0 = spec.res0
-    rings: dict[str, np.ndarray] = {}
+    rings: dict[str, list[np.ndarray]] = {}
     values: dict[str, float] = {}
     rows = []
     for ordinal, p in enumerate(polygons):
         pid = p["polygon_id"]
         if pid in rings:
             raise ValueError(f"duplicate polygon_id {pid!r}")
-        rings[pid] = np.asarray(p["ring"], dtype=np.float64)
+        rings[pid] = as_rings(p.get("rings", p.get("ring")))
         values[pid] = float(p.get(value_key, 1.0))
         cells, is_full = polygon_to_cells_classified(rings[pid], res0, spec.world)
         for c, full in zip(cells.tolist(), is_full.tolist()):

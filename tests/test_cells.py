@@ -152,3 +152,82 @@ def test_polygon_cover_excludes_far_cells():
     # no cover cell lies fully outside the square's bbox
     assert ((ix + 1) * size > 2.0).all() and (ix * size < 6.0).all()
     assert ((iy + 1) * size > 2.0).all() and (iy * size < 6.0).all()
+
+
+# --- r7: holes + multipolygons (even-odd over a flat ring list) -----------
+
+OUTER = [(1.0, 1.0), (7.0, 1.0), (7.0, 7.0), (1.0, 7.0)]
+HOLE = [(3.0, 3.0), (5.0, 3.0), (5.0, 5.0), (3.0, 5.0)]
+PART2 = [(9.0, 9.0), (11.0, 9.0), (11.0, 11.0), (9.0, 11.0)]
+
+
+def test_as_rings_shapes():
+    from pyramidscheme_jl_spark.functions.cells import as_rings
+
+    single = as_rings(OUTER)
+    assert len(single) == 1 and single[0].shape == (4, 2)
+    holed = as_rings([OUTER, HOLE])
+    assert len(holed) == 2
+    # multipolygon: [[outer, hole], [outer]] — ragged nesting flattens
+    mp = as_rings([[OUTER, HOLE], [PART2]])
+    assert len(mp) == 3
+    # ndarray input stays supported
+    assert len(as_rings(np.asarray(OUTER, dtype=np.float64))) == 1
+    # ragged ring lengths (5-vertex outer + 4-vertex hole)
+    outer5 = OUTER + [(1.0, 4.0)]
+    assert len(as_rings([outer5, HOLE])) == 2
+
+
+def test_pip_holes_and_multipolygon():
+    geom = [[OUTER, HOLE], [PART2]]
+    px = np.array([2.0, 4.0, 10.0, 8.0, 0.5, 4.0])
+    py = np.array([2.0, 4.0, 10.0, 8.0, 0.5, 2.0])
+    # in ring only / in hole / in part2 / between parts / outside / in ring
+    got = points_in_polygon(px, py, geom)
+    assert got.tolist() == [True, False, True, False, False, True]
+    # naive even-odd over the concatenated closed edge list agrees
+    def naive(x, y):
+        cross = 0
+        for ring in (OUTER, HOLE, PART2):
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                    cross += 1
+        return cross % 2 == 1
+    rng = np.random.RandomState(11)
+    qx = rng.uniform(0, 12, 400)
+    qy = rng.uniform(0, 12, 400)
+    want = np.array([naive(x, y) for x, y in zip(qx, qy)])
+    np.testing.assert_array_equal(points_in_polygon(qx, qy, geom), want)
+
+
+def test_polygon_to_cells_classified_holes():
+    from pyramidscheme_jl_spark.functions.cells import polygon_to_cells_classified
+
+    world = 16.0
+    res = 5  # 0.5-unit cells: the 2x2 hole has strict-interior cells
+    cover, is_full = polygon_to_cells_classified([OUTER, HOLE], res, world)
+    ix, iy, r = cell_to_xy(cover)
+    for i in range(len(cover)):
+        size = world / (1 << int(r[i]))
+        x0, y0 = float(ix[i]) * size, float(iy[i]) * size
+        x1, y1 = x0 + size, y0 + size
+        # 1. no cover cell lies strictly inside the hole (cells TOUCHING
+        # the hole boundary remain as partial leaves — the cover is a
+        # superset; refine handles exactness)
+        assert not (x0 > 3.0 and x1 < 5.0 and y0 > 3.0 and y1 < 5.0), (
+            "cell strictly inside the hole must be dropped", (x0, y0, x1, y1))
+        if is_full[i]:
+            # 2. full cells are inside the outer and disjoint from the hole
+            assert x0 >= 1.0 and x1 <= 7.0 and y0 >= 1.0 and y1 <= 7.0
+            assert x1 <= 3.0 or x0 >= 5.0 or y1 <= 3.0 or y0 >= 5.0
+    # 3. cells straddling the hole boundary exist and are NOT full
+    straddle = [
+        i for i in range(len(cover))
+        if not is_full[i]
+    ]
+    assert straddle, "expected boundary cells around the hole"
+    # full interior ring exists between outer and hole
+    assert is_full.any()

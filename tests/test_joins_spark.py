@@ -340,3 +340,44 @@ def test_knn_hot_cell_salting_exact_under_skew(spark):
             nid, d = got[(qid, rank)]
             assert nid == ids[i], (qid, rank, nid, ids[i])
             assert abs(d - dist[i]) < 1e-9
+
+
+def test_pip_join_multipolygon_with_hole(spark):
+    """r7: point_in_polygon_join over a holed multipolygon — points in the
+    hole excluded, points in the disjoint part included, brute-force
+    even-odd as truth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyramidscheme_jl_spark.functions.cells import points_in_polygon
+    from pyramidscheme_jl_spark.operators.joins import (
+        point_in_polygon_join,
+        with_point_cells,
+    )
+
+    outer = [(4.5, 0.5), (80.5, 0.5), (80.5, 70.5), (4.5, 70.5)]
+    hole = [(20.5, 20.5), (50.5, 20.5), (50.5, 50.5), (20.5, 50.5)]
+    part2 = [(90.5, 90.5), (120.5, 92.5), (110.5, 120.5)]
+    geom = [[outer, hole], [part2]]
+
+    rng = np.random.RandomState(3)
+    xs = rng.uniform(0, 128, 800)
+    ys = rng.uniform(0, 128, 800)
+    pts = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "point_id string, x double, y double",
+    )
+    pts = with_point_cells(pts, 5, 128.0)
+    got = {
+        r["point_id"]
+        for r in point_in_polygon_join(
+            spark, pts, [{"polygon_id": "g", "ring": geom}], 5, 128.0
+        ).collect()
+    }
+    want_mask = points_in_polygon(xs, ys, geom)
+    want = {f"p{i}" for i in range(800) if want_mask[i]}
+    assert got == want
+    # the fixture is non-degenerate: some points in the hole, some in part2
+    in_hole = points_in_polygon(xs, ys, [hole])
+    assert in_hole.any() and not (want_mask & in_hole).any()
+    assert points_in_polygon(xs, ys, [part2]).any()

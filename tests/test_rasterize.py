@@ -256,3 +256,36 @@ def test_review_guards(spark, tmp_path):
     # the explicit parameter unblocks it
     spec = build_overviews(spark, path, tilesize=128)
     assert spec.tilesize == 128 and spec.nlevels == 1
+
+
+def test_rasterize_holed_multipolygon_paint_order(spark):
+    """r7: hole pixels of an earlier polygon stay unburned unless a LATER
+    polygon paints into them — even-odd interior rings composed with
+    last-wins paint order, decoded pixel-exact against the numpy oracle."""
+    outer = [[20.0, 20.0], [200.0, 30.0], [180.0, 210.0], [30.0, 190.0]]
+    hole = [[60.0, 60.0], [140.0, 65.0], [135.0, 140.0], [65.0, 135.0]]
+    part2 = [[210.0, 210.0], [245.0, 215.0], [220.0, 245.0]]
+    quad = [[80.0, 80.0], [120.0, 85.0], [115.0, 120.0], [85.0, 115.0]]
+    polys = [
+        {"polygon_id": "mph", "ring": [[outer, hole], [part2]], "value": 10.0},
+        {"polygon_id": "q", "ring": quad, "value": 20.0},
+    ]
+    tiles = rasterize_polygons(spark, polys, (W, W), tilesize=128).collect()
+
+    plane = np.full((W, W), np.nan)
+    ys, xs = np.mgrid[0:W, 0:W]
+    cx, cy = xs.ravel() + 0.5, ys.ravel() + 0.5
+    m1 = points_in_polygon(cx, cy, [outer, hole, part2]).reshape(W, W)
+    plane[m1] = 10.0
+    m2 = points_in_polygon(cx, cy, [quad]).reshape(W, W)
+    plane[m2] = 20.0
+    for r in tiles:
+        arr = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"], r["c"])
+        x0, y0 = r["tx"] * 128, r["ty"] * 128
+        want = plane[y0 : y0 + r["h"], x0 : x0 + r["w"]]
+        assert ((arr == want) | (np.isnan(arr) & np.isnan(want))).all(), (r["tx"], r["ty"])
+    # semantics pins: the hole is unburned where the quad doesn't reach,
+    # 20.0 inside the quad (painted INTO the hole), 10.0 in the disjoint part
+    assert np.isnan(plane[70, 70])
+    assert plane[100, 100] == 20.0
+    assert plane[220, 225] == 10.0

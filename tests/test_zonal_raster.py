@@ -259,3 +259,35 @@ def test_zonal_int64_tiles_route_to_decode_tier(spark):
     # blended mean must exceed the truth — proving the fast path ran there
     assert got32["mean_px"] > 7.0
     assert got64["n_px"] == got32["n_px"]
+
+
+def test_zonal_raster_holed_multipolygon(spark, pyr_path):
+    """r7: zonal over [outer-with-hole] + disjoint part vs the brute-force
+    pixel mask; also pins that hole pixels subtract from the single-ring
+    result (the hole is not a no-op)."""
+    hole = [(80.0, 80.0), (150.0, 80.0), (150.0, 150.0), (80.0, 150.0)]
+    tri = [(10.0, 220.0), (40.0, 225.0), (15.0, 250.0)]
+    geom = [[[list(v) for v in RINGS["big"]], [list(v) for v in hole]],
+            [[list(v) for v in tri]]]
+    res = zonal_raster(
+        spark, pyr_path, [{"polygon_id": "mph", "ring": geom}], z=0
+    ).collect()
+    assert len(res) == 1
+    got = res[0]
+    base = _base()
+    want = _brute_rings(base, [RINGS["big"], hole, tri], 1.0)
+    assert got["n_px"] == want["n"]
+    assert got["sum_px"] == pytest.approx(want["s"])
+    assert got["min_px"] == want["mn"] and got["max_px"] == want["mx"]
+    solo = _brute(base, RINGS["big"], 1.0)
+    assert want["n"] < solo["n"]  # the hole really removed pixels
+
+
+def _brute_rings(plane, rings, scale):
+    h, w = plane.shape
+    cx = (np.arange(w) + 0.5) * scale
+    cy = (np.arange(h) + 0.5) * scale
+    gx, gy = np.meshgrid(cx, cy)
+    m = points_in_polygon(gx.ravel(), gy.ravel(), [np.asarray(r, dtype=np.float64) for r in rings])
+    v = plane.ravel()[m]
+    return {"n": int(m.sum()), "s": float(v.sum()), "mn": float(v.min()), "mx": float(v.max())}
