@@ -415,6 +415,32 @@ def main() -> None:
         knn_controls[tag] = round(time.perf_counter() - t0, 3)
         steal.stop(tag)
 
+    # raster_extract skew control (VERDICT r6 #2): same point count, one
+    # run spread over every tile of the zonal fixture vs one run with all
+    # points packed into a single tile (hot cell -> salted sub-buckets).
+    # The ratio is the skew tax after salting; recorded as controls.
+    from pyramidscheme_jl_spark.operators.joins import raster_extract
+
+    ex_path = E._ensure_zonal_pyramid(spark)
+    ex_n = 131072
+    ex_uni = spark.range(ex_n).selectExpr(
+        "concat('u-', id) AS point_id",
+        "CAST(pmod(id * 2654435761, 512) AS DOUBLE) + 0.5 AS x",
+        "CAST(pmod(id * 40503, 512) AS DOUBLE) + 0.5 AS y",
+    ).localCheckpoint(eager=True)
+    ex_hot = spark.range(ex_n).selectExpr(
+        "concat('h-', id) AS point_id",
+        "CAST(pmod(id * 2654435761, 128) AS DOUBLE) + 0.5 AS x",
+        "CAST(pmod(id * 40503, 128) AS DOUBLE) + 0.5 AS y",
+    ).localCheckpoint(eager=True)
+    extract_controls: dict[str, float] = {}
+    for tag, pts_df in (("extract_uniform_synth", ex_uni), ("extract_hot_synth", ex_hot)):
+        steal.start()
+        t0 = time.perf_counter()
+        _noop_write(raster_extract(spark, ex_path, pts_df, z=0))
+        extract_controls[tag] = round(time.perf_counter() - t0, 3)
+        steal.stop(tag)
+
     # relational queries last (they leave cached token sets etc.; the
     # build ran on pristine JVM state matching its standalone profile)
     def _run_query(name: str, fn) -> float:
@@ -491,6 +517,12 @@ def main() -> None:
         "knn_skew_over_uniform": round(
             knn_controls["knn_skew_synth"]
             / max(knn_controls["knn_uniform_synth"], 1e-9),
+            3,
+        ),
+        "extract_controls": extract_controls,
+        "extract_hot_over_uniform": round(
+            extract_controls["extract_hot_synth"]
+            / max(extract_controls["extract_uniform_synth"], 1e-9),
             3,
         ),
     }

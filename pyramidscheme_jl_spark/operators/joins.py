@@ -853,6 +853,7 @@ def raster_extract(
     points: DataFrame,
     z: int = 0,
     max_pushdown_cells: int = 4096,
+    hot_cell_budget: int = 65536,
 ) -> DataFrame:
     """Raster point extraction: the pyramid level's pixel value at each
     point location (the terra/rasterio ``extract`` analog) —
@@ -863,10 +864,16 @@ def raster_extract(
 
     - points get their level-z TILE cell as a pure-JVM Morton expression
       (``grid_coord_cols`` + ``cell_expr``: floor/shift arithmetic in
-      whole-stage codegen), then pre-aggregate to ONE row per touched
-      cell (``collect_list`` of (point_id, x, y) structs — bounded by
-      points-per-tile, the same bound a tile's pixel payload already
-      imposes on the pipeline);
+      whole-stage codegen), then pre-aggregate to one row per touched
+      (cell, salt bucket). Unlike a tile's pixel payload (capped at
+      tilesize^2), the point list per cell is UNBOUNDED under skew —
+      10^9 points in one tile would make one giant ``collect_list`` row
+      (VERDICT r6 #2) — so cells counted above ``hot_cell_budget``
+      points split over <=16 deterministic hash-salt buckets (the J4
+      hot-salt trigger math): each gather row stays task-sized, the hot
+      tile decodes once per bucket (bounded x16), everything else keeps
+      salt 0 and pays nothing. The count rides the existing probe job
+      when the touched-cell set is small;
     - the tile side joins on cell — ONE tile row meets ONE point-list
       row, so tile ``bytes`` are never duplicated per point;
     - when the touched-cell count is small (<= ``max_pushdown_cells``)
@@ -888,20 +895,44 @@ def raster_extract(
     keyed = points.select(
         "point_id", "x", "y", cell_expr(ex, ey, res_z).alias("cell")
     )
-    grouped = keyed.groupBy("cell").agg(
-        F.collect_list(F.struct("point_id", "x", "y")).alias("pts")
-    )
 
     tiles = read_level(spark, path, z).select(
         "cell", "bytes", "w", "h", "c", "dtype", "xmin", "ymin", "xmax", "ymax"
     )
-    # keys-only probe, ONE job: fetch max+1 distinct cells; a truncated
-    # result means the probe set is large — skip pushdown, let the join run
-    probe = (
-        keyed.select("cell").distinct().limit(max_pushdown_cells + 1).collect()
-    )
+    # keys-only probe, ONE job, now with per-cell counts: the same job
+    # feeds the IN-pushdown list AND the hot-cell salting decision. A
+    # truncated result means the probe set is large — skip pushdown and
+    # find hot cells with a dedicated (count > budget) job instead.
+    counts = keyed.groupBy("cell").agg(F.count("*").alias("c"))
+    probe = counts.limit(max_pushdown_cells + 1).collect()
     if 0 < len(probe) <= max_pushdown_cells:
         tiles = tiles.where(F.col("cell").isin([r["cell"] for r in probe]))
+        hot = [(int(r["cell"]), int(r["c"])) for r in probe if r["c"] > hot_cell_budget]
+    else:
+        hot = [
+            (int(r["cell"]), int(r["c"]))
+            for r in counts.where(F.col("c") > hot_cell_budget).limit(513).collect()
+        ]
+    salt = F.lit(0)
+    if hot:
+        import math
+
+        if len(hot) <= 512:
+            nsalt = min(16, math.ceil(max(c for _, c in hot) / hot_cell_budget))
+            packed = ",".join(str(c) for c, _ in hot)
+            salt = F.when(
+                F.expr(f"cell IN ({packed})"),
+                F.pmod(F.hash("point_id"), F.lit(int(nsalt))),
+            ).otherwise(F.lit(0))
+        else:
+            # skew everywhere: salt every cell (one extra scalar job for
+            # the global max — the rare heavy-skew regime can afford it)
+            mx = int(counts.agg(F.max("c")).collect()[0][0] or 0)
+            nsalt = min(16, math.ceil(max(mx, 1) / hot_cell_budget))
+            salt = F.pmod(F.hash("point_id"), F.lit(int(nsalt)))
+    grouped = keyed.groupBy("cell", salt.alias("_salt")).agg(
+        F.collect_list(F.struct("point_id", "x", "y")).alias("pts")
+    )
 
     joined = tiles.join(grouped, "cell").repartition(
         max(spark.sparkContext.defaultParallelism, 8)
