@@ -203,3 +203,28 @@ def test_asof_join_bucketed_exact_past_2p53(spark):
         l, r, on="t", by="user", tiebreak="qid", bucket_width=w
     ).collect()}
     assert got == {(1, 1.0), (2, 2.0)}
+
+
+def test_asof_join_auto_bucketing(spark):
+    """VERDICT r6 #6: bucket_width="auto" — hot keys trigger the bucketed
+    two-pass via one count job (results identical to plain), uniform
+    small groups resolve to the plain window."""
+    import random
+
+    rng = random.Random(5)
+    left = [(i, "hot" if i % 2 == 0 else f"u{rng.randrange(8)}", rng.randrange(0, 5000))
+            for i in range(600)]
+    right = [(1000 + j, "hot" if j % 2 == 0 else f"u{rng.randrange(8)}",
+              rng.randrange(0, 5000), float(j)) for j in range(300)]
+    l = spark.createDataFrame(left, "eid long, user string, t long")
+    r = spark.createDataFrame(right, "qid long, user string, t long, v double")
+
+    def rows(**kw):
+        return sorted(tuple(row) for row in asof_join(
+            l, r, on="t", by="user", tiebreak="qid", **kw).collect())
+
+    plain = rows()
+    # budget smaller than the hot group -> triggers bucketing; identical
+    assert rows(bucket_width="auto", auto_budget=100) == plain
+    # budget above every group -> resolves to the plain path; identical
+    assert rows(bucket_width="auto", auto_budget=10_000_000) == plain

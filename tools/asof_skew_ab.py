@@ -113,9 +113,19 @@ def main() -> None:
         "bucketed_uniform": run_arm(
             spark, f"{base}/l_uni", f"{base}/r_uni", args.width, args.reps
         ),
+        # r7 (VERDICT r6 #6): the auto trigger — one count job picks the
+        # width on the hot corpus, resolves to plain on the uniform one
+        "auto_hot": run_arm(
+            spark, f"{base}/l_hot", f"{base}/r_hot", "auto", args.reps
+        ),
+        "auto_uniform": run_arm(
+            spark, f"{base}/l_uni", f"{base}/r_uni", "auto", args.reps
+        ),
     }
     assert arms["plain_hot"]["checksum"] == arms["bucketed_hot"]["checksum"]
     assert arms["plain_hot"]["rows"] == arms["bucketed_hot"]["rows"]
+    assert arms["plain_hot"]["checksum"] == arms["auto_hot"]["checksum"]
+    assert arms["plain_uniform"]["checksum"] == arms["auto_uniform"]["checksum"]
     uni = arms["plain_uniform"]["best"]
     out = {
         "tool": "asof_skew_ab",
@@ -124,6 +134,8 @@ def main() -> None:
         "arms": arms,
         "ratio_plain_hot": round(arms["plain_hot"]["best"] / uni, 2),
         "ratio_bucketed_hot": round(arms["bucketed_hot"]["best"] / uni, 2),
+        "ratio_auto_hot": round(arms["auto_hot"]["best"] / uni, 2),
+        "ratio_auto_uniform": round(arms["auto_uniform"]["best"] / uni, 2),
         "criterion": "hot/uniform <= 2.0",
     }
     print(json.dumps(out))
