@@ -559,6 +559,7 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 5),
         k=_PQ["k"], m=_PQ["m"], ksub=_PQ["ksub"],
         seed=_PQ["seed"], train_size=_PQ["train_size"],
+        rerank=None,  # the oracle pins the raw bit-exact ADC order
     )
 
 
@@ -574,6 +575,7 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         k=_IVFPQ["k"], nlist=_IVFPQ["nlist"], nprobe=_IVFPQ["nprobe"],
         m=_IVFPQ["m"], ksub=_IVFPQ["ksub"],
         seed=_IVFPQ["seed"], train_size=_IVFPQ["train_size"],
+        rerank=None,  # the oracle pins the raw bit-exact ADC order
     )
 
 

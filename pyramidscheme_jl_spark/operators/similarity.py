@@ -451,7 +451,7 @@ def pq_topk(
     train_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank: int | None = None,
+    rerank: int | str | None = "auto",
 ) -> DataFrame:
     """Product-quantization ANN top-k — the memory-compression scale path.
 
@@ -478,7 +478,17 @@ def pq_topk(
     candidate set — at deployment scale this is an id-indexed fetch of
     Q*R rows, not a scan). Recall with refinement is pinned >= 0.9 by
     tests. Ties break (score, n_id), deterministic either way.
-    """
+
+    ``rerank="auto"`` — the DEFAULT (VERDICT r6 #7: rerank=None at
+    realistic occupancy silently returns recall~0.35 order) — measures
+    the tie cell directly: ADC cannot rank rows sharing an identical
+    ``codes`` tuple, so one count job takes the max code-cell occupancy
+    over the encoded corpus and sets R = max(4k, that). Unlike IVF-PQ
+    there is no list structure to estimate from, but the PQ codes ARE
+    the cells — the statistic is exact, not a proxy. Pass ``None`` for
+    the raw bit-exact ADC order (the DuckDB oracle's path)."""
+    if isinstance(rerank, str) and rerank != "auto":
+        raise ValueError(f"rerank must be an int, None, or 'auto'; got {rerank!r}")
     sample = (
         data.orderBy(id_col).limit(train_size).select(vec_col).toPandas()[vec_col].tolist()
     )
@@ -488,6 +498,18 @@ def pq_topk(
         F.col(id_col).alias("n_id"),
         _pq_encode_udf(qbooks)(F.col("qvec")).alias("codes"),
     )
+    if rerank == "auto":
+        # One scalars-only count job over the codes column. Persist the
+        # (id, codes) projection so the Arrow encode pass runs once — the
+        # cached footprint is N x (8 + m) bytes, i.e. exactly the
+        # compressed representation PQ promises fits (at deployment codes
+        # are a stored column and occupancy is catalog metadata, so
+        # neither the job nor the cache exists there).
+        d = d.persist()
+        occ = (
+            d.groupBy("codes").count().agg(F.max("count")).collect()[0][0]
+        )
+        rerank = max(4 * int(k), int(occ or 0))
     # per-query LUTs, driver-side (queries are dims-sized like the other
     # broadcast ANN paths): luts[i][j] = |q_sub_i - c_ij|^2, exact int64
     qrows = quantized(queries, vec_col).select(
@@ -623,7 +645,7 @@ def ivfpq_topk(
     train_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank: int | str | None = None,
+    rerank: int | str | None = "auto",
 ) -> DataFrame:
     """Composed IVF-PQ ANN top-k — the actual 10^12-vector architecture
     (VERDICT r5 #1): PQ codes stored per IVF list, ADC scans ONLY the
@@ -646,10 +668,12 @@ def ivfpq_topk(
     top-R per query with exact distances (the deployment-shape id-indexed
     fetch), pinned recall >= 0.9 in tests. Ties break (score, n_id).
 
-    ``rerank="auto"`` applies the measured occupancy rule (``auto_rerank``:
-    R = max(4k, ceil(N/nlist)), one count job — at deployment N is catalog
-    metadata). ``pq_topk`` has no list structure to estimate occupancy
-    from, so there the caller sizes R per ANN_RECALL.md's guidance.
+    ``rerank="auto"`` — the DEFAULT (VERDICT r6 #7: at realistic
+    occupancy rerank=None silently returns recall~0.45 order) — applies
+    the measured occupancy rule (``auto_rerank``: R = max(4k,
+    ceil(N/nlist)), one count job — at deployment N is catalog
+    metadata). Pass ``None`` for the raw bit-exact ADC order (the DuckDB
+    oracle's path).
     """
     if rerank == "auto":
         rerank = auto_rerank(data.count(), nlist, k)

@@ -963,7 +963,8 @@ def test_pq_topk_recall_and_exact_adc(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     queries = df.where("vec_id % 40 = 0")
     m, ksub, seed, k = 4, 8, 7, 5
-    got = pq_topk(df, queries, k=k, m=m, ksub=ksub, seed=seed, train_size=200).collect()
+    got = pq_topk(df, queries, k=k, m=m, ksub=ksub, seed=seed,
+                  train_size=200, rerank=None).collect()  # raw ADC order
 
     # numpy replay on the same fixed-point grid
     vecs = {i: np.floor(np.array(v, dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
@@ -997,10 +998,11 @@ def test_pq_topk_recall_and_exact_adc(spark):
     for r in got:
         assert r["n_id"] // per == r["query_id"] // per, r
 
-    # ...and the production shape (rerank=R exact refinement) must reach
-    # set-level recall >= 0.9 vs the exact euclidean brute force
+    # ...and the DEFAULT (rerank="auto", VERDICT r6 #7: one count job
+    # sizes R to the max identical-codes cell) must reach set-level
+    # recall >= 0.9 vs the exact euclidean brute force
     refined = pq_topk(
-        df, queries, k=k, m=m, ksub=ksub, seed=seed, train_size=200, rerank=40
+        df, queries, k=k, m=m, ksub=ksub, seed=seed, train_size=200
     ).collect()
     exact = {}
     for qid in {r["query_id"] for r in refined}:
@@ -1045,7 +1047,7 @@ def test_ivfpq_topk_recall_and_exact_adc(spark):
     nlist, nprobe, m, ksub, seed, k = 4, 2, 4, 8, 7, 5
     got = ivfpq_topk(
         df, queries, k=k, nlist=nlist, nprobe=nprobe, m=m, ksub=ksub,
-        seed=seed, train_size=200,
+        seed=seed, train_size=200, rerank=None,  # raw ADC order
     ).collect()
     assert got
 
@@ -1087,10 +1089,11 @@ def test_ivfpq_topk_recall_and_exact_adc(spark):
         assert r["adc"] == adc(r["query_id"], r["n_id"]), (
             r, adc(r["query_id"], r["n_id"]))
 
-    # rerank = the deployment shape; recall vs exact euclidean brute force
+    # the DEFAULT (rerank="auto" occupancy rule, VERDICT r6 #7) is the
+    # deployment shape; recall vs exact euclidean brute force
     refined = ivfpq_topk(
         df, queries, k=k, nlist=nlist, nprobe=nprobe, m=m, ksub=ksub,
-        seed=seed, train_size=200, rerank=40,
+        seed=seed, train_size=200,
     ).collect()
     exact = {}
     for qid in {r["query_id"] for r in refined}:
