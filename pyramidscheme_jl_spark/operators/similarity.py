@@ -168,6 +168,50 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def _multiprobe_udf(signs_t: np.ndarray, bits: int, depth: int, budget: int):
+    """array<long> of probe buckets per query vector, margin-ordered
+    multi-probe (the Lv et al. 2007 shape): the buckets most likely to
+    hold a missed neighbor are the base bucket with its LOWEST-|margin|
+    hyperplane bits flipped. Flip sets of size <= ``depth`` over the
+    ``w`` smallest-margin bits are scored by sum of squared margins and
+    the best ``budget`` kept (plus the base bucket, always first).
+
+    Fully vectorized int64 numpy per Arrow batch: with C the fixed
+    (ncombos x w) subset indicator over margin RANKS, scores =
+    sorted_margins^2 @ C.T and — because a flip set picks distinct bits —
+    XOR masks = (1 << rank_to_bit) @ C.T. Exact integer end-to-end, so a
+    numpy twin reproduces the probe sequence bit-for-bit (pinned in
+    tests)."""
+    from itertools import combinations
+
+    w = min(bits, 12)
+    combos = [c for r in range(1, depth + 1) for c in combinations(range(w), r)]
+    C = np.zeros((len(combos), w), dtype=np.int64)
+    for i, c in enumerate(combos):
+        C[i, list(c)] = 1
+    shifts = np.arange(bits, dtype=np.int64)
+    budget = min(int(budget), len(combos))
+
+    @F.pandas_udf("array<long>")
+    def probe_buckets(qv: pd.Series) -> pd.Series:
+        m = np.array(qv.tolist(), dtype=np.int64)  # (n, dim)
+        dots = m @ signs_t  # (n, bits), exact
+        base = ((dots > 0).astype(np.int64) << shifts).sum(axis=1)
+        mg = np.abs(dots)
+        order = np.argsort(mg, axis=1, kind="stable")[:, :w]  # rank -> bit
+        mg_sorted = np.take_along_axis(mg, order, axis=1)
+        scores = (mg_sorted * mg_sorted) @ C.T  # (n, ncombos)
+        masks = (np.int64(1) << order) @ C.T  # distinct bits: sum == OR
+        top = np.argsort(scores, axis=1, kind="stable")[:, :budget]
+        flips = np.take_along_axis(masks, top, axis=1)
+        bucket_lists = np.concatenate(
+            [base[:, None], base[:, None] ^ flips], axis=1
+        )
+        return pd.Series(list(bucket_lists))
+
+    return probe_buckets
+
+
 def lsh_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -178,6 +222,7 @@ def lsh_topk(
     seed: int | None = None,
     dim: int | None = None,
     probes: int = 0,
+    probe_budget: int | None = None,
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket (equi-join
@@ -189,6 +234,17 @@ def lsh_topk(
     also probes every 1-bit-flip bucket (``bits+1`` equi-join keys per
     query — still no scan of the data side), rescuing neighbors that fall
     just across one hyperplane.
+
+    ``probes>=2`` (VERDICT r6 #8) is margin-ordered multi-probe: flip
+    sets of up to ``probes`` of the query's lowest-|margin| hyperplane
+    bits, scored by sum of squared margins, best ``probe_budget``
+    buckets kept (default ``4*bits``; capped by the combo space). A
+    neighbor across TWO close hyperplanes is reachable without halving
+    ``bits`` (which would square every bucket's occupancy) — probe count
+    buys recall linearly where fewer bits buys it exponentially in
+    candidate volume. Needs the hyperplane path (``seed``+``dim``):
+    margins are the exact int64 dots. Still an equi-join on bucket —
+    data side never rehashed, never scanned.
 
     ``broadcast_queries`` (VERDICT r2 #2): True is the dims-sized-Q plan
     (query side broadcast, data side never shuffled). For large Q — "top-k
@@ -203,7 +259,19 @@ def lsh_topk(
     q = lsh_bucket(quantized(queries, vec_col), bits, id_col, vec_col, seed, dim).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec"), "bucket"
     )
-    if probes:
+    if probes >= 2:
+        if seed is None or dim is None:
+            raise ValueError(
+                "margin-ordered multiprobe (probes >= 2) needs the "
+                "hyperplane path: pass seed and dim"
+            )
+        signs_t = np.array(hyperplane_signs(bits, dim, seed), dtype=np.int64).T
+        budget = 4 * bits if probe_budget is None else int(probe_budget)
+        mp = _multiprobe_udf(signs_t, bits, int(probes), budget)
+        q = q.select(
+            "query_id", "q_qvec", F.explode(mp(F.col("q_qvec"))).alias("bucket")
+        )
+    elif probes:
         probe_buckets = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],

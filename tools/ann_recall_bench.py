@@ -114,6 +114,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these path names (still runs brute "
+                         "for ground truth)")
     args = ap.parse_args()
 
     from pyramidscheme_jl_spark.operators.similarity import (
@@ -166,7 +169,20 @@ def main() -> None:
                 data, q, k=k, nlist=64, nprobe=8, m=8, ksub=16,
                 seed=args.seed, rerank=1000,
             ),
+            # r7 (VERDICT r6 #8): margin-ordered multi-probe depth>=2 —
+            # the recall knob that does not square bucket occupancy
+            "lsh_b12_d2": lambda: lsh_topk(
+                data, q, k=k, bits=12, seed=args.seed, dim=args.dim,
+                probes=2, probe_budget=48,
+            ),
+            "lsh_b12_d3": lambda: lsh_topk(
+                data, q, k=k, bits=12, seed=args.seed, dim=args.dim,
+                probes=3, probe_budget=96,
+            ),
         }
+        if args.only:
+            keep = set(args.only) | {"brute"}
+            paths = {n: f for n, f in paths.items() if n in keep}
         # warm codegen/JVM once before any timed arm
         paths["brute"]().count()
         timing, sets = {}, {}
