@@ -857,6 +857,7 @@ def ingest_cube_images(
     available_now: bool = True,
     layout: str = "delta",
     fs: LocalFS = DEFAULT_FS,
+    max_files_per_trigger: int | None = None,
     strict_formats: bool = False,
     max_delta_files: int | None = 256,
 ):
@@ -912,7 +913,13 @@ def ingest_cube_images(
                 with_t=True, state=state,
             )
 
-    stream = spark.readStream.schema(IMAGES_DDL + f", {t_col} int").parquet(source_dir)
+    reader = spark.readStream.schema(IMAGES_DDL + f", {t_col} int")
+    if max_files_per_trigger:
+        # bound micro-batch size inside ONE long-running query — the
+        # production cadence (and the steady-state bench shape), same
+        # contract as ingest_images
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir or f"{path}/_stream_checkpoint"
     )

@@ -29,10 +29,11 @@ sys.path.insert(0, "/root/repo")
 import pandas as pd
 
 cpus = int(sys.argv[1]); G = int(sys.argv[2]); task_cpus = int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "flat"
 
 from pyramidscheme_jl_spark.session import get_spark
 from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images_df
-from pyramidscheme_jl_spark.streaming.ingest import ingest_images
+from pyramidscheme_jl_spark.streaming.ingest import ingest_cube_images, ingest_images
 
 spark = get_spark(app=f"ingest-scale-{cpus}", master=f"local[{cpus}]",
                   extra_conf={"spark.task.cpus": str(task_cpus)})
@@ -62,7 +63,11 @@ def to_png(batches):
         yield out
 
 FILES_PER_BATCH = 16  # fixed across configs: identical batch partitioning
-per = (G * G) // 4
+# flat: four disjoint row-band quarters of one mosaic. cube: four FULL
+# mosaics, one per t — the cube steady batch appends a whole new time
+# slice and patches its (t, tx, ty) ancestors, so per-batch row count
+# matches the flat protocol when cube G = flat G / 2.
+per = G * G if mode == "cube" else (G * G) // 4
 import os as _os
 shared_src = _os.environ.get("INGSCALE_SRC")  # reuse the (deterministic)
 # corpus across configs — prep cost is identical input, not the workload
@@ -76,15 +81,24 @@ try:
         all_imgs = synth_images_df(spark, G=G, partitions=64)
         idx = _F.regexp_extract("image_id", r"img-(\\d+)", 1).cast("long")
         for i in range(4):
-            (all_imgs.where((idx >= i * per) & (idx < (i + 1) * per))
-                .repartition(FILES_PER_BATCH).mapInPandas(to_png, IMAGES_DDL)
+            if mode == "cube":
+                batch = all_imgs.withColumn("t", _F.lit(i))
+                ddl = IMAGES_DDL + ", t int"
+            else:
+                batch = all_imgs.where((idx >= i * per) & (idx < (i + 1) * per))
+                ddl = IMAGES_DDL
+            (batch.repartition(FILES_PER_BATCH).mapInPandas(to_png, ddl)
                 .write.mode("overwrite").parquet(f"{src}/b{i}"))
             time.sleep(1.1)  # distinct mtimes -> stable batch order
     # AQE may coalesce the prep write below FILES_PER_BATCH partitions —
     # the trigger cap must equal the ACTUAL files per batch dir
     files_per_dir = len([f for f in _os.listdir(f"{src}/b0") if f.endswith(".parquet")])
-    q = ingest_images(spark, src + "/*", dst + "/pyr", G=G,
-                      max_files_per_trigger=files_per_dir)
+    if mode == "cube":
+        q = ingest_cube_images(spark, src + "/*", dst + "/pyr", G=G,
+                               max_files_per_trigger=files_per_dir)
+    else:
+        q = ingest_images(spark, src + "/*", dst + "/pyr", G=G,
+                          max_files_per_trigger=files_per_dir)
     ok = q.awaitTermination(1500)
     if not ok:
         q.stop()
@@ -96,6 +110,7 @@ try:
     best = min(p["batchDuration"] for p in steady) / 1000.0
     print(json.dumps({
         "cpus": cpus, "task_cpus": task_cpus, "images_per_batch": per,
+        "mode": mode,
         "ingest_sec": round(best, 3),
         "batch_durs_sec": [round(p["batchDuration"] / 1000.0, 3) for p in prog],
         "tiles_per_sec": round(per / best, 1),  # base tiles landed / steady sec
@@ -114,14 +129,14 @@ def _steal_now() -> list[int]:
     return list(map(int, parts[1:9]))
 
 
-def run_one(cpus: int, g: int, task_cpus: int) -> dict:
+def run_one(cpus: int, g: int, task_cpus: int, mode: str = "flat") -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER)
         script = f.name
     s0 = _steal_now()
     try:
         out = subprocess.run(
-            [sys.executable, script, str(cpus), str(g), str(task_cpus)],
+            [sys.executable, script, str(cpus), str(g), str(task_cpus), mode],
             capture_output=True, text=True, timeout=1800,
         )
     finally:
@@ -143,6 +158,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--configs", default="2:1,8:1,32:1")
     ap.add_argument("--out", default="BENCH/INGEST_SCALING.md")
+    ap.add_argument("--mode", choices=("flat", "cube"), default="flat")
     args = ap.parse_args()
     configs = []
     for part in args.configs.split(","):
@@ -154,7 +170,7 @@ def main() -> None:
     runs: dict[tuple[int, int], list[dict]] = {cfg: [] for cfg in configs}
     for rep in range(args.reps):
         for cfg in configs:
-            r = run_one(cfg[0], args.g, cfg[1])
+            r = run_one(cfg[0], args.g, cfg[1], args.mode)
             runs[cfg].append(r)
             print(f"rep={rep} {cfg}: {json.dumps(r)}", flush=True)
             _time.sleep(5)
@@ -168,12 +184,18 @@ def main() -> None:
         return round(bycpus[hi]["tiles_per_sec"] / bycpus[lo]["tiles_per_sec"] / (hi / lo), 3)
 
     pairs = {f"{lo}->{hi}": eff(lo, hi) for lo, hi in ((2, 8), (8, 32)) if eff(lo, hi)}
-    summary = {"workload": "streaming ingest (png decode + executor tile writes)",
-               "g": args.g,
+    summary = {"workload": f"streaming {args.mode} ingest (png decode + executor tile writes)",
+               "g": args.g, "mode": args.mode,
                "curve": {f"{c}:{t}": best[(c, t)] for c, t in configs}, "pairs": pairs}
     print(json.dumps(summary))
-    with open("BENCH/ingest_scaling.json", "w") as f:
+    jname = ("BENCH/ingest_scaling.json" if args.mode == "flat"
+             else "BENCH/ingest_scaling_cube.json")
+    with open(jname, "w") as f:
         json.dump(summary, f, indent=1)
+    if args.mode == "cube":
+        # the cube row is appended to the curated doc by hand — do not
+        # clobber the flat protocol's narrative
+        return
 
     rows = "\n".join(
         f"| local[{c}] | {t} | {best[(c, t)]['tiles_per_sec']:,.1f} "
