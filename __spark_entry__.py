@@ -550,6 +550,114 @@ def q_events_asof_click(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_asof_next_click(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of (r7 direction surface): every 'view' matched to the
+    user's EARLIEST following 'click' within one hour — the mirrored
+    one-shuffle window plan, vs DuckDB's native ``ASOF`` with the
+    comparison flipped (``v.t <= c.t``). Equal-timestamp duplicates
+    resolve to the LOWEST event_id in both engines (forward tiebreak is
+    first-by-(t, tb); DuckDB pre-aggregates MIN/min_by)."""
+    from pyramidscheme_jl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "t_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_us", "value"
+    )
+    out = asof_join(
+        views, clicks, on="t_us", by="user_id",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+        tolerance=3_600_000_000, direction="forward",
+    )
+    return out.select(
+        "user_id", "view_id",
+        F.col("event_id_right").alias("click_id"),
+        (F.col("t_us_right") - F.col("t_us")).alias("gap_us"),
+        F.col("value_right").alias("click_value"),
+    )
+
+
+def q_events_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of (r7): the closer click either side of each view
+    within 30 minutes, exact-distance ties going backward (the pandas
+    merge_asof contract) — BOTH arms computed over the SAME window sort
+    (still one shuffle). DuckDB twin composes two native ASOF arms and
+    re-applies the tie rule in a CASE."""
+    from pyramidscheme_jl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "t_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_us", "value"
+    )
+    out = asof_join(
+        views, clicks, on="t_us", by="user_id",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+        tolerance=1_800_000_000, direction="nearest",
+    )
+    return out.select(
+        "user_id", "view_id",
+        F.col("event_id_right").alias("click_id"),
+        (F.col("t_us") - F.col("t_us_right")).alias("gap_us"),  # signed
+        F.col("value_right").alias("click_value"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap sessionization (r7): 30-minute-gap sessions per user over
+    epoch-micro ordinals — one window, running sum of gap flags; the
+    numbering is deterministic under duplicate timestamps (a zero
+    distance can never start a session). DuckDB twin is the identical
+    SQL window."""
+    from pyramidscheme_jl_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    out = sessionize(ev, "user_id", "ts", gap=1_800_000_000)
+    return out.select("user_id", "event_id", "session_id")
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (r7, pipeline surface):
+    per-language keep fractions decided by the row's own md5-derived
+    60-bit hash — no RNG state, stable under repartitioning, the
+    engine-portable grid the dedup family pinned (conv(substr(md5)) ==
+    DuckDB's 0x-cast)."""
+    from pyramidscheme_jl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    out = stratified_sample(
+        docs, {"en": 1.0, "zh": 0.5, "es": 0.2}, "lang", "doc_id",
+        seed=11, default_fraction=0.05,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_docs_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/eval/test split (r7): contiguous hash ranges
+    in sorted-name order; growing the corpus never migrates a row.
+    Aggregated per split (count + char sum) for a compact oracle row."""
+    from pyramidscheme_jl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf, "documents")
+    out = hash_split(
+        docs, {"train": 0.9, "eval": 0.05, "test": 0.05}, "doc_id", seed=2
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1066,6 +1174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "events_asof_click": q_events_asof_click,
+        "events_asof_next_click": q_events_asof_next_click,
+        "events_asof_nearest": q_events_asof_nearest,
+        "events_sessionize": q_events_sessionize,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_hash_split": q_docs_hash_split,
         "events_time_rollup": q_events_time_rollup,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
@@ -1967,6 +2080,102 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(v.t_us - c.ct_us AS BIGINT) AS gap_us, c.click_value
             FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.t_us >= c.ct_us
             WHERE v.t_us - c.ct_us <= 3600000000
+        """,
+        "events_asof_next_click": """
+            WITH v AS (
+              SELECT user_id, event_id AS view_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT user_id, epoch_us(ts) AS ct_us,
+                     MIN(event_id) AS click_id,
+                     min_by(value, event_id) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT v.user_id, v.view_id, c.click_id,
+                   CAST(c.ct_us - v.t_us AS BIGINT) AS gap_us, c.click_value
+            FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.t_us <= c.ct_us
+            WHERE c.ct_us - v.t_us <= 3600000000
+        """,
+        "events_asof_nearest": """
+            WITH v AS (
+              SELECT user_id, event_id AS view_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'view'),
+            cb AS (
+              SELECT user_id, epoch_us(ts) AS ct_us,
+                     MAX(event_id) AS click_id,
+                     max_by(value, event_id) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            cf AS (
+              SELECT user_id, epoch_us(ts) AS ct_us,
+                     MIN(event_id) AS click_id,
+                     min_by(value, event_id) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            b AS (
+              SELECT v.user_id, v.view_id, v.t_us,
+                     cb.ct_us AS bt, cb.click_id AS bid, cb.click_value AS bv
+              FROM v ASOF LEFT JOIN cb
+                ON v.user_id = cb.user_id AND v.t_us >= cb.ct_us),
+            bf AS (
+              SELECT b.*, cf.ct_us AS ft, cf.click_id AS fid,
+                     cf.click_value AS fv
+              FROM b ASOF LEFT JOIN cf
+                ON b.user_id = cf.user_id AND b.t_us <= cf.ct_us),
+            pick AS (
+              SELECT *,
+                     (bt IS NULL AND ft IS NOT NULL)
+                     OR (bt IS NOT NULL AND ft IS NOT NULL
+                         AND (ft - t_us) < (t_us - bt)) AS use_f
+              FROM bf)
+            SELECT user_id, view_id,
+                   CASE WHEN use_f THEN fid ELSE bid END AS click_id,
+                   CAST(t_us - CASE WHEN use_f THEN ft ELSE bt END
+                        AS BIGINT) AS gap_us,
+                   CASE WHEN use_f THEN fv ELSE bv END AS click_value
+            FROM pick
+            WHERE abs(t_us - CASE WHEN use_f THEN ft ELSE bt END)
+                  <= 1800000000
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+            f AS (
+              SELECT event_id, user_id, t,
+                     CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                                ORDER BY t) <= 1800000000
+                          THEN 0 ELSE 1 END AS is_new
+              FROM e)
+            SELECT user_id, event_id,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM f
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(doc_id AS VARCHAR), '|11')), 1, 15)) AS BIGINT)
+                  < CASE lang
+                      WHEN 'en' THEN 1152921504606846976
+                      WHEN 'zh' THEN 576460752303423488
+                      WHEN 'es' THEN 230584300921369408
+                      ELSE 57646075230342352
+                    END
+        """,
+        "docs_hash_split": """
+            WITH h AS (
+              SELECT n_chars,
+                     CAST(concat('0x', substr(md5(concat(
+                         CAST(doc_id AS VARCHAR), '|2')), 1, 15)) AS BIGINT)
+                     AS hv
+              FROM documents),
+            lab AS (
+              SELECT n_chars,
+                     CASE WHEN hv < 57646075230342352 THEN 'eval'
+                          WHEN hv < 115292150460684704 THEN 'test'
+                          ELSE 'train' END AS split
+              FROM h)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM lab GROUP BY 1
         """,
         "events_time_rollup": """
             WITH base AS (

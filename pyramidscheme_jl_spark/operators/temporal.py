@@ -117,6 +117,7 @@ def asof_join(
     suffix: str = "_right",
     bucket_width=None,
     auto_budget: int = 1 << 20,
+    direction: str = "backward",
 ) -> DataFrame:
     """Nearest-predecessor (backward) as-of join.
 
@@ -160,10 +161,33 @@ def asof_join(
     bucket per 64k rows so buckets never shrink below the carry-pass
     overhead. Cost on uniform keys: the count job only (measured 1.05x
     plain — BENCH/ASOF_SKEW.md); the bucketed plan is bit-identical to
-    manual at the same width."""
+    manual at the same width.
+
+    ``direction`` (r7): ``"backward"`` (default) matches the latest
+    right row at-or-before; ``"forward"`` the earliest at-or-after
+    (mirrored machinery — ``first`` over the following window, sides
+    flipped so equal timestamps stay inclusive, min-tiebreak); and
+    ``"nearest"`` the closer of the two by int64 distance, ties going
+    backward (the pandas ``merge_asof`` contract). All three share the
+    same ONE-shuffle plan — nearest computes both arms over the SAME
+    window sort, not a second exchange — and all three compose with the
+    bucketed/auto skew repair (forward mirrors the carry from strictly
+    later buckets; nearest carries both ways)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward', or 'nearest'; "
+            f"got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    # side encoding decides which side sorts first at EQUAL timestamps,
+    # which is what makes the match inclusive: backward/nearest put right
+    # rows first so the backward window sees the equal-t right; forward
+    # puts left rows first so the following-window does. (nearest keeps
+    # the backward encoding — an equal-t right is distance 0 and the
+    # backward arm wins the tie by contract.)
+    r_side, l_side = (1, 0) if direction == "forward" else (0, 1)
     payload = F.struct(
         F.col(on).alias("__on"),
         *[F.col(c).alias(c) for c in right_cols],
@@ -171,7 +195,7 @@ def asof_join(
     r = right.select(
         *by,
         F.col(on).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
         payload.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
@@ -180,7 +204,7 @@ def asof_join(
     l = left.select(
         *by,
         F.col(on).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(0).cast("long").alias("__tb"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in by],
@@ -211,15 +235,38 @@ def asof_join(
                 min(4 * par, math.ceil(mx / 65536)),  # latency: spread the group
             )
             bucket_width = max(1, math.ceil((hi - lo + 1) / nb))
-    if bucket_width is None:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    on_dt = left.schema[on].dataType
+
+    def _nearest_choice(df: DataFrame) -> DataFrame:
+        # closer of the two arms by int64 distance; ties go BACKWARD (the
+        # pandas merge_asof contract). Distances are non-negative by the
+        # arms' own window predicates.
+        t_o = _ordinal_long(F.col("__t"), on_dt)
+        b_o = _ordinal_long(F.col("__mb.__on"), on_dt)
+        f_o = _ordinal_long(F.col("__mf.__on"), on_dt)
+        return df.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(f_o - t_o < t_o - b_o, F.col("__mf"))
+            .otherwise(F.col("__mb")),
         )
-        matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+
+    if bucket_width is None:
+        base = Window.partitionBy(*by).orderBy(*order)
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        if direction == "backward":
+            matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(wb))
+        elif direction == "forward":
+            matched = u.withColumn("__m", F.first("__r", ignorenulls=True).over(wf))
+        else:
+            matched = _nearest_choice(
+                u.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+                .withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+            )
     else:
-        tl = _ordinal_long(F.col("__t"), left.schema[on].dataType)
+        tl = _ordinal_long(F.col("__t"), on_dt)
         # `div` keeps everything in int64 — Spark's `/` is double division,
         # which rounds ordinals >= 2^53 (ns-scale ints) to the wrong bucket
         # (ADVICE r6). pmod first keeps floor semantics for negatives.
@@ -230,42 +277,65 @@ def asof_join(
                 f"div {int(bucket_width)}L"
             ),
         ).drop("__tl")
-        w = (
-            Window.partitionBy(*by, "__bk")
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        # carry-in per (group, bucket): the last right payload of STRICTLY
-        # earlier buckets. Buckets with no right rows still need a carry,
-        # so the bucket list comes from both sides.
-        rb = (
-            u.where(F.col("__side") == 0)
-            .groupBy(*by, "__bk")
-            .agg(F.max_by("__r", F.struct("__t", "__tb")).alias("__last"))
-        )
-        cw = (
-            Window.partitionBy(*by)
-            .orderBy("__bk")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        carry = (
-            u.select(*by, "__bk")
-            .distinct()
-            .join(rb, [*by, "__bk"], "left")
-            .withColumn("__c", F.last("__last", ignorenulls=True).over(cw))
-            .select(*by, "__bk", "__c")
-        )
-        matched = (
-            u.withColumn("__m0", F.last("__r", ignorenulls=True).over(w))
-            .join(carry, [*by, "__bk"], "left")
-            .withColumn("__m", F.coalesce("__m0", "__c"))
-        )
-    matched = matched.where((F.col("__side") == 1) & F.col("__m").isNotNull())
+        base = Window.partitionBy(*by, "__bk").orderBy(*order)
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # carry per (group, bucket): backward takes the last right payload
+        # of STRICTLY earlier buckets; forward the first right payload of
+        # STRICTLY later ones (the same machinery mirrored — ordered desc,
+        # min_by). Buckets with no right rows still need a carry, so the
+        # bucket list comes from both sides.
+        buckets = u.select(*by, "__bk").distinct()
+
+        def _carry(backward: bool, out: str) -> DataFrame:
+            if backward:
+                agg = F.max_by("__r", F.struct("__t", "__tb")).alias("__last")
+                cw = Window.partitionBy(*by).orderBy("__bk")
+            else:
+                agg = F.min_by("__r", F.struct("__t", "__tb")).alias("__last")
+                cw = Window.partitionBy(*by).orderBy(F.col("__bk").desc())
+            cw = cw.rowsBetween(Window.unboundedPreceding, -1)
+            rb = (
+                u.where(F.col("__side") == r_side)
+                .groupBy(*by, "__bk")
+                .agg(agg)
+            )
+            return (
+                buckets.join(rb, [*by, "__bk"], "left")
+                .withColumn(out, F.last("__last", ignorenulls=True).over(cw))
+                .select(*by, "__bk", out)
+            )
+
+        if direction == "backward":
+            matched = (
+                u.withColumn("__m0", F.last("__r", ignorenulls=True).over(wb))
+                .join(_carry(True, "__c"), [*by, "__bk"], "left")
+                .withColumn("__m", F.coalesce("__m0", "__c"))
+            )
+        elif direction == "forward":
+            matched = (
+                u.withColumn("__m0", F.first("__r", ignorenulls=True).over(wf))
+                .join(_carry(False, "__c"), [*by, "__bk"], "left")
+                .withColumn("__m", F.coalesce("__m0", "__c"))
+            )
+        else:
+            matched = _nearest_choice(
+                u.withColumn("__b0", F.last("__r", ignorenulls=True).over(wb))
+                .withColumn("__f0", F.first("__r", ignorenulls=True).over(wf))
+                .join(_carry(True, "__cb"), [*by, "__bk"], "left")
+                .join(_carry(False, "__cf"), [*by, "__bk"], "left")
+                .withColumn("__mb", F.coalesce("__b0", "__cb"))
+                .withColumn("__mf", F.coalesce("__f0", "__cf"))
+            )
+    matched = matched.where((F.col("__side") == l_side) & F.col("__m").isNotNull())
     if tolerance is not None:
-        dt = left.schema[on].dataType
+        # abs() covers all three directions: both arms' distances are
+        # non-negative, so backward/forward semantics are unchanged
         matched = matched.where(
-            _ordinal_long(F.col("__t"), dt)
-            - _ordinal_long(F.col("__m.__on"), dt)
+            F.abs(
+                _ordinal_long(F.col("__t"), on_dt)
+                - _ordinal_long(F.col("__m.__on"), on_dt)
+            )
             <= F.lit(tolerance).cast("long")
         )
     out_cols = (
@@ -275,3 +345,45 @@ def asof_join(
         + [F.col("__m.__on").alias(f"{on}{suffix}")]
     )
     return matched.select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    by: list[str] | str,
+    ts_col: str,
+    gap,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows in a ``by`` group belong to the
+    same session while consecutive timestamps are at most ``gap`` apart
+    (in the column's int64 ordinal unit — native for integral columns,
+    microseconds for timestamps, days for dates, like ``asof_join``).
+
+    Pure JVM, ONE shuffle: a per-group window ordered by timestamp marks
+    session starts (``lag`` distance > gap, or first row) and a running
+    sum numbers them — ``session_id`` is the 1-based session ordinal
+    within the group. The result is deterministic even with duplicate
+    timestamps: a zero distance can never start a session, so tie order
+    cannot change the numbering.
+
+    Scale shape: identical to the plain as-of join — one hash exchange
+    on ``by`` + per-partition sort. A hot group serializes into one
+    task's window, the same breach ``asof_join`` measures; unlike as-of,
+    the running sum is order-carrying, so the bucketed repair does not
+    transfer — for power-law keys, bound the damage upstream (split
+    sessions at day boundaries by adding the day to ``by``, the
+    standard production shape).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    dt = df.schema[ts_col].dataType
+    t = _ordinal_long(F.col(ts_col), dt)
+    w = Window.partitionBy(*by).orderBy(t.asc())
+    is_new = F.when(
+        t - F.lag(t).over(w) <= F.lit(gap).cast("long"), F.lit(0)
+    ).otherwise(F.lit(1))  # first row: lag is null -> comparison null -> 1
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )

@@ -228,3 +228,125 @@ def test_asof_join_auto_bucketing(spark):
     assert rows(bucket_width="auto", auto_budget=100) == plain
     # budget above every group -> resolves to the plain path; identical
     assert rows(bucket_width="auto", auto_budget=10_000_000) == plain
+
+
+def test_asof_direction_vs_pandas_merge_asof(spark):
+    """r7 directions: backward/forward/nearest each match pandas
+    merge_asof (the reference semantics) on a random multi-group
+    fixture, and the bucketed path stays bit-identical to plain for
+    every direction at several widths."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(17)
+    users = [f"u{i}" for i in range(6)]
+    left = [(i, rng.choice(users), rng.randrange(0, 10000)) for i in range(400)]
+    # unique (user, t) on the right: sidesteps engine-specific duplicate
+    # tie rules (ours: highest/lowest tiebreak; pandas: input order)
+    seen, right = set(), []
+    while len(right) < 200:
+        u, t = rng.choice(users), rng.randrange(0, 10000)
+        if (u, t) not in seen:
+            seen.add((u, t))
+            right.append((len(right), u, t, float(len(right))))
+    l = spark.createDataFrame(left, "eid long, user string, t long")
+    r = spark.createDataFrame(right, "qid long, user string, t long, v double")
+    lpd = pd.DataFrame(left, columns=["eid", "user", "t"]).sort_values("t")
+    rpd = pd.DataFrame(right, columns=["qid", "user", "t", "v"]).sort_values("t")
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            row["eid"]: row["v_right"]
+            for row in asof_join(
+                l, r, on="t", by="user", direction=direction
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpd, rpd, on="t", by="user", direction=direction
+        )
+        exp = {
+            int(row.eid): float(row.v)
+            for row in exp_df.itertuples()
+            if row.v == row.v  # drop NaN: ours is inner
+        }
+        assert got == exp, f"direction={direction}"
+        for w in (1, 7, 1000):
+            bucketed = {
+                row["eid"]: row["v_right"]
+                for row in asof_join(
+                    l, r, on="t", by="user", direction=direction,
+                    bucket_width=w,
+                ).collect()
+            }
+            assert bucketed == got, f"direction={direction} width={w}"
+
+
+def test_asof_direction_semantics_pinned(spark):
+    """Hand-pinned contracts: forward is inclusive at equal timestamps,
+    nearest breaks exact-distance ties backward, tolerance applies per
+    direction, and bad directions raise."""
+    l = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 7), (3, "a", 100)], "eid long, user string, t long"
+    )
+    r = spark.createDataFrame(
+        [(1, "a", 5, 5.0), (2, "a", 7, 7.0), (3, "a", 15, 15.0)],
+        "qid long, user string, t long, v double",
+    )
+
+    def m(**kw):
+        return {
+            row["eid"]: row["v_right"]
+            for row in asof_join(l, r, on="t", by="user", **kw).collect()
+        }
+
+    # t=10: backward->5/7? latest at-or-before is 7; forward->15;
+    # nearest: |10-7|=3 vs |15-10|=5 -> 7. t=7 forward: inclusive -> 7.
+    assert m(direction="backward") == {1: 7.0, 2: 7.0, 3: 15.0}
+    assert m(direction="forward") == {1: 15.0, 2: 7.0}
+    assert m(direction="nearest") == {1: 7.0, 2: 7.0, 3: 15.0}
+    # exact tie: left t=10 vs right 5 and 15 -> backward wins
+    l2 = spark.createDataFrame([(9, "a", 10)], "eid long, user string, t long")
+    r2 = spark.createDataFrame(
+        [(1, "a", 5, 5.0), (2, "a", 15, 15.0)],
+        "qid long, user string, t long, v double",
+    )
+    got = asof_join(l2, r2, on="t", by="user", direction="nearest").collect()
+    assert [row["v_right"] for row in got] == [5.0]
+    # tolerance is per-direction distance
+    assert m(direction="forward", tolerance=4) == {2: 7.0}
+    assert m(direction="nearest", tolerance=3) == {1: 7.0, 2: 7.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        m(direction="sideways")
+
+
+def test_sessionize(spark):
+    """Gap sessionization: 1-based per-group ordinals, deterministic
+    under duplicate timestamps, ordinal units follow the column type."""
+    from pyramidscheme_jl_spark.operators.temporal import sessionize
+
+    rows = [
+        ("a", 0), ("a", 10), ("a", 11), ("a", 50), ("a", 55), ("a", 200),
+        ("b", 5), ("b", 300), ("b", 300), ("b", 301),
+    ]
+    df = spark.createDataFrame(rows, "user string, t long")
+    got = {
+        (r["user"], r["t"], r["session_id"])
+        for r in sessionize(df, "user", "t", gap=30).collect()
+    }
+    assert got == {
+        ("a", 0, 1), ("a", 10, 1), ("a", 11, 1),
+        ("a", 50, 2), ("a", 55, 2), ("a", 200, 3),
+        ("b", 5, 1), ("b", 300, 2), ("b", 300, 2), ("b", 301, 2),
+    }
+    # timestamp column: gap in MICROSECONDS (the asof ordinal contract)
+    ts = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:01")],
+        "user string, s string",
+    ).selectExpr("user", "cast(s as timestamp) ts")
+    two = sessionize(ts, "user", "ts", gap=999_999).collect()
+    assert sorted(r["session_id"] for r in two) == [1, 2]
+    one = sessionize(ts, "user", "ts", gap=1_000_000).collect()
+    assert sorted(r["session_id"] for r in one) == [1, 1]
