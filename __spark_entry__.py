@@ -658,6 +658,28 @@ def q_docs_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spherical radius join (r7, operators/geo.py): WGS84 points within
+    150 km great-circle of each query site — degree-grid blocking (3x3
+    probe equi-join, never a cross join) + exact codegen'd haversine
+    refine. Coordinates derive from customer keys; output is the
+    pairs-only projection (the blocking-losslessness contract), the
+    distances being float trig whose last-ulp parity across engines is
+    deliberately not part of the oracle. The DuckDB twin is the
+    quadratic ground truth with the structurally identical formula."""
+    from pyramidscheme_jl_spark.operators.geo import radius_join
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") % 1200) / 10.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 7) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    qs = cust.where(F.col("point_id") % 100 == 0).select(
+        F.col("point_id").alias("query_id"), "lat", "lon"
+    )
+    return radius_join(cust, qs, 150_000.0, dist_col=None)
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1174,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "events_asof_click": q_events_asof_click,
+        "geo_radius_join": q_geo_radius_join,
         "events_asof_next_click": q_events_asof_next_click,
         "events_asof_nearest": q_events_asof_nearest,
         "events_sessionize": q_events_sessionize,
@@ -2080,6 +2103,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(v.t_us - c.ct_us AS BIGINT) AS gap_us, c.click_value
             FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.t_us >= c.ct_us
             WHERE v.t_us - c.ct_us <= 3600000000
+        """,
+        "geo_radius_join": """
+            WITH pts AS (
+              SELECT c_custkey AS point_id,
+                     (c_custkey % 1200) / 10.0 - 60.0 AS lat,
+                     ((c_custkey * 7) % 3600) / 10.0 - 180.0 AS lon
+              FROM customer),
+            qs AS (
+              SELECT point_id AS query_id, lat AS qlat, lon AS qlon
+              FROM pts WHERE point_id % 100 = 0)
+            SELECT q.query_id, p.point_id
+            FROM qs q, pts p
+            WHERE 12742017.6 * asin(sqrt(
+                    sin((radians(p.lat) - radians(q.qlat)) / 2)
+                    * sin((radians(p.lat) - radians(q.qlat)) / 2)
+                    + cos(radians(q.qlat)) * cos(radians(p.lat))
+                    * sin((radians(p.lon) - radians(q.qlon)) / 2)
+                    * sin((radians(p.lon) - radians(q.qlon)) / 2)))
+                  <= 150000.0
         """,
         "events_asof_next_click": """
             WITH v AS (

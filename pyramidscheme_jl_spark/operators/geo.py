@@ -1,0 +1,150 @@
+"""Spherical (lat/lon) proximity joins.
+
+The planar spatial family (`operators/joins.py`) works in the pyramid's
+projected extent; real point datasets arrive as WGS84 lat/lon where
+"within R meters" is a great-circle predicate. `radius_join` is the
+blocking + refine shape for it: degree-grid cells sized so any pair
+within ``radius_m`` lands in the same or an adjacent cell (an equi-join,
+never a cross join), then an exact haversine filter — every trig step a
+built-in `pyspark.sql.functions` call, so the whole refine stays inside
+whole-stage codegen. No geodesy library, no python in the hot path.
+
+Scale shape: one equi-join on (lat_cell, lon_cell) with a 3x3 probe
+explode on the QUERY side only (9 keys/query — the data side is hashed
+once and never expanded). Dense cities are bounded by cell occupancy ~
+(pi*R_earth/180 * s_deg)^2 area, the same skew story as the Morton cell
+joins; `broadcast_queries=False` switches to a shuffle-hash equi-join
+for corpus-sized query sets (the `lsh_topk` split).
+
+Honest limits (documented, not silently wrong): longitude cells do not
+wrap at the antimeridian, and the blocking width uses one global
+``cos(max |lat|)`` — both raise/deteriorate gracefully: a row with
+|lat| above ``max_abs_lat`` raises inside the scan (it would silently
+miss neighbors otherwise), and high-latitude corpora pay wider lon
+cells (more candidates, identical results). A production S2-style cell
+covering removes both caps; the refine is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: IUGG mean Earth radius, meters — the DuckDB oracle inlines the same
+#: literal so both engines evaluate the identical formula.
+EARTH_RADIUS_M = 6371008.8
+
+_M_PER_DEG_LAT = math.pi * EARTH_RADIUS_M / 180.0
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters as a codegen'd Column expression
+    (all built-ins: radians/sin/cos/asin/sqrt)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2) - F.radians(lat1)
+    dl = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dp / 2) * F.sin(dp / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    id_col: str = "point_id",
+    query_id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 75.0,
+    broadcast_queries: bool = True,
+    dist_col: str | None = "dist_m",
+) -> DataFrame:
+    """All (query, point) pairs within ``radius_m`` meters great-circle.
+
+    Blocking cell: ``s_lat = radius_m`` in latitude degrees and the
+    exact haversine-derived longitude bound at the latitude cap (see
+    body), so for any qualifying pair the cell indices differ by at
+    most 1 on each axis — the query side probes its 3x3 neighborhood
+    (JVM explode of a constant 9-element array) and the join is a plain
+    equi-join on the packed cell. Refine is the exact haversine; emit
+    order and content are deterministic.
+
+    ``dist_col=None`` omits the distance column (pairs only — the
+    oracle-stable projection; trig last-ulp parity across engines is
+    not a contract anyone should build on).
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    if not (0 < max_abs_lat < 90):
+        raise ValueError(f"max_abs_lat must be in (0, 90), got {max_abs_lat}")
+    s_lat = float(radius_m) / _M_PER_DEG_LAT
+    # exact longitude bound from the haversine identity: for any pair
+    # within r with |lat| <= cap, sin(dlon/2) <= sin(r/2R)/cos(cap)
+    # (NOT the linear r/(R cos cap), which under-covers for large r
+    # near the cap — the arcsin inflation is real there)
+    y = math.sin(float(radius_m) / (2 * EARTH_RADIUS_M)) / math.cos(
+        math.radians(max_abs_lat)
+    )
+    if y >= 1.0:
+        raise ValueError(
+            f"radius_m={radius_m} is too large to block at "
+            f"max_abs_lat={max_abs_lat} (a pair could span any longitude)"
+        )
+    s_lon = math.degrees(2 * math.asin(y))
+
+    def guard(df: DataFrame, side: str) -> DataFrame:
+        # contract enforcement in the scan itself: a row past the cap
+        # would silently miss neighbors, so it must fail loudly instead
+        msg = f"radius_join({side}): |{lat_col}| exceeds max_abs_lat"
+        return df.where(
+            F.when(
+                F.abs(F.col(lat_col)) <= F.lit(float(max_abs_lat)), F.lit(True)
+            ).otherwise(F.raise_error(F.lit(msg)))
+        )
+
+    la = F.floor(F.col(lat_col) / F.lit(s_lat)).cast("long")
+    lo = F.floor(F.col(lon_col) / F.lit(s_lon)).cast("long")
+    # pack the two indices into one int64 join key; 2^31 cells per axis
+    # (max packed value ~2^61) covers cell sizes down to ~2 cm, far below
+    # any meaningful radius — no collision is reachable past the guard
+    cell = (la + F.lit(1 << 30)) * F.lit(1 << 31) + (lo + F.lit(1 << 30))
+
+    d = guard(points, "points").select(
+        F.col(id_col).alias("__pid"),
+        F.col(lat_col).alias("__plat"),
+        F.col(lon_col).alias("__plon"),
+        cell.alias("__cell"),
+    )
+    offs = F.array(*[
+        F.lit(dy * (1 << 31) + dx)
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+    q = guard(queries, "queries").select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(lat_col).alias("__qlat"),
+        F.col(lon_col).alias("__qlon"),
+        cell.alias("__c0"),
+        F.explode(offs).alias("__off"),  # generators can't nest in exprs
+    ).select(
+        "__qid", "__qlat", "__qlon",
+        (F.col("__c0") + F.col("__off")).alias("__cell"),
+    )
+    joined = (
+        d.join(F.broadcast(q), "__cell")
+        if broadcast_queries
+        else d.hint("shuffle_hash").join(q, "__cell")
+    )
+    dist = haversine_m(
+        F.col("__qlat"), F.col("__qlon"), F.col("__plat"), F.col("__plon")
+    )
+    out = joined.where(dist <= F.lit(float(radius_m))).select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__pid").alias(id_col),
+        *([] if dist_col is None else [dist.alias(dist_col)]),
+    )
+    return out

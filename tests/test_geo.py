@@ -1,0 +1,92 @@
+"""Spherical radius join (r7): blocking must never lose a pair — pinned
+against a numpy brute-force haversine over random points including
+near-cap latitudes."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.operators.geo import (
+    EARTH_RADIUS_M,
+    radius_join,
+)
+
+
+def _brute_pairs(qs, ps, radius_m):
+    out = set()
+    for qid, qla, qlo in qs:
+        for pid, pla, plo in ps:
+            p1, p2 = math.radians(qla), math.radians(pla)
+            dp, dl = p2 - p1, math.radians(plo) - math.radians(qlo)
+            a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+            if 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a)) <= radius_m:
+                out.add((qid, pid))
+    return out
+
+
+@pytest.mark.parametrize("radius_m", [5_000.0, 150_000.0])
+def test_radius_join_matches_brute_force(spark, radius_m):
+    rng = np.random.RandomState(23)
+    # clustered around a few sites, spread across latitudes incl. near
+    # the 75-degree cap and negative longitudes near grid-cell edges
+    sites = [(-74.0, -150.0), (-10.0, 0.0), (40.0, 120.0), (74.5, 179.0)]
+    ps = []
+    for i in range(400):
+        sla, slo = sites[i % len(sites)]
+        la = min(74.9, max(-74.9, sla + rng.randn() * 1.2))
+        lo = min(179.9, max(-179.9, slo + rng.randn() * 1.2))
+        ps.append((i, float(la), float(lo)))
+    qs = [(100 + j, ps[j * 37][1], ps[j * 37][2] + 0.01) for j in range(10)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+
+    expect = _brute_pairs(qs, ps, radius_m)
+    got = {
+        (r["query_id"], r["point_id"])
+        for r in radius_join(points, queries, radius_m).collect()
+    }
+    assert got == expect
+    # shuffle-hash arm: identical pairs
+    sh = {
+        (r["query_id"], r["point_id"])
+        for r in radius_join(
+            points, queries, radius_m, broadcast_queries=False
+        ).collect()
+    }
+    assert sh == expect
+    # distances agree with the python replay to float tolerance
+    for r in radius_join(points, queries, radius_m).collect():
+        qla, qlo = next((q[1], q[2]) for q in qs if q[0] == r["query_id"])
+        pla, plo = ps[r["point_id"]][1], ps[r["point_id"]][2]
+        p1, p2 = math.radians(qla), math.radians(pla)
+        dp, dl = p2 - p1, math.radians(plo) - math.radians(qlo)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        d = 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+        assert abs(r["dist_m"] - d) < 1e-6 * max(1.0, d)
+
+
+def test_radius_join_guards(spark):
+    ok = spark.createDataFrame([(1, 10.0, 10.0)], "point_id long, lat double, lon double")
+    bad = spark.createDataFrame([(2, 80.0, 0.0)], "query_id long, lat double, lon double")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="max_abs_lat"):
+        radius_join(
+            ok, bad.withColumnRenamed("query_id", "query_id"), 1000.0
+        ).collect()
+    with pytest.raises(ValueError, match="positive"):
+        radius_join(ok, ok.withColumnRenamed("point_id", "query_id"), -5)
+    with pytest.raises(ValueError, match="too large"):
+        radius_join(
+            ok, ok.withColumnRenamed("point_id", "query_id"),
+            9_000_000.0, max_abs_lat=89.0,
+        )
+    # dist_col=None: pairs-only projection (the oracle-stable shape)
+    out = radius_join(
+        ok, ok.withColumnRenamed("point_id", "query_id"), 1000.0, dist_col=None
+    )
+    assert out.columns == ["query_id", "point_id"]
