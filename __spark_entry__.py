@@ -680,6 +680,50 @@ def q_geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
     return radius_join(cust, qs, 150_000.0, dist_col=None)
 
 
+def _lines_fixture(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    seg = _t(spark, sf, "part").where(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("seg_id"),
+        ((F.col("p_partkey") % 100) * 10).cast("double").alias("x1"),
+        (F.expr("(p_partkey div 100) % 100") * 10).cast("double").alias("y1"),
+        ((F.col("p_partkey") % 100) * 10
+         + ((F.col("p_partkey") * 3) % 200) - 100).cast("double").alias("x2"),
+        (F.expr("(p_partkey div 100) % 100") * 10
+         + ((F.col("p_partkey") * 7) % 200) - 100).cast("double").alias("y2"),
+    )
+    pts = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") * 13) % 1000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 29) % 1000).cast("double").alias("y"),
+    )
+    return seg, pts
+
+
+def q_lines_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-to-segment proximity join (r7, operators/lines.py): pairs
+    within 25 planar units, segment-side subdivision blocking + exact
+    clamped-projection refine. The refine is libm-free (only IEEE
+    +-*/, least/greatest, sqrt — all correctly rounded everywhere), so
+    unlike the spherical join the DISTANCES are part of the oracle
+    contract, bit-for-bit."""
+    from pyramidscheme_jl_spark.operators.lines import points_near_lines
+
+    seg, pts = _lines_fixture(spark, sf)
+    return points_near_lines(seg, pts, 25.0)
+
+
+def q_lines_snap_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Snap-to-nearest-segment (r7): each point's closest segment within
+    25 units, ties by lowest seg_id — the map-matching argmin over the
+    same bit-reproducible distances (DuckDB twin: ROW_NUMBER over
+    (d2, seg_id))."""
+    from pyramidscheme_jl_spark.operators.lines import points_near_lines
+
+    seg, pts = _lines_fixture(spark, sf)
+    return points_near_lines(seg, pts, 25.0, nearest_only=True)
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1197,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "events_asof_click": q_events_asof_click,
         "geo_radius_join": q_geo_radius_join,
+        "lines_near_pairs": q_lines_near_pairs,
+        "lines_snap_nearest": q_lines_snap_nearest,
         "events_asof_next_click": q_events_asof_next_click,
         "events_asof_nearest": q_events_asof_nearest,
         "events_sessionize": q_events_sessionize,
@@ -2122,6 +2168,82 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                     * sin((radians(p.lon) - radians(q.qlon)) / 2)
                     * sin((radians(p.lon) - radians(q.qlon)) / 2)))
                   <= 150000.0
+        """,
+        "lines_near_pairs": """
+            WITH seg AS (
+              SELECT p_partkey AS seg_id,
+                     CAST((p_partkey % 100) * 10 AS DOUBLE) AS x1,
+                     CAST(((p_partkey // 100) % 100) * 10 AS DOUBLE) AS y1,
+                     CAST((p_partkey % 100) * 10
+                          + ((p_partkey * 3) % 200) - 100 AS DOUBLE) AS x2,
+                     CAST(((p_partkey // 100) % 100) * 10
+                          + ((p_partkey * 7) % 200) - 100 AS DOUBLE) AS y2
+              FROM part WHERE p_partkey % 10 = 0),
+            pts AS (
+              SELECT c_custkey AS point_id,
+                     CAST((c_custkey * 13) % 1000 AS DOUBLE) AS x,
+                     CAST((c_custkey * 29) % 1000 AS DOUBLE) AS y
+              FROM customer),
+            raw AS (
+              SELECT p.point_id, s.seg_id,
+                     s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+                     p.x, p.y, s.x1, s.y1
+              FROM pts p, seg s),
+            proj AS (
+              SELECT point_id, seg_id, x, y, x1, y1, dx, dy,
+                     CASE WHEN dx * dx + dy * dy = 0 THEN 0.0
+                          ELSE LEAST(1.0, GREATEST(0.0,
+                               ((x - x1) * dx + (y - y1) * dy)
+                               / (dx * dx + dy * dy)))
+                     END AS t
+              FROM raw),
+            d AS (
+              SELECT point_id, seg_id,
+                     (x - (x1 + t * dx)) * (x - (x1 + t * dx))
+                     + (y - (y1 + t * dy)) * (y - (y1 + t * dy)) AS d2
+              FROM proj)
+            SELECT point_id, seg_id, sqrt(d2) AS dist
+            FROM d WHERE d2 <= 625.0
+        """,
+        "lines_snap_nearest": """
+            WITH seg AS (
+              SELECT p_partkey AS seg_id,
+                     CAST((p_partkey % 100) * 10 AS DOUBLE) AS x1,
+                     CAST(((p_partkey // 100) % 100) * 10 AS DOUBLE) AS y1,
+                     CAST((p_partkey % 100) * 10
+                          + ((p_partkey * 3) % 200) - 100 AS DOUBLE) AS x2,
+                     CAST(((p_partkey // 100) % 100) * 10
+                          + ((p_partkey * 7) % 200) - 100 AS DOUBLE) AS y2
+              FROM part WHERE p_partkey % 10 = 0),
+            pts AS (
+              SELECT c_custkey AS point_id,
+                     CAST((c_custkey * 13) % 1000 AS DOUBLE) AS x,
+                     CAST((c_custkey * 29) % 1000 AS DOUBLE) AS y
+              FROM customer),
+            raw AS (
+              SELECT p.point_id, s.seg_id,
+                     s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+                     p.x, p.y, s.x1, s.y1
+              FROM pts p, seg s),
+            proj AS (
+              SELECT point_id, seg_id, x, y, x1, y1, dx, dy,
+                     CASE WHEN dx * dx + dy * dy = 0 THEN 0.0
+                          ELSE LEAST(1.0, GREATEST(0.0,
+                               ((x - x1) * dx + (y - y1) * dy)
+                               / (dx * dx + dy * dy)))
+                     END AS t
+              FROM raw),
+            d AS (
+              SELECT point_id, seg_id,
+                     (x - (x1 + t * dx)) * (x - (x1 + t * dx))
+                     + (y - (y1 + t * dy)) * (y - (y1 + t * dy)) AS d2
+              FROM proj)
+            SELECT point_id, seg_id, sqrt(d2) AS dist FROM (
+              SELECT point_id, seg_id, d2,
+                     ROW_NUMBER() OVER (PARTITION BY point_id
+                                        ORDER BY d2, seg_id) AS rn
+              FROM d WHERE d2 <= 625.0)
+            WHERE rn = 1
         """,
         "events_asof_next_click": """
             WITH v AS (
