@@ -724,6 +724,55 @@ def q_lines_snap_nearest(spark: SparkSession, sf: str) -> DataFrame:
     return points_near_lines(seg, pts, 25.0, nearest_only=True)
 
 
+def q_interval_join_ship(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join (r7; BASELINE's "range join" ask): orders
+    placed while a lineitem was in transit — the bucketed equi-join plan
+    (interval explode + single point bucket, zero dedup by
+    construction) vs DuckDB's native IEJoin over BETWEEN. Day ordinals
+    ride the shared date rule."""
+    from pyramidscheme_jl_spark.operators.temporal import interval_join
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_partkey") % 50 == 0).select(
+        "l_orderkey", "l_linenumber",
+        # stored as timestamps; both engines truncate to DATE so the
+        # day ordinals agree. The synthetic lineitem has no
+        # receiptdate; derive a transit window from the part key.
+        F.to_date("l_shipdate").alias("l_ship_d"),
+        F.date_add(F.to_date("l_shipdate"),
+                   (F.col("l_partkey") % 20).cast("int")).alias("l_end_d"),
+    )
+    od = _t(spark, sf, "orders").where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_date_d")
+    )
+    out = interval_join(li, od, "l_ship_d", "l_end_d", "o_date_d")
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
+def q_interval_overlap_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval x interval overlap join (r7): lineitem transit windows
+    vs 30-day order windows, every overlapping pair emitted EXACTLY
+    once via the later-start-bucket claim (no dedup shuffle) — counts,
+    not just sets, must match DuckDB's inequality join."""
+    from pyramidscheme_jl_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_partkey") % 100 == 0).select(
+        "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("l_ship_d"),
+        F.date_add(F.to_date("l_shipdate"),
+                   (F.col("l_partkey") % 20).cast("int")).alias("l_end_d"),
+    )
+    od = _t(spark, sf, "orders").where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_date_d"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("o_end"),
+    )
+    out = interval_overlap_join(
+        li, od, "l_ship_d", "l_end_d", "o_date_d", "o_end"
+    )
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1242,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": q_events_asof_click,
         "geo_radius_join": q_geo_radius_join,
         "lines_near_pairs": q_lines_near_pairs,
+        "interval_join_ship": q_interval_join_ship,
+        "interval_overlap_orders": q_interval_overlap_orders,
         "lines_snap_nearest": q_lines_snap_nearest,
         "events_asof_next_click": q_events_asof_next_click,
         "events_asof_nearest": q_events_asof_nearest,
@@ -2244,6 +2295,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                                         ORDER BY d2, seg_id) AS rn
               FROM d WHERE d2 <= 625.0)
             WHERE rn = 1
+        """,
+        "interval_join_ship": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+            FROM lineitem l, orders o
+            WHERE l.l_partkey % 50 = 0 AND o.o_orderkey % 10 = 0
+              AND CAST(o.o_orderdate AS DATE)
+                  BETWEEN CAST(l.l_shipdate AS DATE)
+                      AND CAST(l.l_shipdate AS DATE) + CAST(l.l_partkey % 20 AS INTEGER)
+        """,
+        "interval_overlap_orders": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+            FROM lineitem l, orders o
+            WHERE l.l_partkey % 100 = 0 AND o.o_orderkey % 20 = 0
+              AND CAST(l.l_shipdate AS DATE)
+                    <= CAST(o.o_orderdate AS DATE) + 30
+              AND CAST(o.o_orderdate AS DATE)
+                    <= CAST(l.l_shipdate AS DATE) + CAST(l.l_partkey % 20 AS INTEGER)
         """,
         "events_asof_next_click": """
             WITH v AS (

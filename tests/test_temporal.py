@@ -350,3 +350,88 @@ def test_sessionize(spark):
     assert sorted(r["session_id"] for r in two) == [1, 2]
     one = sessionize(ts, "user", "ts", gap=1_000_000).collect()
     assert sorted(r["session_id"] for r in one) == [1, 1]
+
+
+def test_interval_join_brute_force(spark):
+    """r7 interval join: pairs match a python brute force on a random
+    fixture (incl. negative ordinals and empty intervals), identical
+    across manual widths and auto, with and without by keys."""
+    import random
+
+    from pyramidscheme_jl_spark.operators.temporal import interval_join
+
+    rng = random.Random(7)
+    ivs = []
+    for i in range(300):
+        s = rng.randrange(-500, 9500)
+        ln = rng.randrange(-5, 120)  # some end < start: match nothing
+        ivs.append((i, f"g{i % 3}", s, s + ln))
+    pts = [(1000 + j, f"g{j % 3}", rng.randrange(-600, 9700)) for j in range(400)]
+    idf = spark.createDataFrame(ivs, "iv_id long, grp string, s long, e long")
+    pdf = spark.createDataFrame(pts, "pt_id long, grp string, t long")
+
+    expect_by = {
+        (i, p) for i, g1, s, e in ivs for p, g2, t in pts
+        if g1 == g2 and s <= t <= e
+    }
+    expect_nby = {
+        (i, p) for i, _, s, e in ivs for p, _, t in pts if s <= t <= e
+    }
+    for width in ("auto", 1, 13, 5000):
+        got = {
+            (r["iv_id"], r["pt_id"])
+            for r in interval_join(
+                idf, pdf, "s", "e", "t", by="grp", bucket_width=width
+            ).collect()
+        }
+        assert got == expect_by, f"width={width}"
+    got_nby = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(idf, pdf.drop("grp"), "s", "e", "t").collect()
+    }
+    assert got_nby == expect_nby
+
+
+def test_interval_overlap_join_brute_force(spark):
+    """r7 overlap join: each overlapping pair emitted EXACTLY once (the
+    later-start-bucket claim) — counts checked, not just sets."""
+    import random
+
+    from pyramidscheme_jl_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(9)
+    lv = [(i, rng.randrange(0, 2000), 0) for i in range(200)]
+    lv = [(i, s, s + rng.randrange(0, 300)) for i, s, _ in lv]
+    rv = [(500 + j, s, s + rng.randrange(0, 80))
+          for j, s in ((j, rng.randrange(0, 2100)) for j in range(150))]
+    ldf = spark.createDataFrame(lv, "l_id long, ls long, le long")
+    rdf = spark.createDataFrame(rv, "r_id long, rs long, re long")
+    expect = [
+        (i, j) for i, ls, le in lv for j, rs, re in rv
+        if ls <= re and rs <= le
+    ]
+    for width in ("auto", 1, 37, 10000):
+        rows = interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_width=width
+        ).collect()
+        got = sorted((r["l_id"], r["r_id"]) for r in rows)
+        assert got == sorted(expect), f"width={width}"  # exact multiset
+
+
+def test_interval_join_dates(spark):
+    """Date-typed columns ride the day ordinal; BETWEEN is closed."""
+    from pyramidscheme_jl_spark.operators.temporal import interval_join
+
+    idf = spark.createDataFrame(
+        [(1, "2024-01-10", "2024-01-20")], "iv_id long, s string, e string"
+    ).selectExpr("iv_id", "cast(s as date) s", "cast(e as date) e")
+    pdf = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-20"), (3, "2024-01-21")],
+        "pt_id long, d string",
+    ).selectExpr("pt_id", "cast(d as date) d")
+    got = sorted(
+        r["pt_id"] for r in interval_join(idf, pdf, "s", "e", "d").collect()
+    )
+    assert got == [1, 2]
