@@ -99,7 +99,15 @@ def _prev_round_queries() -> dict[str, float]:
     try:
         with open(paths[-1]) as f:
             doc = json.load(f)
-        return dict(doc.get("parsed", {}).get("queries", {}))
+        # a round whose artifact failed to parse stores parsed: null —
+        # walk back to the newest round that has real per-query numbers
+        for p in reversed(paths):
+            with open(p) as f:
+                doc = json.load(f)
+            qs = (doc.get("parsed") or {}).get("queries") or {}
+            if qs:
+                return dict(qs)
+        return best
     except (OSError, ValueError):
         return best
 
@@ -451,7 +459,12 @@ def main() -> None:
         steal.stop(name)
         return round(dt, 3)
 
-    for name in HEADLINE + EXTRA:
+    # r7: EXTRA is a floor, not a ceiling — any queries() entry not
+    # already covered by a named region gets a latency row automatically,
+    # so a new oracle op can never silently ship unbenched
+    covered = set(HEADLINE) | set(EXTRA) | set(STREAMED) | {"pip_join"}
+    auto_extra = sorted(name for name in qs if name not in covered)
+    for name in HEADLINE + EXTRA + auto_extra:
         timings[name] = _run_query(name, qs[name])
         total += timings[name]
     # the oracle's own pip_join (sf-dir parquet) — bare pip_join is the
