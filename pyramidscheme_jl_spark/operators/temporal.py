@@ -404,6 +404,7 @@ def interval_join(
     by: list[str] | str | None = None,
     bucket_width="auto",
     suffix: str = "_p",
+    tier_threshold: int = 64,
 ) -> DataFrame:
     """Point-in-interval join: every (interval, point) pair with
     ``start <= point.on <= end`` (closed ends — SQL ``BETWEEN``), the
@@ -419,18 +420,33 @@ def interval_join(
     between refine. A point has exactly one bucket, so no pair can meet
     twice — no dedup shuffle exists in the plan.
 
-    ``bucket_width="auto"`` sizes w to the mean interval length (one
-    scalars-only aggregate; ~2 buckets per interval), the balance point
+    ``bucket_width="auto"`` sizes w to the mean interval length (the
+    stats aggregate below; ~2 buckets per interval), the balance point
     between interval fan-out (len/w) and bucket occupancy (points per
     w). Intervals with ``end < start`` match nothing and are dropped,
     as under BETWEEN. Ordinal units follow the column types
     (``_ordinal_long``): native for ints, micros for timestamps, days
     for dates.
 
+    **Length skew — the tiered plan.** A mean-sized w leaves one
+    "always-on" interval exploding len/w rows — unbounded under
+    interval-length skew. The same scalars-only stats job therefore
+    also takes the MAX length, and when ``max_len/w > tier_threshold``
+    the plan switches to a multi-resolution index (the interval-tree
+    idea, relationally): tier t has width ``w * 2^t``; each interval
+    lands ONLY in the smallest tier that covers its own length, where
+    it explodes into at most ~3 buckets; each point probes its one
+    bucket in EVERY tier (<= log2(max_len/w)+1 keys — the 3x3-probe
+    pattern on the time axis). Fan-out is O(1) per interval and
+    O(log length-spread) per point, both sides bounded regardless of
+    skew. Exactly-once survives: an interval exists in a single tier,
+    and a point has one bucket there. A mis-rounded tier estimate can
+    only widen an interval's bucket count by one — never correctness.
+
     Scale shape: one explode + one equi-join, shuffle keyed by
-    (by, bucket). Inherent output skew (a moment covered by millions of
-    intervals) is a property of the answer, not the plan; the bucket
-    key spreads DISJOINT time ranges regardless.
+    (by[, tier], bucket). Inherent output skew (a moment covered by
+    millions of intervals) is a property of the answer, not the plan;
+    the bucket key spreads DISJOINT time ranges regardless.
     """
     by = [] if by is None else [by] if isinstance(by, str) else list(by)
     s_dt = intervals.schema[start_col].dataType
@@ -442,25 +458,65 @@ def interval_join(
     iv = intervals.withColumn("__s", s_o).withColumn("__e", e_o).where(
         F.col("__e") >= F.col("__s")
     )
+    # one scalars-only job serves both the auto width AND the length-skew
+    # trigger (at deployment both are catalog statistics)
+    row = iv.agg(
+        F.avg(F.col("__e") - F.col("__s") + 1).alias("m"),
+        F.max(F.col("__e") - F.col("__s") + 1).alias("mx"),
+    ).collect()[0]
     if bucket_width == "auto":
-        row = iv.agg(F.avg(F.col("__e") - F.col("__s") + 1).alias("m")).collect()[0]
         bucket_width = max(1, int(row["m"] or 1))
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    max_len = int(row["mx"] or 1)
 
-    iv = iv.withColumn(
-        "__bk", F.explode(F.sequence(_floor_div("__s", w), _floor_div("__e", w)))
-    )
-    pt = points.withColumn("__t", t_o).withColumn("__bk", _floor_div("__t", w))
-    # suffix point-side name collisions (the by keys join, the rest ride)
+    pt = points.withColumn("__t", t_o)
     clash = (set(intervals.columns) & set(points.columns)) - set(by)
-    for c in clash:
+    for c in clash:  # the by keys join, the rest ride suffixed
         pt = pt.withColumnRenamed(c, f"{c}{suffix}")
-    joined = iv.join(pt, [*by, "__bk"]).where(
+
+    if -(-max_len // w) > int(tier_threshold):
+        import math
+
+        nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
+        tv = F.least(
+            F.lit(nt - 1),
+            F.greatest(
+                F.lit(0),
+                F.ceil(F.log2((F.col("__e") - F.col("__s") + 1) / F.lit(float(w))))
+                .cast("int"),
+            ),
+        )
+        iv = iv.withColumn("__tv", tv).withColumn(
+            "__wt", F.expr(f"shiftleft({w}L, __tv)")
+        ).withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.expr("(__s - pmod(__s, __wt)) div __wt"),
+                    F.expr("(__e - pmod(__e, __wt)) div __wt"),
+                )
+            ),
+        ).drop("__wt")
+        pt = pt.withColumn(
+            "__tv", F.explode(F.array(*[F.lit(t) for t in range(nt)]))
+        ).withColumn("__wt", F.expr(f"shiftleft({w}L, __tv)")).withColumn(
+            "__bk", F.expr("(__t - pmod(__t, __wt)) div __wt")
+        ).drop("__wt")
+        keys = [*by, "__tv", "__bk"]
+        extra_drop = ["__tv"]
+    else:
+        iv = iv.withColumn(
+            "__bk", F.explode(F.sequence(_floor_div("__s", w), _floor_div("__e", w)))
+        )
+        pt = pt.withColumn("__bk", _floor_div("__t", w))
+        keys = [*by, "__bk"]
+        extra_drop = []
+    joined = iv.join(pt, keys).where(
         F.col("__t").between(F.col("__s"), F.col("__e"))
     )
-    return joined.drop("__s", "__e", "__t", "__bk")
+    return joined.drop("__s", "__e", "__t", "__bk", *extra_drop)
 
 
 def interval_overlap_join(

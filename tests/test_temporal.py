@@ -435,3 +435,45 @@ def test_interval_join_dates(spark):
         r["pt_id"] for r in interval_join(idf, pdf, "s", "e", "d").collect()
     )
     assert got == [1, 2]
+
+
+def test_interval_join_tiered_identical(spark):
+    """r7 length-skew tiers: forcing the multi-resolution plan
+    (tier_threshold=1) must reproduce the flat plan's pairs exactly,
+    including on a fixture with one giant always-on interval among
+    shorts (the case whose flat explode is unbounded)."""
+    import random
+
+    from pyramidscheme_jl_spark.operators.temporal import interval_join
+
+    rng = random.Random(41)
+    ivs = [(i, rng.randrange(0, 100000), 0) for i in range(150)]
+    ivs = [(i, s, s + rng.randrange(0, 40)) for i, s, _ in ivs]
+    ivs.append((900, -1000, 200000))  # always-on: flat would explode len/w
+    ivs.append((901, 50000, 50000))  # single-instant interval
+    pts = [(2000 + j, rng.randrange(-2000, 201000)) for j in range(300)]
+    idf = spark.createDataFrame(ivs, "iv_id long, s long, e long")
+    pdf = spark.createDataFrame(pts, "pt_id long, t long")
+    expect = {
+        (i, p) for i, s, e in ivs for p, t in pts if s <= t <= e
+    }
+    flat = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            idf, pdf, "s", "e", "t", bucket_width=20, tier_threshold=1 << 60
+        ).collect()
+    }
+    tiered = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            idf, pdf, "s", "e", "t", bucket_width=20, tier_threshold=1
+        ).collect()
+    }
+    assert flat == expect
+    assert tiered == expect
+    # auto trigger: the giant interval trips the max/w > 64 default
+    auto = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(idf, pdf, "s", "e", "t").collect()
+    }
+    assert auto == expect
