@@ -529,6 +529,7 @@ def interval_overlap_join(
     by: list[str] | str | None = None,
     bucket_width="auto",
     suffix: str = "_r",
+    tier_threshold: int = 64,
 ) -> DataFrame:
     """Interval x interval overlap join: pairs with
     ``l.start <= r.end AND r.start <= l.end`` (closed ends).
@@ -540,6 +541,20 @@ def interval_overlap_join(
     sides provably cover whenever the pair overlaps) — the standard
     spatial-join reporting trick, zero extra passes. ``bucket_width=
     "auto"`` sizes w to the mean length across BOTH sides.
+
+    **Length skew — the tiered plan** (same trigger as
+    ``interval_join``: the stats job also takes the max length, and
+    past ``max_len/w > tier_threshold`` the flat explode would be
+    unbounded). Tier t has width ``w * 2^t``; each interval emits
+    entries at its OWN tier (the smallest covering its length — <= ~3
+    buckets) AND at every coarser tier (<= ~3 buckets each, so <=
+    3·log2(length-spread) entries total). A pair is claimed exactly
+    once at the joint tier ``T = max(tier_l, tier_r)`` — both sides
+    provably emit there — in the later-start bucket at T's width, the
+    same covered-bucket argument one level up. Fan-out is
+    O(log spread) per interval regardless of skew; exactness does not
+    depend on the tier estimate (a mis-rounding only widens an
+    interval's bucket count by one).
     """
     by = [] if by is None else [by] if isinstance(by, str) else list(by)
 
@@ -552,15 +567,79 @@ def interval_overlap_join(
 
     l = prep(left, left_start, left_end)
     r = prep(right, right_start, right_end)
+    lens = l.select((F.col("__e") - F.col("__s") + 1).alias("n")).unionAll(
+        r.select((F.col("__e") - F.col("__s") + 1).alias("n"))
+    )
+    row = lens.agg(F.avg("n").alias("m"), F.max("n").alias("mx")).collect()[0]
     if bucket_width == "auto":
-        lens = l.select((F.col("__e") - F.col("__s") + 1).alias("n")).unionAll(
-            r.select((F.col("__e") - F.col("__s") + 1).alias("n"))
-        )
-        row = lens.agg(F.avg("n").alias("m")).collect()[0]
         bucket_width = max(1, int(row["m"] or 1))
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    max_len = int(row["mx"] or 1)
+    clash = (set(left.columns) & set(right.columns)) - set(by)
+
+    if -(-max_len // w) > int(tier_threshold):
+        import math
+
+        nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
+
+        def burst_t(df, side):
+            tv = F.least(
+                F.lit(nt - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.ceil(
+                        F.log2((F.col("__e") - F.col("__s") + 1) / F.lit(float(w)))
+                    ).cast("int"),
+                ),
+            )
+            out = (
+                df.withColumn("__tv", tv)
+                .withColumn(
+                    "__tk", F.explode(F.sequence(F.col("__tv"), F.lit(nt - 1)))
+                )
+                .withColumn("__wt", F.expr(f"shiftleft({w}L, __tk)"))
+                .withColumn(
+                    "__bk",
+                    F.explode(
+                        F.sequence(
+                            F.expr("(__s - pmod(__s, __wt)) div __wt"),
+                            F.expr("(__e - pmod(__e, __wt)) div __wt"),
+                        )
+                    ),
+                )
+                .drop("__wt")
+            )
+            return (
+                out.withColumnRenamed("__s", f"__s_{side}")
+                .withColumnRenamed("__e", f"__e_{side}")
+                .withColumnRenamed("__tv", f"__tv_{side}")
+            )
+
+        lb = burst_t(l, "l")
+        rb = burst_t(r, "r")
+        for c in clash:
+            rb = rb.withColumnRenamed(c, f"{c}{suffix}")
+        wt = f"shiftleft({w}L, __tk)"
+        joined = lb.join(rb, [*by, "__tk", "__bk"]).where(
+            (F.col("__s_l") <= F.col("__e_r"))
+            & (F.col("__s_r") <= F.col("__e_l"))
+            # claim once: at the JOINT tier (the coarser of the two own
+            # tiers — both sides emit there) in its later-start bucket
+            & (F.col("__tk") == F.greatest(F.col("__tv_l"), F.col("__tv_r")))
+            & (
+                F.col("__bk")
+                == F.greatest(
+                    F.expr(f"(__s_l - pmod(__s_l, {wt})) div {wt}"),
+                    F.expr(f"(__s_r - pmod(__s_r, {wt})) div {wt}"),
+                )
+            )
+        )
+        return joined.drop(
+            "__s_l", "__e_l", "__s_r", "__e_r", "__tv_l", "__tv_r",
+            "__tk", "__bk",
+        )
 
     def burst(df, side):
         out = df.withColumn("__s0", _floor_div("__s", w)).withColumn(
@@ -572,7 +651,6 @@ def interval_overlap_join(
 
     lb = burst(l, "l")
     rb = burst(r, "r")
-    clash = (set(left.columns) & set(right.columns)) - set(by)
     for c in clash:
         rb = rb.withColumnRenamed(c, f"{c}{suffix}")
     joined = lb.join(rb, [*by, "__bk"]).where(

@@ -477,3 +477,52 @@ def test_interval_join_tiered_identical(spark):
         for r in interval_join(idf, pdf, "s", "e", "t").collect()
     }
     assert auto == expect
+
+
+def test_interval_overlap_tiered_identical(spark):
+    """r7 overlap tiers: forced multi-resolution plan reproduces the
+    flat plan's pair MULTISET (exactly-once across tiers) on a skewed
+    fixture with always-on intervals on both sides."""
+    import random
+
+    from pyramidscheme_jl_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(43)
+    lv = [(i, s, s + rng.randrange(0, 30))
+          for i, s in ((i, rng.randrange(0, 50000)) for i in range(120))]
+    lv.append((800, -500, 100000))  # always-on left
+    rv = [(500 + j, s, s + rng.randrange(0, 500))
+          for j, s in ((j, rng.randrange(0, 50000)) for j in range(100))]
+    rv.append((901, 0, 90000))  # giant right
+    rv.append((902, 20000, 20000))  # instant right
+    ldf = spark.createDataFrame(lv, "l_id long, ls long, le long")
+    rdf = spark.createDataFrame(rv, "r_id long, rs long, re long")
+    expect = sorted(
+        (i, j) for i, ls, le in lv for j, rs, re in rv
+        if ls <= re and rs <= le
+    )
+    flat = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re",
+            bucket_width=16, tier_threshold=1 << 60,
+        ).collect()
+    )
+    tiered = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re",
+            bucket_width=16, tier_threshold=1,
+        ).collect()
+    )
+    auto = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re"
+        ).collect()
+    )
+    assert flat == expect
+    assert tiered == expect  # multiset equality: exactly-once across tiers
+    assert auto == expect  # default threshold trips on the giants
