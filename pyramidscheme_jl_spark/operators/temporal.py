@@ -499,8 +499,16 @@ def interval_join(
                 )
             ),
         ).drop("__wt")
+        # points probe only tiers that actually hold intervals — with the
+        # common bimodal length mix (short jobs + always-on windows) that
+        # is 2-3 tiers, not log2(spread); one tiny distinct job (<= ~40
+        # rows; at deployment a catalog statistic). Measured at 4M points
+        # x 15 nominal tiers: the all-tiers probe was the dominant cost.
+        occupied = sorted(
+            r["__tv"] for r in iv.select("__tv").distinct().collect()
+        ) or [0]
         pt = pt.withColumn(
-            "__tv", F.explode(F.array(*[F.lit(t) for t in range(nt)]))
+            "__tv", F.explode(F.array(*[F.lit(int(t)) for t in occupied]))
         ).withColumn("__wt", F.expr(f"shiftleft({w}L, __tv)")).withColumn(
             "__bk", F.expr("(__t - pmod(__t, __wt)) div __wt")
         ).drop("__wt")
@@ -584,7 +592,7 @@ def interval_overlap_join(
 
         nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
 
-        def burst_t(df, side):
+        def own_tier(df):
             tv = F.least(
                 F.lit(nt - 1),
                 F.greatest(
@@ -594,11 +602,29 @@ def interval_overlap_join(
                     ).cast("int"),
                 ),
             )
+            return df.withColumn("__tv", tv)
+
+        l, r = own_tier(l), own_tier(r)
+        # each side emits at its OWN tier plus only the OTHER side's
+        # occupied tiers above it (two tiny distinct jobs, <= ~40 rows
+        # each) — the emit set that can actually meet a partner; with
+        # bimodal lengths that is 2-3 entries, not log2(spread)
+        occ = {
+            side: sorted(
+                row["__tv"] for row in df.select("__tv").distinct().collect()
+            )
+            for side, df in (("l", l), ("r", r))
+        }
+
+        def burst_t(df, side, other_occ):
+            lits = F.array(*[F.lit(int(t)) for t in other_occ]) if other_occ \
+                else F.array().cast("array<int>")
+            emit = F.array_union(
+                F.array(F.col("__tv")),
+                F.filter(lits, lambda t: t > F.col("__tv")),
+            )
             out = (
-                df.withColumn("__tv", tv)
-                .withColumn(
-                    "__tk", F.explode(F.sequence(F.col("__tv"), F.lit(nt - 1)))
-                )
+                df.withColumn("__tk", F.explode(emit))
                 .withColumn("__wt", F.expr(f"shiftleft({w}L, __tk)"))
                 .withColumn(
                     "__bk",
@@ -617,8 +643,8 @@ def interval_overlap_join(
                 .withColumnRenamed("__tv", f"__tv_{side}")
             )
 
-        lb = burst_t(l, "l")
-        rb = burst_t(r, "r")
+        lb = burst_t(l, "l", occ["r"])
+        rb = burst_t(r, "r", occ["l"])
         for c in clash:
             rb = rb.withColumnRenamed(c, f"{c}{suffix}")
         wt = f"shiftleft({w}L, __tk)"

@@ -81,8 +81,13 @@ def run_arm(spark, iv_paths, pt_path, width, threshold, reps):
 
     from pyramidscheme_jl_spark.operators.temporal import interval_join
 
-    iv = spark.read.parquet(*iv_paths)
-    pt = spark.read.parquet(pt_path)
+    # the generator writes a handful of fat parquet files, which pins the
+    # map-side explode to their split count at ANY core width (the same
+    # AQE/input-parallelism trap BENCH/RASTER_SCALING.md documents) — a
+    # deployment-scale scan provides splits naturally, so emulate that
+    cores = spark.sparkContext.defaultParallelism
+    iv = spark.read.parquet(*iv_paths).repartition(4 * cores)
+    pt = spark.read.parquet(pt_path).repartition(4 * cores)
     walls, steals = [], []
     for _ in range(reps):
         s0, t0 = steal_read(), time.time()
@@ -115,8 +120,11 @@ def main() -> None:
     from pyramidscheme_jl_spark.session import get_spark
 
     spark = get_spark("interval-skew-ab", master=f"local[{args.cpus}]")
-    base = "/dev/shm/psjl_interval_ab"
-    marker = f"{base}/.done-{args.points}-{args.intervals}-{args.giants}-{args.trange}"
+    # size-specific dir: a larger gen must not overwrite a smaller
+    # corpus its marker still vouches for
+    base = (f"/dev/shm/psjl_interval_ab/"
+            f"{args.points}-{args.intervals}-{args.giants}-{args.trange}")
+    marker = f"{base}/.done"
     if not os.path.exists(marker):
         gen(spark, base, args.points, args.intervals, args.giants, args.trange)
         open(marker, "w").close()
