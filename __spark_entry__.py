@@ -773,6 +773,29 @@ def q_interval_overlap_orders(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "o_orderkey")
 
 
+def q_events_session_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session_window aggregates (r7): per-(user, session)
+    stats via Spark's built-in session merge — the expression that runs
+    unchanged under Structured Streaming with a watermark. Closed gap
+    rule pinned by test (touching windows merge); values pre-quantized
+    to cents so sums stay exact int64 (the time_rollup portability
+    rule). DuckDB twin: the closed-rule lag/sum sessionization, then
+    group."""
+    from pyramidscheme_jl_spark.operators.temporal import session_agg
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = session_agg(ev, "user_id", "ts", 1800, value_col="cents")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        "n",
+        F.col("sum_v").alias("sum_cents"),
+    )
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1297,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_next_click": q_events_asof_next_click,
         "events_asof_nearest": q_events_asof_nearest,
         "events_sessionize": q_events_sessionize,
+        "events_session_agg": q_events_session_agg,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_hash_split": q_docs_hash_split,
         "events_time_rollup": q_events_time_rollup,
@@ -2312,6 +2336,28 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                     <= CAST(o.o_orderdate AS DATE) + 30
               AND CAST(o.o_orderdate AS DATE)
                     <= CAST(l.l_shipdate AS DATE) + CAST(l.l_partkey % 20 AS INTEGER)
+        """,
+        "events_session_agg": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            f AS (
+              SELECT user_id, t, cents,
+                     CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                                ORDER BY t) <= 1800000000
+                          THEN 0 ELSE 1 END AS is_new
+              FROM e),
+            s AS (
+              SELECT user_id, t, cents,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) AS sid
+              FROM f)
+            SELECT user_id, MIN(t) AS session_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY user_id, sid
         """,
         "events_asof_next_click": """
             WITH v AS (

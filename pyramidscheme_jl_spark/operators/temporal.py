@@ -689,3 +689,44 @@ def interval_overlap_join(
     return joined.drop(
         "__s_l", "__e_l", "__s_r", "__e_r", "__s0_l", "__s0_r", "__bk"
     )
+
+
+def session_agg(
+    df: DataFrame,
+    by: list[str] | str,
+    ts_col: str,
+    gap_seconds: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``session_window`` —
+    one aggregation, no window-function sort, and the expression runs
+    unchanged under Structured Streaming (``readStream`` + watermark),
+    which makes it the engine's streaming-sessionization story where
+    ``sessionize`` (row-level ordinals via a running sum) is the batch
+    labeling story.
+
+    Semantics are Spark's, pinned by test: an event at ``t`` extends
+    its session window to ``t + gap`` and Spark merges TOUCHING
+    windows, so a follower at exactly ``t + gap`` joins the session —
+    the same closed ``<= gap`` rule as ``sessionize`` (the DuckDB
+    oracle mirrors it). Returns one row per (by, session):
+    ``session_start`` (the first event's timestamp), ``n`` events, and
+    optionally ``sum_v``.
+
+    Scale shape: a single hash aggregate keyed by (by, merged session)
+    — Spark merges overlapping session windows inside the aggregation,
+    partial merge included, so a hot group costs one aggregation task's
+    merge, not a full-window sort.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    aggs = [F.count("*").cast("long").alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_v"))
+    out = df.groupBy(
+        *by, F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds")
+    ).agg(*aggs)
+    return out.select(
+        *by,
+        F.col("session_window.start").alias("session_start"),
+        *[c for c in ("n", "sum_v") if c in out.columns],
+    )

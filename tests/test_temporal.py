@@ -526,3 +526,34 @@ def test_interval_overlap_tiered_identical(spark):
     assert flat == expect
     assert tiered == expect  # multiset equality: exactly-once across tiers
     assert auto == expect  # default threshold trips on the giants
+
+
+def test_session_agg_native_window(spark):
+    """r7: session_agg (native session_window) matches a python replay
+    of the strict half-open gap rule, and the boundary tick differs
+    from sessionize's closed rule exactly as documented."""
+    from pyramidscheme_jl_spark.operators.temporal import (
+        session_agg,
+        sessionize,
+    )
+
+    rows = [
+        ("a", 0, 1.0), ("a", 100, 2.0), ("a", 1900, 4.0),  # 1900 = 100+gap
+        ("a", 5000, 8.0), ("b", 7, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, sec long, v double").selectExpr(
+        "user", "timestamp_seconds(sec) ts", "sec", "v"
+    )
+    got = {
+        (r["user"], r["session_start"].timestamp(), r["n"], r["sum_v"])
+        for r in session_agg(df, "user", "ts", 1800, value_col="v").collect()
+    }
+    # Spark merges TOUCHING session windows: 1900 == 100 + gap joins
+    # the first session (the closed rule, same as sessionize)
+    assert got == {
+        ("a", 0.0, 3, 7.0), ("a", 5000.0, 1, 8.0), ("b", 7.0, 1, 16.0),
+    }
+    # sessionize agrees on the boundary tick
+    lab = {(r["user"], r["sec"], r["session_id"])
+           for r in sessionize(df, "user", "sec", gap=1800).collect()}
+    assert ("a", 1900, 1) in lab and ("a", 5000, 2) in lab

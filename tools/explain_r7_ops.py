@@ -29,6 +29,7 @@ def main() -> int:
         "docs_stratified_sample", "docs_hash_split", "geo_radius_join",
         "lines_near_pairs", "lines_snap_nearest",
         "interval_join_ship", "interval_overlap_orders",
+        "events_session_agg",
     ]
     # name -> (must NOT appear, must appear)
     arrow_ok = set()  # none of the r7 ops runs python
