@@ -796,6 +796,33 @@ def q_events_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_join_tiered(spark: SparkSession, sf: str) -> DataFrame:
+    """The TIERED interval plan under the correctness gate (r7): a
+    bimodal fixture — most transit windows 0-14 days, every 1000th part
+    an 11-year service window — joined with tier_threshold=4 so the
+    multi-resolution path provably runs (the oracle pins the plan the
+    way the ANN rows pin explicit rerank). Same DuckDB BETWEEN truth as
+    the flat row."""
+    from pyramidscheme_jl_spark.operators.temporal import interval_join
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_partkey") % 10 == 0).select(
+        "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("l_ship_d"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            F.when(F.col("l_partkey") % 1000 == 0, F.lit(4000))
+            .otherwise((F.col("l_partkey") % 15)).cast("int"),
+        ).alias("l_end_d"),
+    )
+    od = _t(spark, sf, "orders").where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_date_d")
+    )
+    out = interval_join(
+        li, od, "l_ship_d", "l_end_d", "o_date_d", tier_threshold=4
+    )
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1315,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_join": q_geo_radius_join,
         "lines_near_pairs": q_lines_near_pairs,
         "interval_join_ship": q_interval_join_ship,
+        "interval_join_tiered": q_interval_join_tiered,
         "interval_overlap_orders": q_interval_overlap_orders,
         "lines_snap_nearest": q_lines_snap_nearest,
         "events_asof_next_click": q_events_asof_next_click,
@@ -2327,6 +2355,17 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               AND CAST(o.o_orderdate AS DATE)
                   BETWEEN CAST(l.l_shipdate AS DATE)
                       AND CAST(l.l_shipdate AS DATE) + CAST(l.l_partkey % 20 AS INTEGER)
+        """,
+        "interval_join_tiered": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+            FROM lineitem l, orders o
+            WHERE l.l_partkey % 10 = 0 AND o.o_orderkey % 10 = 0
+              AND CAST(o.o_orderdate AS DATE)
+                  BETWEEN CAST(l.l_shipdate AS DATE)
+                      AND CAST(l.l_shipdate AS DATE)
+                          + CAST(CASE WHEN l.l_partkey % 1000 = 0
+                                      THEN 4000 ELSE l.l_partkey % 15
+                                 END AS INTEGER)
         """,
         "interval_overlap_orders": """
             SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey

@@ -557,3 +557,56 @@ def test_session_agg_native_window(spark):
     lab = {(r["user"], r["sec"], r["session_id"])
            for r in sessionize(df, "user", "sec", gap=1800).collect()}
     assert ("a", 1900, 1) in lab and ("a", 5000, 2) in lab
+
+
+def test_session_agg_streaming(spark, tmp_path):
+    """r7: the session_agg expression runs unchanged under Structured
+    Streaming — file source, watermark, append mode. Two micro-batches
+    (maxFilesPerTrigger=1): batch 2's timestamps advance the watermark
+    past batch 1's sessions, which must then emit EXACTLY the batch
+    result for those sessions (finalized sessions only — the append
+    contract)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    b1 = spark.createDataFrame(
+        [("a", 1000), ("a", 1100), ("b", 2000)], "user string, sec long"
+    ).selectExpr("user", "timestamp_seconds(sec) ts")
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)  # distinct mtimes -> stable batch order
+    b2 = spark.createDataFrame(
+        [("a", 500000)], "user string, sec long"  # far future: flushes b1
+    ).selectExpr("user", "timestamp_seconds(sec) ts")
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    sdf = spark.readStream.schema("user string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy("user", F.session_window(F.col("ts"), "1800 seconds"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "user",
+            F.col("session_window.start").cast("timestamp").alias("start"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_r7")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["user"], r["start"].timestamp(), r["n"])
+        for r in spark.sql("select * from sess_r7").collect()
+    }
+    # batch-1 sessions finalized by batch 2's watermark; the far-future
+    # session itself is still open and therefore absent
+    assert got == {("a", 1000.0, 2), ("b", 2000.0, 1)}
