@@ -63,6 +63,7 @@ def radius_join(
     max_abs_lat: float = 75.0,
     broadcast_queries: bool = True,
     dist_col: str | None = "dist_m",
+    nearest_only: bool = False,
 ) -> DataFrame:
     """All (query, point) pairs within ``radius_m`` meters great-circle.
 
@@ -145,6 +146,29 @@ def radius_join(
     out = joined.where(dist <= F.lit(float(radius_m))).select(
         F.col("__qid").alias(query_id_col),
         F.col("__pid").alias(id_col),
-        *([] if dist_col is None else [dist.alias(dist_col)]),
+        dist.alias("__d"),
     )
-    return out
+    if nearest_only:
+        # snap each query to its nearest point within the radius (ties
+        # by lowest point id). The argmin ranks by a trig double, so
+        # unlike the planar lines join this form is NOT offered an
+        # engine-exact oracle — near-equal distances could rank
+        # differently across libms; within one engine it is
+        # deterministic.
+        out = (
+            out.groupBy(query_id_col)
+            .agg(
+                F.min_by(
+                    F.struct(F.col(id_col), F.col("__d")),
+                    F.struct(F.col("__d"), F.col(id_col)),
+                ).alias("__m")
+            )
+            .select(
+                query_id_col,
+                F.col(f"__m.{id_col}").alias(id_col),
+                F.col("__m.__d").alias("__d"),
+            )
+        )
+    if dist_col is None:
+        return out.drop("__d")
+    return out.withColumnRenamed("__d", dist_col)

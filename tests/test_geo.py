@@ -90,3 +90,41 @@ def test_radius_join_guards(spark):
         ok, ok.withColumnRenamed("point_id", "query_id"), 1000.0, dist_col=None
     )
     assert out.columns == ["query_id", "point_id"]
+
+
+def test_radius_join_nearest_only(spark):
+    """Snap-to-nearest within radius: argmin over the same pair set,
+    ties by lowest point_id — pinned against the brute-force replay."""
+    rng = np.random.RandomState(7)
+    ps = [(i, float(10 + rng.randn() * 0.5), float(20 + rng.randn() * 0.5))
+          for i in range(200)]
+    qs = [(500 + j, ps[j * 19][1] + 0.001, ps[j * 19][2]) for j in range(8)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+    radius = 30_000.0
+    pairs = {}
+    for qid, qla, qlo in qs:
+        for pid, pla, plo in ps:
+            p1, p2 = math.radians(qla), math.radians(pla)
+            dp, dl = p2 - p1, math.radians(plo) - math.radians(qlo)
+            a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+            d = 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+            if d <= radius:
+                cur = pairs.get(qid)
+                if cur is None or (d, pid) < (cur[1], cur[0]):
+                    pairs[qid] = (pid, d)
+    got = {
+        r["query_id"]: (r["point_id"], r["dist_m"])
+        for r in radius_join(
+            points, queries, radius, nearest_only=True
+        ).collect()
+    }
+    assert set(got) == set(pairs)
+    for qid, (pid, d) in pairs.items():
+        assert got[qid][0] == pid
+        assert abs(got[qid][1] - d) < 1e-6 * max(1.0, d)
+    # pairs-only projection still drops the distance
+    cols = radius_join(
+        points, queries, radius, nearest_only=True, dist_col=None
+    ).columns
+    assert cols == ["query_id", "point_id"]
