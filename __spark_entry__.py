@@ -823,6 +823,63 @@ def q_interval_join_tiered(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "o_orderkey")
 
 
+def _ensure_focal_level(spark: SparkSession) -> str:
+    """Memoized focal-mean level over the zonal fixture: focal_stats ->
+    write_level -> (copied multiscales doc) — the derived-raster
+    composition path a user runs (focal then extract/zonal)."""
+    import shutil
+
+    root = "/dev/shm/psjl_focal_oracle_v1"
+    path = f"{root}/pyr"
+    done = f"{root}/_done"
+    if os.path.exists(done):
+        return path
+    from pyramidscheme_jl_spark.operators.raster import focal_stats
+    from pyramidscheme_jl_spark.sources.catalog import (
+        MULTISCALES_FILE,
+        write_level,
+    )
+
+    src_pyr = _ensure_zonal_pyramid(spark)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    write_level(focal_stats(spark, src_pyr, z=0, stat="mean"), path, 0)
+    # focal preserves the grid: the source's interchange doc applies
+    shutil.copy(f"{src_pyr}/{MULTISCALES_FILE}", f"{path}/{MULTISCALES_FILE}")
+    open(done, "w").close()
+    return path
+
+
+def q_focal_mean_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Focal (3x3 neighborhood) mean over the built raster (r7,
+    raster.focal_stats): halo-exchange plan — tiles re-emit r-wide edge
+    strips to their 8 neighbors (the shuffle carries ~0.8% of pixel
+    volume, never whole tiles), per-tile assembly computes the
+    separable window stat with explicit left-to-right adds. Integer
+    window sums / integer counts -> ONE IEEE division, so the mean is
+    engine-portable bit-for-bit with no quantization: DuckDB rebuilds
+    the mosaic closed-form, runs the same separable window SUMs, and
+    divides once. Sampled at part-key pixel centers through
+    raster_extract over the WRITTEN focal level (focal -> write_level
+    -> extract: the derived-raster composition)."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import raster_extract
+
+    path = _ensure_focal_level(spark)
+    pts = _t(spark, sf, "part").select(
+        F.concat(F.lit("pt-"), F.col("p_partkey").cast("string")).alias("point_id"),
+        ((F.col("p_partkey") * 7919) % 512 + 0.5).cast("double").alias("x"),
+        ((F.col("p_partkey") * 104729) % 512 + 0.5).cast("double").alias("y"),
+    )
+    res = raster_extract(spark, path, pts, z=0)
+    return res.select(
+        "point_id",
+        (F.col("x") * 2).cast("long").alias("x2"),
+        (F.col("y") * 2).cast("long").alias("y2"),
+        F.col("value").alias("focal_mean"),
+    )
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1340,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "events_asof_click": q_events_asof_click,
         "geo_radius_join": q_geo_radius_join,
+        "focal_mean_extract": q_focal_mean_extract,
         "lines_near_pairs": q_lines_near_pairs,
         "interval_join_ship": q_interval_join_ship,
         "interval_join_tiered": q_interval_join_tiered,
@@ -2397,6 +2455,39 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM s GROUP BY user_id, sid
+        """,
+        "focal_mean_extract": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128))
+                                + xor(px%128, py%128)) % 256 AS BIGINT) AS v
+                   FROM xs CROSS JOIN ys),
+                 h AS (
+                   SELECT px, py,
+                          SUM(v) OVER (PARTITION BY py ORDER BY px
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hs,
+                          COUNT(v) OVER (PARTITION BY py ORDER BY px
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hc
+                   FROM pix),
+                 f AS (
+                   SELECT px, py,
+                          SUM(hs) OVER (PARTITION BY px ORDER BY py
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s,
+                          SUM(hc) OVER (PARTITION BY px ORDER BY py
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n
+                   FROM h),
+                 p AS (
+                   SELECT p_partkey,
+                          (p_partkey * 7919) % 512 AS ix,
+                          (p_partkey * 104729) % 512 AS iy
+                   FROM part)
+            SELECT concat('pt-', p.p_partkey) AS point_id,
+                   CAST(p.ix * 2 + 1 AS BIGINT) AS x2,
+                   CAST(p.iy * 2 + 1 AS BIGINT) AS y2,
+                   CAST(f.s AS DOUBLE) / f.n AS focal_mean
+            FROM p JOIN f ON f.px = p.ix AND f.py = p.iy
         """,
         "events_asof_next_click": """
             WITH v AS (

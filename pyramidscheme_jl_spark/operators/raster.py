@@ -164,3 +164,208 @@ def rasterize_polygons(
             yield _rows_to_pdf(out)  # empty-safe: astype on 0 rows is fine
 
     return per_tile.mapInPandas(render, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# focal (neighborhood) statistics — the classic GIS raster family the
+# block-aggregation pyramid does not cover: every output pixel is a
+# function of its (2r+1)^2 neighborhood, which crosses tile boundaries.
+
+
+FOCAL_STATS = ("mean", "sum", "count", "min", "max")
+
+#: ``cell`` travels as a STRING: strips carry null metadata, and a
+#: nullable int64 column coerces to float64 in pandas — cell ids near
+#: 2^57 then collapse to the same double (ulp 32), which breaks every
+#: downstream cell equi-join (caught by the focal oracle row).
+_HALO_SCHEMA = (
+    "tx int, ty int, dx int, dy int, bytes binary, w int, h int, "
+    "dtype string, cell string, xmin double, ymin double, xmax double, "
+    "ymax double"
+)
+
+
+def _halo_gen(radius: int):
+    """mapInPandas stage: each tile re-emits itself (dx=dy=0, metadata
+    attached) plus the r-wide edge strips its 8 neighbors need, keyed to
+    the NEIGHBOR. Strips are O(perimeter) bytes — the shuffle moves
+    ~2r/tilesize of the pixel volume (0.8% at r=1, 256px), never whole
+    tiles."""
+    import pandas as pd
+
+    from ..functions.codec import decode_tile, encode_tile
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "tx", "ty", "dx", "dy", "bytes", "w", "h", "dtype",
+                "cell", "xmin", "ymin", "xmax", "ymax")}
+
+            def emit(tx, ty, dx, dy, arr, meta=None):
+                out["tx"].append(tx); out["ty"].append(ty)
+                out["dx"].append(dx); out["dy"].append(dy)
+                out["bytes"].append(encode_tile(arr))
+                out["h"].append(arr.shape[0]); out["w"].append(arr.shape[1])
+                out["dtype"].append(str(arr.dtype))
+                for k in ("cell", "xmin", "ymin", "xmax", "ymax"):
+                    out[k].append(meta[k] if meta else None)
+
+            for row in pdf.itertuples():
+                if int(row.c) != 1:
+                    raise ValueError(
+                        "focal_stats supports single-channel rasters "
+                        f"(tile ({row.tx},{row.ty}) has c={row.c})")
+                r = radius
+                if r > min(int(row.h), int(row.w)):
+                    raise ValueError(
+                        f"radius {r} exceeds tile dims "
+                        f"({row.w}x{row.h}): halos only reach adjacent "
+                        "tiles")
+                a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+                meta = {k: getattr(row, k) for k in
+                        ("cell", "xmin", "ymin", "xmax", "ymax")}
+                meta["cell"] = None if meta["cell"] is None else str(meta["cell"])
+                emit(row.tx, row.ty, 0, 0, a, meta)
+                for ex in (-1, 0, 1):
+                    for ey in (-1, 0, 1):
+                        if ex == 0 and ey == 0:
+                            continue
+                        piece = a
+                        if ex:
+                            piece = piece[:, -r:] if ex == 1 else piece[:, :r]
+                        if ey:
+                            piece = piece[-r:, :] if ey == 1 else piece[:r, :]
+                        emit(int(row.tx) + ex, int(row.ty) + ey, -ex, -ey, piece)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def _focal_assemble(stat: str, radius: int, z: int):
+    """applyInPandas stage per (tx, ty): pad the center tile with the
+    received strips (absent neighbors/strips -> invalid: the window
+    SHRINKS at raster borders, counts reflect valid pixels only), then
+    compute the separable (2r+1)-window stat with explicit left-to-right
+    adds — the exact operation order the DuckDB window-SUM twin uses, so
+    float results reproduce bit-for-bit and integer results are exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codec import decode_tile, encode_tile
+
+    def fn(key, pdf):
+        ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if ctr.empty:
+            return pd.DataFrame(
+                columns=["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
+                         "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
+                         "xmax", "ymax"])
+        c = ctr.iloc[0]
+        h, w, r = int(c["h"]), int(c["w"]), radius
+        a = decode_tile(c["bytes"], h, w, c["dtype"])
+        is_int = a.dtype.kind in "ui"
+        acc_dt = np.int64 if is_int else np.float64
+        pad = np.zeros((h + 2 * r, w + 2 * r), dtype=acc_dt)
+        valid = np.zeros(pad.shape, dtype=bool)
+        pad[r:r + h, r:r + w] = a
+        valid[r:r + h, r:r + w] = True
+        for row in pdf[(pdf["dx"] != 0) | (pdf["dy"] != 0)].itertuples():
+            p = decode_tile(row.bytes, row.h, row.w, row.dtype)
+            x0 = 0 if row.dx == -1 else (r if row.dx == 0 else r + w)
+            y0 = 0 if row.dy == -1 else (r if row.dy == 0 else r + h)
+            ph, pw = p.shape
+            pad[y0:y0 + ph, x0:x0 + pw] = p
+            valid[y0:y0 + ph, x0:x0 + pw] = True
+
+        k = 2 * r + 1
+
+        def h_windows(m):
+            cols = [m[:, i:m.shape[1] - (k - 1 - i)] for i in range(k)]
+            return cols
+
+        def v_windows(m):
+            return [m[i:m.shape[0] - (k - 1 - i), :] for i in range(k)]
+
+        def seq_add(parts):
+            acc = parts[0].copy()
+            for p in parts[1:]:
+                acc = acc + p  # fixed left-to-right order (the SQL twin)
+            return acc
+
+        if stat in ("mean", "sum", "count"):
+            s = seq_add(h_windows(np.where(valid, pad, 0)))
+            s = seq_add(v_windows(s))
+            n = seq_add(h_windows(valid.astype(np.int64)))
+            n = seq_add(v_windows(n))
+            if stat == "sum":
+                res = s
+            elif stat == "count":
+                res = n
+            else:
+                res = s.astype(np.float64) / n  # one IEEE division
+        else:
+            lo = np.where(valid, pad.astype(np.float64),
+                          np.inf if stat == "min" else -np.inf)
+            op = np.minimum if stat == "min" else np.maximum
+            m = lo
+            hw = h_windows(m)
+            acc = hw[0]
+            for p in hw[1:]:
+                acc = op(acc, p)
+            vw = v_windows(acc)
+            acc2 = vw[0]
+            for p in vw[1:]:
+                acc2 = op(acc2, p)
+            # windows always contain the center pixel -> finite
+            res = acc2.astype(a.dtype) if is_int else acc2
+        out = np.ascontiguousarray(res)
+        return pd.DataFrame([{
+            "z": z, "tx": int(c["tx"]), "ty": int(c["ty"]),
+            "bytes": encode_tile(out), "w": w, "h": h, "c": 1,
+            "dtype": str(out.dtype),
+            "vmin": float(out.min()), "vmax": float(out.max()),
+            "vmean": float(out.mean()),
+            "cell": None if c["cell"] is None else int(c["cell"]),
+            "xmin": float(c["xmin"]), "ymin": float(c["ymin"]),
+            "xmax": float(c["xmax"]), "ymax": float(c["ymax"]),
+        }])
+
+    return fn
+
+
+def focal_stats(
+    spark,
+    path: str,
+    z: int = 0,
+    stat: str = "mean",
+    radius: int = 1,
+):
+    """Focal (neighborhood) statistics over a built pyramid level: every
+    output pixel is the ``stat`` of its (2r+1)x(2r+1) window, windows
+    SHRINKING at raster borders (counts reflect valid pixels only) —
+    the GDAL/ArcGIS focal-stats contract. Returns TILE_SCHEMA rows (a
+    derived raster level): compose with ``write_level`` +
+    ``raster_extract``/``zonal_raster`` downstream.
+
+    Plan: one tile scan -> mapInPandas emits each tile plus the r-wide
+    edge strips its 8 neighbors need (the halo exchange: the shuffle
+    carries ~2r/tilesize of the pixel volume — 0.8% at r=1/256px — never
+    whole tiles) -> groupBy(tx, ty) applyInPandas pads the center with
+    its halos and computes the separable window stat. Sum/count stay
+    exact int64 for integer rasters; ``mean`` is one IEEE division of
+    those, which is why the DuckDB oracle reproduces it bit-for-bit
+    (engine-portable without any quantization).
+    """
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if stat not in FOCAL_STATS:
+        raise ValueError(f"stat must be one of {FOCAL_STATS}, got {stat!r}")
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    tiles = read_level(spark, path, z)
+    if any(f.name == "t" for f in tiles.schema.fields):
+        raise ValueError("focal_stats expects a flat (x, y) level, not a cube")
+    halo = tiles.mapInPandas(_halo_gen(radius), _HALO_SCHEMA)
+    return halo.groupBy("tx", "ty").applyInPandas(
+        _focal_assemble(stat, radius, z), TILE_SCHEMA
+    )
