@@ -369,3 +369,144 @@ def focal_stats(
     return halo.groupBy("tx", "ty").applyInPandas(
         _focal_assemble(stat, radius, z), TILE_SCHEMA
     )
+
+
+def focal_apply(
+    spark,
+    path: str,
+    kernel_fn,
+    z: int = 0,
+    radius: int = 1,
+    out_dtype: str = "float64",
+):
+    """Custom neighborhood operator over a pyramid level: the §2.11
+    any-callable contract for FOCAL computations. ``kernel_fn(padded,
+    valid, radius)`` receives the (h+2r, w+2r) float64 window pad (NaN
+    where no data exists — raster border or missing tile) plus the
+    validity mask, and returns the (h, w) result array. Runs inside the
+    same halo-exchange plan as ``focal_stats`` (strips-only shuffle);
+    the kernel must be a pure per-tile numpy function.
+
+    ``slope_degrees`` / ``hillshade`` below are the canonical DEM
+    kernels (Horn's method); both are pytest-pinned against full-mosaic
+    replays. Trig results are deliberately NOT oracle-gated (libm ulps
+    are not engine-portable — the focal_stats mean row is the
+    bit-exact representative of this plan)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codec import decode_tile, encode_tile
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+
+    def fn(key, pdf):
+        ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if ctr.empty:
+            return pd.DataFrame(
+                columns=["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
+                         "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
+                         "xmax", "ymax"])
+        c = ctr.iloc[0]
+        h, w, r = int(c["h"]), int(c["w"]), radius
+        pad = np.full((h + 2 * r, w + 2 * r), np.nan, dtype=np.float64)
+        valid = np.zeros(pad.shape, dtype=bool)
+        pad[r:r + h, r:r + w] = decode_tile(c["bytes"], h, w, c["dtype"])
+        valid[r:r + h, r:r + w] = True
+        for row in pdf[(pdf["dx"] != 0) | (pdf["dy"] != 0)].itertuples():
+            p = decode_tile(row.bytes, row.h, row.w, row.dtype)
+            x0 = 0 if row.dx == -1 else (r if row.dx == 0 else r + w)
+            y0 = 0 if row.dy == -1 else (r if row.dy == 0 else r + h)
+            pad[y0:y0 + p.shape[0], x0:x0 + p.shape[1]] = p
+            valid[y0:y0 + p.shape[0], x0:x0 + p.shape[1]] = True
+        res = np.ascontiguousarray(
+            np.asarray(kernel_fn(pad, valid, r), dtype=np.dtype(out_dtype))
+        )
+        if res.shape != (h, w):
+            raise ValueError(
+                f"kernel returned shape {res.shape}, expected {(h, w)}")
+        finite = res[np.isfinite(res)]
+        return pd.DataFrame([{
+            "z": z, "tx": int(c["tx"]), "ty": int(c["ty"]),
+            "bytes": encode_tile(res), "w": w, "h": h, "c": 1,
+            "dtype": str(res.dtype),
+            "vmin": float(finite.min()) if finite.size else float("nan"),
+            "vmax": float(finite.max()) if finite.size else float("nan"),
+            "vmean": float(finite.mean()) if finite.size else float("nan"),
+            "cell": None if c["cell"] is None else int(c["cell"]),
+            "xmin": float(c["xmin"]), "ymin": float(c["ymin"]),
+            "xmax": float(c["xmax"]), "ymax": float(c["ymax"]),
+        }])
+
+    tiles = read_level(spark, path, z)
+    if any(f.name == "t" for f in tiles.schema.fields):
+        raise ValueError("focal_apply expects a flat (x, y) level, not a cube")
+    halo = tiles.mapInPandas(_halo_gen(radius), _HALO_SCHEMA)
+    return halo.groupBy("tx", "ty").applyInPandas(fn, TILE_SCHEMA)
+
+
+def _horn_gradients(pad, cellsize: float):
+    """Horn's method gradients on a 1-padded window; border pixels use
+    edge replication (the GDAL -compute_edges convention)."""
+    import numpy as np
+
+    p = pad.copy()
+    # replicate edges into NaN halo so border windows are defined
+    for _ in range(2):  # two passes settle corners
+        m = np.isnan(p)
+        for sl_to, sl_from in (
+            (np.s_[0, :], np.s_[1, :]), (np.s_[-1, :], np.s_[-2, :]),
+            (np.s_[:, 0], np.s_[:, 1]), (np.s_[:, -1], np.s_[:, -2]),
+        ):
+            row = p[sl_to]
+            src = p[sl_from]
+            fill = np.isnan(row) & ~np.isnan(src)
+            row[fill] = src[fill]
+            p[sl_to] = row
+    a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+    d, f = p[1:-1, :-2], p[1:-1, 2:]
+    g, h2, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize)
+    dzdy = ((g + 2 * h2 + i) - (a + 2 * b + c)) / (8.0 * cellsize)
+    return dzdx, dzdy
+
+
+def slope_degrees(spark, path: str, z: int = 0, cellsize: float = 1.0):
+    """DEM slope in degrees (Horn's method, GDAL ``gdaldem slope``
+    analog) as a ``focal_apply`` kernel."""
+    import numpy as np
+
+    def kern(pad, valid, r):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        return np.degrees(np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2)))
+
+    return focal_apply(spark, path, kern, z=z, radius=1)
+
+
+def hillshade(
+    spark,
+    path: str,
+    z: int = 0,
+    cellsize: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+):
+    """DEM hillshade 0-255 (GDAL ``gdaldem hillshade`` analog):
+    illumination of the Horn-gradient surface normal by a sun at
+    (azimuth, altitude)."""
+    import math
+
+    import numpy as np
+
+    def kern(pad, valid, r):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        zen = math.radians(90.0 - altitude_deg)
+        az = math.radians(360.0 - azimuth_deg + 90.0)
+        slope = np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = (np.cos(zen) * np.cos(slope)
+                 + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+        return np.clip(shade * 255.0, 0, 255)
+
+    return focal_apply(spark, path, kern, z=z, radius=1)

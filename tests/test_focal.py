@@ -76,3 +76,70 @@ def test_focal_radius2_and_errors(spark, pyr):
         focal_stats(spark, root, stat="median")
     with pytest.raises(ValueError, match="radius"):
         focal_stats(spark, root, radius=0)
+
+
+def test_focal_apply_slope_hillshade(spark, pyr):
+    """focal_apply + the Horn DEM kernels: per-tile halo windows must
+    reproduce the full-mosaic computation bit-for-bit (interior pixels
+    see identical values; raster borders use the same edge-replication
+    code path in engine and replay)."""
+    root, full = pyr
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.raster import (
+        _horn_gradients,
+        hillshade,
+        slope_degrees,
+    )
+
+    fullf = np.full((130, 130), np.nan)
+    fullf[1:-1, 1:-1] = full.astype(np.float64)
+
+    dzdx, dzdy = _horn_gradients(fullf, 1.0)
+    exp_slope = np.degrees(np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2)))
+
+    got = np.zeros((128, 128))
+    for r in slope_degrees(spark, root, z=0).collect():
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+        got[r["ty"] * 32:(r["ty"] + 1) * 32, r["tx"] * 32:(r["tx"] + 1) * 32] = a
+    assert np.array_equal(got, exp_slope)
+
+    import math
+    zen = math.radians(45.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    sl = np.arctan(np.sqrt(dzdx ** 2 + dzdy ** 2))
+    asp = np.arctan2(dzdy, -dzdx)
+    exp_hs = np.clip(
+        (np.cos(zen) * np.cos(sl)
+         + np.sin(zen) * np.sin(sl) * np.cos(az - asp)) * 255.0, 0, 255)
+    goth = np.zeros((128, 128))
+    for r in hillshade(spark, root, z=0).collect():
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+        goth[r["ty"] * 32:(r["ty"] + 1) * 32, r["tx"] * 32:(r["tx"] + 1) * 32] = a
+    assert np.array_equal(goth, exp_hs)
+
+    # custom kernel via the public hook: range = max - min over the window
+    from pyramidscheme_jl_spark.operators.raster import focal_apply
+
+    def kern(pad, valid, r):
+        import numpy as _np
+        lo = _np.where(valid, pad, _np.inf)
+        hi = _np.where(valid, pad, -_np.inf)
+        k = 2 * r + 1
+        mn = lo[:, 0:lo.shape[1] - k + 1].copy()
+        mx = hi[:, 0:hi.shape[1] - k + 1].copy()
+        for i in range(1, k):
+            mn = _np.minimum(mn, lo[:, i:lo.shape[1] - k + 1 + i])
+            mx = _np.maximum(mx, hi[:, i:hi.shape[1] - k + 1 + i])
+        mn2 = mn[0:mn.shape[0] - k + 1, :].copy()
+        mx2 = mx[0:mx.shape[0] - k + 1, :].copy()
+        for i in range(1, k):
+            mn2 = _np.minimum(mn2, mn[i:mn.shape[0] - k + 1 + i, :])
+            mx2 = _np.maximum(mx2, mx[i:mx.shape[0] - k + 1 + i, :])
+        return mx2 - mn2
+
+    rows = focal_apply(spark, root, kern, z=0).collect()
+    gotr = np.zeros((128, 128))
+    for r in rows:
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+        gotr[r["ty"] * 32:(r["ty"] + 1) * 32, r["tx"] * 32:(r["tx"] + 1) * 32] = a
+    assert np.array_equal(gotr, _replay(full, "max", 1) - _replay(full, "min", 1))
