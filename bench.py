@@ -75,7 +75,7 @@ EXTRA = [
 # fixture-building rows (streamed pyramids / the zonal built pyramid)
 # memoize a /dev/shm dataset on first call; one untimed call absorbs
 # fixture creation, the timed call measures the query
-STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats", "zonal_raster", "raster_extract", "zonal_cube_stats", "zonal_raster_mp"]
+STREAMED = ["streamed_pyramid_stats", "streamed_cube_stats", "zonal_raster", "raster_extract", "zonal_cube_stats", "zonal_raster_mp", "focal_mean_extract"]
 
 #: auto-rep threshold (VERDICT r5 #1): any query slower than 1.5x its
 #: previous-round number re-runs once and records both reps — drift like

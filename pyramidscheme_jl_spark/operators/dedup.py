@@ -451,6 +451,10 @@ def connected_components(
         if changed == 0:
             _release_ckpts(sc, e_ids)  # result no longer needs the edges
             return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
+    # non-convergence must not leak the tracked blocks either: release the
+    # final round's labels AND the edge topology before raising, so a
+    # caller that catches and retries with a higher max_iter starts clean
+    _release_ckpts(sc, label_ids | e_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter — raise it for path-like graphs)"

@@ -267,15 +267,17 @@ def _focal_assemble(stat: str, radius: int, z: int):
         acc_dt = np.int64 if is_int else np.float64
         pad = np.zeros((h + 2 * r, w + 2 * r), dtype=acc_dt)
         valid = np.zeros(pad.shape, dtype=bool)
-        pad[r:r + h, r:r + w] = a
-        valid[r:r + h, r:r + w] = True
+        pad[r:r + h, r:r + w] = np.nan_to_num(a) if not is_int else a
+        # NaN pixels are NODATA (the sparse-assembly convention), not
+        # values: they must neither poison neighbors' stats nor count
+        valid[r:r + h, r:r + w] = np.isfinite(a)
         for row in pdf[(pdf["dx"] != 0) | (pdf["dy"] != 0)].itertuples():
             p = decode_tile(row.bytes, row.h, row.w, row.dtype)
             x0 = 0 if row.dx == -1 else (r if row.dx == 0 else r + w)
             y0 = 0 if row.dy == -1 else (r if row.dy == 0 else r + h)
             ph, pw = p.shape
-            pad[y0:y0 + ph, x0:x0 + pw] = p
-            valid[y0:y0 + ph, x0:x0 + pw] = True
+            pad[y0:y0 + ph, x0:x0 + pw] = np.nan_to_num(p)
+            valid[y0:y0 + ph, x0:x0 + pw] = np.isfinite(p)
 
         k = 2 * r + 1
 
@@ -302,12 +304,21 @@ def _focal_assemble(stat: str, radius: int, z: int):
             elif stat == "count":
                 res = n
             else:
-                res = s.astype(np.float64) / n  # one IEEE division
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    # one IEEE division; all-nodata windows -> NaN
+                    res = s.astype(np.float64) / n
         else:
-            lo = np.where(valid, pad.astype(np.float64),
-                          np.inf if stat == "min" else -np.inf)
+            # ints stay int64 end-to-end (a float64 round-trip corrupts
+            # values past 2^53 — the same width class zonal routes
+            # around); sentinels replace +-inf
+            if is_int:
+                sent = (np.iinfo(np.int64).max if stat == "min"
+                        else np.iinfo(np.int64).min)
+                m = np.where(valid, pad, sent)
+            else:
+                m = np.where(valid, pad,
+                             np.inf if stat == "min" else -np.inf)
             op = np.minimum if stat == "min" else np.maximum
-            m = lo
             hw = h_windows(m)
             acc = hw[0]
             for p in hw[1:]:
@@ -316,15 +327,30 @@ def _focal_assemble(stat: str, radius: int, z: int):
             acc2 = vw[0]
             for p in vw[1:]:
                 acc2 = op(acc2, p)
-            # windows always contain the center pixel -> finite
-            res = acc2.astype(a.dtype) if is_int else acc2
+            # all-nodata windows (possible when NaN nodata exists): NaN
+            # for float rasters; int rasters have no nodata encoding, so
+            # every window holds its (always finite) center pixel
+            if is_int:
+                res = acc2.astype(a.dtype)
+            else:
+                vany = h_windows(valid.astype(np.uint8))
+                va = vany[0]
+                for p in vany[1:]:
+                    va = np.maximum(va, p)
+                vv = v_windows(va)
+                va2 = vv[0]
+                for p in vv[1:]:
+                    va2 = np.maximum(va2, p)
+                res = np.where(va2 > 0, acc2, np.nan)
         out = np.ascontiguousarray(res)
+        finite = out[np.isfinite(out)]
         return pd.DataFrame([{
             "z": z, "tx": int(c["tx"]), "ty": int(c["ty"]),
             "bytes": encode_tile(out), "w": w, "h": h, "c": 1,
             "dtype": str(out.dtype),
-            "vmin": float(out.min()), "vmax": float(out.max()),
-            "vmean": float(out.mean()),
+            "vmin": float(finite.min()) if finite.size else float("nan"),
+            "vmax": float(finite.max()) if finite.size else float("nan"),
+            "vmean": float(finite.mean()) if finite.size else float("nan"),
             "cell": None if c["cell"] is None else int(c["cell"]),
             "xmin": float(c["xmin"]), "ymin": float(c["ymin"]),
             "xmax": float(c["xmax"]), "ymax": float(c["ymax"]),

@@ -567,13 +567,13 @@ def pq_topk(
         _pq_encode_udf(qbooks)(F.col("qvec")).alias("codes"),
     )
     if rerank == "auto":
-        # One scalars-only count job over the codes column. Persist the
-        # (id, codes) projection so the Arrow encode pass runs once — the
-        # cached footprint is N x (8 + m) bytes, i.e. exactly the
-        # compressed representation PQ promises fits (at deployment codes
-        # are a stored column and occupancy is catalog metadata, so
-        # neither the job nor the cache exists there).
-        d = d.persist()
+        # One scalars-only count job over the codes column. Deliberately
+        # NOT persisted: the function returns a lazy DataFrame, so a
+        # persist here could never be released after the caller evaluates
+        # — the exact leak class VERDICT r6 #3 closed elsewhere. The cost
+        # is one extra Arrow encode pass for the count job; at deployment
+        # codes are a stored column and occupancy is catalog metadata, so
+        # neither exists there.
         occ = (
             d.groupBy("codes").count().agg(F.max("count")).collect()[0][0]
         )

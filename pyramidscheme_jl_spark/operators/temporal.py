@@ -488,7 +488,18 @@ def interval_join(
                 .cast("int"),
             ),
         )
-        iv = iv.withColumn("__tv", tv).withColumn(
+        iv = iv.withColumn("__tv", tv)
+        # points probe only tiers that actually hold intervals — with the
+        # common bimodal length mix (short jobs + always-on windows) that
+        # is 2-3 tiers, not log2(spread); one tiny distinct job (<= ~40
+        # rows; at deployment a catalog statistic), run BEFORE the bucket
+        # explode so it scans interval rows, not exploded ones. Measured
+        # at 4M points x 15 nominal tiers: the all-tiers probe was the
+        # dominant cost.
+        occupied = sorted(
+            r["__tv"] for r in iv.select("__tv").distinct().collect()
+        ) or [0]
+        iv = iv.withColumn(
             "__wt", F.expr(f"shiftleft({w}L, __tv)")
         ).withColumn(
             "__bk",
@@ -499,14 +510,6 @@ def interval_join(
                 )
             ),
         ).drop("__wt")
-        # points probe only tiers that actually hold intervals — with the
-        # common bimodal length mix (short jobs + always-on windows) that
-        # is 2-3 tiers, not log2(spread); one tiny distinct job (<= ~40
-        # rows; at deployment a catalog statistic). Measured at 4M points
-        # x 15 nominal tiers: the all-tiers probe was the dominant cost.
-        occupied = sorted(
-            r["__tv"] for r in iv.select("__tv").distinct().collect()
-        ) or [0]
         pt = pt.withColumn(
             "__tv", F.explode(F.array(*[F.lit(int(t)) for t in occupied]))
         ).withColumn("__wt", F.expr(f"shiftleft({w}L, __tv)")).withColumn(

@@ -143,3 +143,64 @@ def test_focal_apply_slope_hillshade(spark, pyr):
         a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
         gotr[r["ty"] * 32:(r["ty"] + 1) * 32, r["tx"] * 32:(r["tx"] + 1) * 32] = a
     assert np.array_equal(gotr, _replay(full, "max", 1) - _replay(full, "min", 1))
+
+
+def test_focal_nan_nodata(spark, tmp_path):
+    """Review fix: NaN pixels are NODATA — they must neither poison
+    neighbors' stats nor count, and all-nodata windows yield NaN (mean/
+    min/max) or 0 (sum/count of nothing)."""
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+    )
+    from pyramidscheme_jl_spark.functions.codec import decode_tile, encode_tile
+    from pyramidscheme_jl_spark.operators.build import build_pyramid
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    # build a 2x2-tile float pyramid, then overwrite one tile with a NaN
+    # block in a corner
+    root = str(tmp_path / "pyr")
+    images = spark.createDataFrame(synth_images(G=2, size=16), IMAGES_DDL)
+    build_pyramid(spark, images, root, G=2, reducer="mean", tilesize=16,
+                  run_id="nan-focal")
+    from pyramidscheme_jl_spark.sources.catalog import read_level
+
+    rows = [r.asDict() for r in read_level(spark, root, 1).collect()]
+    assert len(rows) == 1 and rows[0]["dtype"] == "float64"
+    a = decode_tile(rows[0]["bytes"], rows[0]["h"], rows[0]["w"], "float64").copy()
+    a[:4, :4] = np.nan
+    rows[0]["bytes"] = encode_tile(a)
+    nan_root = str(tmp_path / "pyr_nan")
+    import os
+    os.makedirs(nan_root, exist_ok=True)
+    df = spark.createDataFrame(
+        [tuple(rows[0][f] for f in ("z", "tx", "ty", "bytes", "w", "h", "c",
+                                    "dtype", "vmin", "vmax", "vmean", "cell",
+                                    "xmin", "ymin", "xmax", "ymax"))],
+        "z int, tx int, ty int, bytes binary, w int, h int, c int, "
+        "dtype string, vmin double, vmax double, vmean double, cell long, "
+        "xmin double, ymin double, xmax double, ymax double",
+    )
+    write_level(df, nan_root, 1)
+
+    from pyramidscheme_jl_spark.operators.raster import focal_stats
+
+    got = {}
+    for stat in ("mean", "sum", "count", "min", "max"):
+        r = focal_stats(spark, nan_root, z=1, stat=stat).collect()[0]
+        got[stat] = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+
+    H, W = a.shape
+    for y in range(H):
+        for x in range(W):
+            win = a[max(0, y - 1):y + 2, max(0, x - 1):x + 2]
+            vals = win[np.isfinite(win)]
+            assert got["count"][y, x] == vals.size
+            assert got["sum"][y, x] == (vals.sum() if vals.size else 0)
+            if vals.size:
+                assert got["mean"][y, x] == vals.sum() / vals.size
+                assert got["min"][y, x] == vals.min()
+                assert got["max"][y, x] == vals.max()
+            else:
+                assert np.isnan(got["mean"][y, x])
+                assert np.isnan(got["min"][y, x])
+                assert np.isnan(got["max"][y, x])
