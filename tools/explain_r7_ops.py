@@ -29,10 +29,12 @@ def main() -> int:
         "docs_stratified_sample", "docs_hash_split", "geo_radius_join",
         "lines_near_pairs", "lines_snap_nearest",
         "interval_join_ship", "interval_overlap_orders",
-        "events_session_agg",
+        "events_session_agg", "focal_mean_extract",
     ]
-    # name -> (must NOT appear, must appear)
-    arrow_ok = set()  # none of the r7 ops runs python
+    # ops whose PLAN declares Arrow stages (focal's halo exchange):
+    # row-at-a-time python (BatchEvalPython) is still forbidden there,
+    # and at least one Arrow stage MUST be present
+    arrow_ok = {"focal_mean_extract"}
     rc = 0
     for name in names:
         df = qs[name](spark, sf)
@@ -47,10 +49,15 @@ def main() -> int:
             m for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
             if m in plan
         ]
-        if "BatchEvalPython" in plan and name not in arrow_ok:
-            bad.append("BatchEvalPython")
-        if "ArrowEvalPython" in plan and name not in arrow_ok:
-            bad.append("ArrowEvalPython")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")  # row-python: forbidden everywhere
+        arrow_stages = ("ArrowEvalPython" in plan
+                        or "FlatMapGroupsInPandas" in plan
+                        or "MapInPandas" in plan)
+        if arrow_stages and name not in arrow_ok:
+            bad.append("unexpected-arrow-stage")
+        if name in arrow_ok and not arrow_stages:
+            bad.append("missing-declared-arrow-stage")
         joins = [
             ln.strip() for ln in plan.splitlines()
             if "Join" in ln and ln.strip().startswith(("*", "+", "Sort", "Broadcast", "Shuffled"))
