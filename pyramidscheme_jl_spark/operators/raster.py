@@ -183,9 +183,12 @@ _HALO_SCHEMA = (
     "dtype string, cell string, xmin double, ymin double, xmax double, "
     "ymax double"
 )
+#: cube levels carry their time slice through the exchange — halos never
+#: cross t (a slice's neighborhood is spatial)
+_HALO_SCHEMA_T = "t int, " + _HALO_SCHEMA
 
 
-def _halo_gen(radius: int):
+def _halo_gen(radius: int, with_t: bool = False):
     """mapInPandas stage: each tile re-emits itself (dx=dy=0, metadata
     attached) plus the r-wide edge strips its 8 neighbors need, keyed to
     the NEIGHBOR. Strips are O(perimeter) bytes — the shuffle moves
@@ -197,11 +200,15 @@ def _halo_gen(radius: int):
 
     def gen(batches):
         for pdf in batches:
-            out = {k: [] for k in (
-                "tx", "ty", "dx", "dy", "bytes", "w", "h", "dtype",
-                "cell", "xmin", "ymin", "xmax", "ymax")}
+            cols = ("tx", "ty", "dx", "dy", "bytes", "w", "h", "dtype",
+                    "cell", "xmin", "ymin", "xmax", "ymax")
+            if with_t:
+                cols = ("t",) + cols
+            out = {k: [] for k in cols}
 
-            def emit(tx, ty, dx, dy, arr, meta=None):
+            def emit(tx, ty, dx, dy, arr, meta=None, t=None):
+                if with_t:
+                    out["t"].append(t)
                 out["tx"].append(tx); out["ty"].append(ty)
                 out["dx"].append(dx); out["dy"].append(dy)
                 out["bytes"].append(encode_tile(arr))
@@ -225,7 +232,8 @@ def _halo_gen(radius: int):
                 meta = {k: getattr(row, k) for k in
                         ("cell", "xmin", "ymin", "xmax", "ymax")}
                 meta["cell"] = None if meta["cell"] is None else str(meta["cell"])
-                emit(row.tx, row.ty, 0, 0, a, meta)
+                t = int(row.t) if with_t else None
+                emit(row.tx, row.ty, 0, 0, a, meta, t=t)
                 for ex in (-1, 0, 1):
                     for ey in (-1, 0, 1):
                         if ex == 0 and ey == 0:
@@ -235,13 +243,14 @@ def _halo_gen(radius: int):
                             piece = piece[:, -r:] if ex == 1 else piece[:, :r]
                         if ey:
                             piece = piece[-r:, :] if ey == 1 else piece[:r, :]
-                        emit(int(row.tx) + ex, int(row.ty) + ey, -ex, -ey, piece)
+                        emit(int(row.tx) + ex, int(row.ty) + ey, -ex, -ey,
+                             piece, t=t)
             yield pd.DataFrame(out)
 
     return gen
 
 
-def _focal_assemble(stat: str, radius: int, z: int):
+def _focal_assemble(stat: str, radius: int, z: int, with_t: bool = False):
     """applyInPandas stage per (tx, ty): pad the center tile with the
     received strips (absent neighbors/strips -> invalid: the window
     SHRINKS at raster borders, counts reflect valid pixels only), then
@@ -253,13 +262,16 @@ def _focal_assemble(stat: str, radius: int, z: int):
 
     from ..functions.codec import decode_tile, encode_tile
 
+    out_cols = ["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
+                "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
+                "xmax", "ymax"]
+    if with_t:
+        out_cols = ["t"] + out_cols
+
     def fn(key, pdf):
         ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
         if ctr.empty:
-            return pd.DataFrame(
-                columns=["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
-                         "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
-                         "xmax", "ymax"])
+            return pd.DataFrame(columns=out_cols)
         c = ctr.iloc[0]
         h, w, r = int(c["h"]), int(c["w"]), radius
         a = decode_tile(c["bytes"], h, w, c["dtype"])
@@ -345,6 +357,7 @@ def _focal_assemble(stat: str, radius: int, z: int):
         out = np.ascontiguousarray(res)
         finite = out[np.isfinite(out)]
         return pd.DataFrame([{
+            **({"t": int(c["t"])} if with_t else {}),
             "z": z, "tx": int(c["tx"]), "ty": int(c["ty"]),
             "bytes": encode_tile(out), "w": w, "h": h, "c": 1,
             "dtype": str(out.dtype),
@@ -390,10 +403,37 @@ def focal_stats(
         raise ValueError(f"radius must be >= 1, got {radius}")
     tiles = read_level(spark, path, z)
     if any(f.name == "t" for f in tiles.schema.fields):
-        raise ValueError("focal_stats expects a flat (x, y) level, not a cube")
+        raise ValueError(
+            "focal_stats expects a flat (x, y) level; use focal_stats_cube"
+        )
     halo = tiles.mapInPandas(_halo_gen(radius), _HALO_SCHEMA)
     return halo.groupBy("tx", "ty").applyInPandas(
         _focal_assemble(stat, radius, z), TILE_SCHEMA
+    )
+
+
+def focal_stats_cube(
+    spark,
+    path: str,
+    z: int = 0,
+    stat: str = "mean",
+    radius: int = 1,
+):
+    """``focal_stats`` over an (x, y, t) cube level: the neighborhood is
+    SPATIAL — halos never cross time slices — so ``t`` simply rides the
+    exchange keys (the J9/zonal_cube pattern: extra key columns, never
+    extra scans). One scan of the cube level, strips keyed (t, ntx,
+    nty), assembly per (t, tx, ty); returns CUBE_TILE_SCHEMA rows."""
+    from ..operators.cube import CUBE_TILE_SCHEMA, read_cube_level
+
+    if stat not in FOCAL_STATS:
+        raise ValueError(f"stat must be one of {FOCAL_STATS}, got {stat!r}")
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    tiles = read_cube_level(spark, path, z)
+    halo = tiles.mapInPandas(_halo_gen(radius, with_t=True), _HALO_SCHEMA_T)
+    return halo.groupBy("t", "tx", "ty").applyInPandas(
+        _focal_assemble(stat, radius, z, with_t=True), CUBE_TILE_SCHEMA
     )
 
 

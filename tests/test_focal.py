@@ -204,3 +204,41 @@ def test_focal_nan_nodata(spark, tmp_path):
                 assert np.isnan(got["mean"][y, x])
                 assert np.isnan(got["min"][y, x])
                 assert np.isnan(got["max"][y, x])
+
+
+def test_focal_stats_cube(spark, tmp_path):
+    """r7 cube focal: t rides the halo keys — per-slice results equal
+    the per-slice flat replay and halos never cross time slices (slice
+    pixels differ by +7t so leakage can't cancel)."""
+    from pyramidscheme_jl_spark.operators.cube import build_cube
+    from pyramidscheme_jl_spark.operators.raster import focal_stats_cube
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.sources.synth import IMAGES_DDL, synth_images
+
+    path = str(tmp_path / "cube")
+    rows = []
+    for t in range(2):
+        for r in synth_images(G=2, size=16):
+            a = np.frombuffer(r["bytes"], dtype=np.uint8) + np.uint8(7 * t)
+            rows.append({**r, "bytes": a.tobytes(), "t": t})
+    images = spark.createDataFrame(rows, IMAGES_DDL + ", t int")
+    build_cube(spark, images, path, G=2, reducer="mean", tilesize=16,
+               run_id="focal-cube")
+
+    got = focal_stats_cube(spark, path, z=0, stat="mean").collect()
+    assert len(got) == 8  # 2 slices x 4 tiles
+    for t in range(2):
+        full = np.zeros((32, 32), dtype=np.float64)
+        for r in [x for x in got if x["t"] == t]:
+            a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+            full[r["ty"] * 16:(r["ty"] + 1) * 16,
+                 r["tx"] * 16:(r["tx"] + 1) * 16] = a
+        # rebuild the slice's base closed-form: mosaic + 7t
+        base = np.zeros((32, 32), dtype=np.float64)
+        for r in rows:
+            if r["t"] != t:
+                continue
+            iy, ix = divmod(int(r["image_id"].split("-")[1]), 2)
+            base[iy * 16:(iy + 1) * 16, ix * 16:(ix + 1) * 16] = (
+                np.frombuffer(r["bytes"], dtype=np.uint8).reshape(16, 16))
+        assert np.array_equal(full, _replay(base, "mean", 1)), f"t={t}"
