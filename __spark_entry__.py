@@ -880,6 +880,20 @@ def q_focal_mean_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_docs_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Test-set contamination audit (r7, dedup.ngram_contamination — the
+    GPT-3 13-gram decontamination method at n=8 for the synthetic doc
+    lengths): per corpus document, distinct 8-grams hitting the
+    "benchmark" subset (every 97th doc). Broadcast benchmark grams, one
+    corpus scan, map-side-partial per-doc counts; ppm fraction keeps the
+    oracle integer-exact."""
+    from pyramidscheme_jl_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(docs, bench, n=8)
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1409,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_agg": q_events_session_agg,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_hash_split": q_docs_hash_split,
+        "docs_contamination": q_docs_contamination,
         "events_time_rollup": q_events_time_rollup,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
@@ -2488,6 +2503,26 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(p.iy * 2 + 1 AS BIGINT) AS y2,
                    CAST(f.s AS DOUBLE) / f.n AS focal_mean
             FROM p JOIN f ON f.px = p.ix AND f.py = p.iy
+        """,
+        "docs_contamination": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM d, UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+            bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            tot AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+            hit AS (
+              SELECT g.doc_id, COUNT(*) AS contaminated
+              FROM g JOIN bench USING (gram) GROUP BY 1)
+            SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.contaminated, 0) AS BIGINT) AS contaminated,
+                   CAST(COALESCE(h.contaminated, 0) * 1000000 // t.n_grams
+                        AS BIGINT) AS frac_ppm
+            FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
         """,
         "events_asof_next_click": """
             WITH v AS (

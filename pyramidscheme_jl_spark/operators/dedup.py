@@ -47,9 +47,16 @@ def token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFra
     """(id, token) distinct pairs; n>1 emits word n-grams (shingles)."""
     toks = F.split(F.col(text_col), " ")
     if n > 1:
+        # the empty case must be an explicit branch: Spark's
+        # sequence(1, 0) DESCENDS (auto step -1), so the old
+        # greatest(..., 0) guard emitted i=0 and slice() rejects a
+        # 0 start — any document shorter than n tokens crashed the job
+        # (latent until ngram_contamination fed unfiltered corpora)
         grams = F.expr(
-            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            f"CASE WHEN size(split({text_col}, ' ')) < {n} "
+            f"THEN CAST(array() AS array<string>) "
+            f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) END"
         )
         ex = F.explode(grams)
     else:
@@ -458,4 +465,54 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter — raise it for path-like graphs)"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set contamination detection — the decontamination step every
+    production training pipeline runs (the GPT-3 13-gram method): for
+    each corpus document, how many of its distinct word n-grams appear
+    anywhere in the benchmark (eval/test) corpus.
+
+    Returns ``(id_col, n_grams, contaminated, frac_ppm)`` — total
+    distinct n-grams, how many hit the benchmark, and the integer
+    parts-per-million fraction (engine-portable, no float division).
+    Documents shorter than ``n`` tokens have nothing to leak and emit no
+    row.
+
+    Scale shape: benchmarks are eval-set-sized, so their distinct gram
+    set BROADCASTS — the 100 TB corpus is never shuffled except the
+    map-side-partial per-doc count; the corpus side is one scan ->
+    n-gram explode (JVM ``transform(sequence)``, shared with the
+    jaccard family) -> broadcast semi-join. Set
+    ``broadcast_benchmark=False`` for corpus-sized "benchmarks"
+    (cross-corpus overlap audits): both sides then shuffle on the gram
+    key, the same split every blocking join here offers.
+    """
+    cg = token_sets(corpus, text_col, id_col, n)
+    bg = token_sets(benchmark, text_col, id_col, n).select("tok").distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    tot = cg.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = cg.join(bg, "tok").groupBy("id").agg(
+        F.count("*").alias("contaminated")
+    )
+    return (
+        tot.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("contaminated", F.lit(0)).cast("long").alias("contaminated"),
+            F.expr(
+                "CAST(coalesce(contaminated, 0) AS BIGINT) * 1000000 "
+                "div n_grams"
+            ).alias("frac_ppm"),
+        )
     )

@@ -1318,3 +1318,44 @@ def test_delta_name_bounds_prune_driver_tail(spark, tmp_path):
     with _pytest.raises(Exception):
         _read_sibling_rows_local(q_path, changed, 1, 1, LocalFS())
     os.remove(legacy)
+
+
+def test_ngram_contamination(spark):
+    """r7: 13-gram-method decontamination — counts pinned against a
+    python replay, short docs emit nothing, broadcast and shuffle arms
+    identical."""
+    from pyramidscheme_jl_spark.operators.dedup import ngram_contamination
+
+    docs = [
+        (1, "a b c d e f"),          # shares the 3-gram 'b c d' with bench
+        (2, "x y z w v u"),          # clean
+        (3, "a b c d x q"),          # shares 'a b c' 'b c d'
+        (4, "t u"),                  # shorter than n: no row
+        (5, "a b c d e f"),          # identical to doc 1
+    ]
+    bench = [(100, "q a b c d r s")]
+    cdf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+
+    def grams(t, n):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bg = set()
+    for _, t in bench:
+        bg |= grams(t, 3)
+    expect = {}
+    for i, t in docs:
+        g = grams(t, 3)
+        if g:
+            hit = len(g & bg)
+            expect[i] = (len(g), hit, hit * 1000000 // len(g))
+    for bc in (True, False):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["contaminated"], r["frac_ppm"])
+            for r in ngram_contamination(
+                cdf, bdf, n=3, broadcast_benchmark=bc
+            ).collect()
+        }
+        assert got == expect, bc
+    assert 4 not in expect  # the short doc really is absent
