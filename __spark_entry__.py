@@ -894,6 +894,16 @@ def q_docs_contamination(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-doc repetition metrics (r7,
+    text.repetition_stats): per document the most-frequent-2-gram share
+    and the duplicate-2-gram share as integer ppm — one scan, two hash
+    aggregates, no joins; the quality-filter family's repetition leg."""
+    from pyramidscheme_jl_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"), n=2)
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN top-k (round 5): codes + per-query LUTs + ADC sums are
     exact int64 on the shared fixed-point grid, so the DuckDB twin
@@ -1424,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_hash_split": q_docs_hash_split,
         "docs_contamination": q_docs_contamination,
+        "docs_repetition": q_docs_repetition,
         "events_time_rollup": q_events_time_rollup,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
@@ -2523,6 +2534,22 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(COALESCE(h.contaminated, 0) * 1000000 // t.n_grams
                         AS BIGINT) AS frac_ppm
             FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+        """,
+        "docs_repetition": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+              FROM d, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+            occ AS (
+              SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_ppm,
+                   CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
+                       AS dup_ppm
+            FROM occ GROUP BY doc_id
         """,
         "events_asof_next_click": """
             WITH v AS (

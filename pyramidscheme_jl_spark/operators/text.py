@@ -144,3 +144,53 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k
         prefix_fp.alias("prefix_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+def repetition_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """Within-document repetition metrics — the Gopher-rule family the
+    quality scorer doesn't cover (machine-generated and boilerplate text
+    repeats itself long before it fails length/punctuation filters):
+    per document, the occurrence share of its MOST FREQUENT word n-gram
+    (``top_ppm``) and the share of n-gram occurrences that are repeats
+    of an earlier one (``dup_ppm``), both as integer parts-per-million
+    (engine-portable, no float division), plus the occurrence count.
+
+    One scan -> JVM n-gram explode KEEPING duplicates (unlike
+    ``token_sets``) -> one (id, gram) hash aggregate -> one per-id
+    aggregate; map-side partials, no joins. Documents shorter than
+    ``n`` tokens emit no row (nothing to repeat).
+    """
+    from pyspark.sql import functions as F
+
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < {n} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) END"
+    )
+    occ = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        occ.groupBy("id")
+        .agg(
+            F.sum("c").alias("cnt"),
+            F.max("c").alias("top"),
+            F.count("*").alias("distinct_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cnt").cast("long").alias("n_grams"),
+            F.expr("CAST(top AS BIGINT) * 1000000 div cnt").alias("top_ppm"),
+            F.expr(
+                "CAST(cnt - distinct_grams AS BIGINT) * 1000000 div cnt"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -1359,3 +1359,39 @@ def test_ngram_contamination(spark):
         }
         assert got == expect, bc
     assert 4 not in expect  # the short doc really is absent
+
+
+def test_repetition_stats(spark):
+    """r7 Gopher repetition metrics vs a python replay, incl. a
+    fully-repetitive doc, a clean doc, and a too-short doc."""
+    from collections import Counter
+
+    from pyramidscheme_jl_spark.operators.text import repetition_stats
+
+    docs = [
+        (1, "spam spam spam spam spam"),
+        (2, "a b c d e f g"),
+        (3, "x y x y x y z"),
+        (4, "one"),
+    ]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["top_ppm"], r["dup_ppm"])
+        for r in repetition_stats(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=2
+        ).collect()
+    }
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        gs = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        if not gs:
+            continue
+        c = Counter(gs)
+        expect[i] = (
+            len(gs),
+            max(c.values()) * 1000000 // len(gs),
+            (len(gs) - len(c)) * 1000000 // len(gs),
+        )
+    assert got == expect
+    assert 4 not in got
+    assert got[1][1] == 1000000  # all occurrences are the same gram
