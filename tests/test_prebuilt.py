@@ -221,3 +221,36 @@ def test_open_asof_ordinal_snapshot(spark, tmp_path):
     assert plast.nlevels == full.nlevels and plast.spec.res0 == full.spec.res0
     with pytest.raises(ValueError, match="no level committed"):
         PyramidDataset.open(spark, path, asof_ordinal=-1)
+
+
+def test_prebuilt_extend_overviews_then_window(spark, tmp_path):
+    """Round 8 (VERDICT r7 #8): the composed path — import partial foreign
+    levels, extend with build_overviews(resume=True) over the STORED base
+    (the buildpyramids shape, not a rebuild from images), then serve a
+    selectlevel viewport — must agree with the numpy mean cascade."""
+    from pyramidscheme_jl_spark.api import PyramidDataset
+    from pyramidscheme_jl_spark.operators.build import build_overviews
+    from pyramidscheme_jl_spark.plans.grid import select_level
+
+    base = mosaic_pixels(G=4).astype(np.float64)  # 1024x1024 -> nlevels 2
+    planes = _overview_chain(base, 1)  # import z=0,1 only
+    src = str(tmp_path / "srcw")
+    spark.createDataFrame(_rows({0: planes}), PREBUILT_SCHEMA).write.parquet(src)
+    dest = str(tmp_path / "pyrw")
+    spec = from_prebuilt_levels(spark, src, dest, run_id="imp")
+    assert committed_levels(spark, dest) == [0, 1]
+    build_overviews(spark, dest, reducer="mean", run_id="imp", resume=True)
+    assert committed_levels(spark, dest) == [0, 1, 2]
+    # z=2 extends the IMPORTED z=1, not the base
+    np.testing.assert_allclose(
+        assemble_level(spark, dest, 2, spec),
+        block_reduce(planes[1], "mean"),
+        rtol=1e-12,
+    )
+    # serve: selectlevel picks z=1 for a half-extent viewport at 256-target
+    extent = (0, 0, 512, 512)
+    z = select_level((1024, 1024), spec.nlevels, extent, (256, 256))
+    assert z == 1
+    w = PyramidDataset.open(spark, dest).read_window(extent, (256, 256))
+    assert w["z"] == 1 and w["data"].shape == (256, 256)
+    np.testing.assert_allclose(w["data"], planes[1][:256, :256], rtol=1e-12)
