@@ -200,6 +200,11 @@ def _halo_gen(radius: int, with_t: bool = False):
 
     def gen(batches):
         for pdf in batches:
+            # nullable int64 through pandas coerces the WHOLE column to
+            # float64 (nulls arrive as NaN, non-null ids near 2^57 lose
+            # bits); Int64 keeps exact integers with nulls
+            if "cell" in pdf.columns:
+                pdf = pdf.assign(cell=pdf["cell"].astype("Int64"))
             cols = ("tx", "ty", "dx", "dy", "bytes", "w", "h", "dtype",
                     "cell", "xmin", "ymin", "xmax", "ymax")
             if with_t:
@@ -231,7 +236,7 @@ def _halo_gen(radius: int, with_t: bool = False):
                 a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
                 meta = {k: getattr(row, k) for k in
                         ("cell", "xmin", "ymin", "xmax", "ymax")}
-                meta["cell"] = None if meta["cell"] is None else str(meta["cell"])
+                meta["cell"] = None if pd.isna(meta["cell"]) else str(meta["cell"])
                 t = int(row.t) if with_t else None
                 emit(row.tx, row.ty, 0, 0, a, meta, t=t)
                 for ex in (-1, 0, 1):
@@ -312,7 +317,10 @@ def _focal_assemble(stat: str, radius: int, z: int, with_t: bool = False):
             n = seq_add(h_windows(valid.astype(np.int64)))
             n = seq_add(v_windows(n))
             if stat == "sum":
-                res = s
+                # all-nodata windows -> NaN on float rasters (the engine's
+                # NaN-as-nodata convention and SQL window-SUM-over-empty-
+                # frame NULL); int rasters have no nodata, keep int64 s
+                res = s if is_int else np.where(n > 0, s, np.nan)
             elif stat == "count":
                 res = n
             else:

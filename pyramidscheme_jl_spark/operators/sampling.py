@@ -84,7 +84,9 @@ def stratified_sample(
     so a row keeps its fate if it is later re-labeled into a stratum
     with an equal-or-higher fraction (nested-sample property per seed)."""
     thr = F.lit(_threshold(default_fraction))
-    for value, frac in sorted(fractions.items()):
+    # key=str: the order only needs to be deterministic for a stable plan;
+    # semantic sort would TypeError on mixed-type strata (int + str codes)
+    for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
         thr = F.when(
             F.col(strata_col) == F.lit(value), F.lit(_threshold(frac))
         ).otherwise(thr)

@@ -374,6 +374,12 @@ def sessionize(
     sessions at day boundaries by adding the day to ``by``, the
     standard production shape).
     """
+    if float(gap) != int(gap):
+        raise ValueError(
+            f"gap must be integral in the ordinal unit of {ts_col!r} "
+            f"(got {gap!r}: a cast('long') would silently truncate it)"
+        )
+    gap = int(gap)
     by = [by] if isinstance(by, str) else list(by)
     dt = df.schema[ts_col].dataType
     t = _ordinal_long(F.col(ts_col), dt)
@@ -404,7 +410,7 @@ def interval_join(
     by: list[str] | str | None = None,
     bucket_width="auto",
     suffix: str = "_p",
-    tier_threshold: int = 64,
+    tier_threshold: int | None = 64,
 ) -> DataFrame:
     """Point-in-interval join: every (interval, point) pair with
     ``start <= point.on <= end`` (closed ends — SQL ``BETWEEN``), the
@@ -459,24 +465,30 @@ def interval_join(
         F.col("__e") >= F.col("__s")
     )
     # one scalars-only job serves both the auto width AND the length-skew
-    # trigger (at deployment both are catalog statistics)
-    row = iv.agg(
-        F.avg(F.col("__e") - F.col("__s") + 1).alias("m"),
-        F.max(F.col("__e") - F.col("__s") + 1).alias("mx"),
-    ).collect()[0]
-    if bucket_width == "auto":
-        bucket_width = max(1, int(row["m"] or 1))
+    # trigger (at deployment both are catalog statistics); with an explicit
+    # width AND tiering disabled (tier_threshold=None/inf) neither consumer
+    # exists, so the job is skipped entirely (ADVICE r7)
+    no_tiers = tier_threshold is None or tier_threshold == float("inf")
+    if bucket_width == "auto" or not no_tiers:
+        row = iv.agg(
+            F.avg(F.col("__e") - F.col("__s") + 1).alias("m"),
+            F.max(F.col("__e") - F.col("__s") + 1).alias("mx"),
+        ).collect()[0]
+        if bucket_width == "auto":
+            bucket_width = max(1, int(row["m"] or 1))
+        max_len = int(row["mx"] or 1)
+    else:
+        max_len = 0
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
-    max_len = int(row["mx"] or 1)
 
     pt = points.withColumn("__t", t_o)
     clash = (set(intervals.columns) & set(points.columns)) - set(by)
     for c in clash:  # the by keys join, the rest ride suffixed
         pt = pt.withColumnRenamed(c, f"{c}{suffix}")
 
-    if -(-max_len // w) > int(tier_threshold):
+    if not no_tiers and -(-max_len // w) > int(tier_threshold):
         import math
 
         nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
@@ -488,7 +500,11 @@ def interval_join(
                 .cast("int"),
             ),
         )
-        iv = iv.withColumn("__tv", tv)
+        # materialize the (narrow) interval rows once: the occupied-tier
+        # probe AND the join otherwise each re-execute the full upstream
+        # lineage (ADVICE r7); at deployment occupied tiers come from
+        # catalog statistics and this checkpoint disappears
+        iv = iv.withColumn("__tv", tv).localCheckpoint()
         # points probe only tiers that actually hold intervals — with the
         # common bimodal length mix (short jobs + always-on windows) that
         # is 2-3 tiers, not log2(spread); one tiny distinct job (<= ~40
@@ -540,7 +556,7 @@ def interval_overlap_join(
     by: list[str] | str | None = None,
     bucket_width="auto",
     suffix: str = "_r",
-    tier_threshold: int = 64,
+    tier_threshold: int | None = 64,
 ) -> DataFrame:
     """Interval x interval overlap join: pairs with
     ``l.start <= r.end AND r.start <= l.end`` (closed ends).
@@ -578,19 +594,25 @@ def interval_overlap_join(
 
     l = prep(left, left_start, left_end)
     r = prep(right, right_start, right_end)
-    lens = l.select((F.col("__e") - F.col("__s") + 1).alias("n")).unionAll(
-        r.select((F.col("__e") - F.col("__s") + 1).alias("n"))
-    )
-    row = lens.agg(F.avg("n").alias("m"), F.max("n").alias("mx")).collect()[0]
-    if bucket_width == "auto":
-        bucket_width = max(1, int(row["m"] or 1))
+    # same stats gating as interval_join (ADVICE r7): explicit width +
+    # tiering disabled => no consumer for the stats job, skip it
+    no_tiers = tier_threshold is None or tier_threshold == float("inf")
+    if bucket_width == "auto" or not no_tiers:
+        lens = l.select((F.col("__e") - F.col("__s") + 1).alias("n")).unionAll(
+            r.select((F.col("__e") - F.col("__s") + 1).alias("n"))
+        )
+        row = lens.agg(F.avg("n").alias("m"), F.max("n").alias("mx")).collect()[0]
+        if bucket_width == "auto":
+            bucket_width = max(1, int(row["m"] or 1))
+        max_len = int(row["mx"] or 1)
+    else:
+        max_len = 0
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
-    max_len = int(row["mx"] or 1)
     clash = (set(left.columns) & set(right.columns)) - set(by)
 
-    if -(-max_len // w) > int(tier_threshold):
+    if not no_tiers and -(-max_len // w) > int(tier_threshold):
         import math
 
         nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
@@ -607,7 +629,10 @@ def interval_overlap_join(
             )
             return df.withColumn("__tv", tv)
 
-        l, r = own_tier(l), own_tier(r)
+        # materialize both (narrow) sides once — the occupied-tier probes
+        # and the join would otherwise each re-run the upstream lineage
+        # (ADVICE r7; catalog statistics at deployment)
+        l, r = own_tier(l).localCheckpoint(), own_tier(r).localCheckpoint()
         # each side emits at its OWN tier plus only the OTHER side's
         # occupied tiers above it (two tiny distinct jobs, <= ~40 rows
         # each) — the emit set that can actually meet a partner; with

@@ -148,7 +148,8 @@ def test_focal_apply_slope_hillshade(spark, pyr):
 def test_focal_nan_nodata(spark, tmp_path):
     """Review fix: NaN pixels are NODATA — they must neither poison
     neighbors' stats nor count, and all-nodata windows yield NaN (mean/
-    min/max) or 0 (sum/count of nothing)."""
+    min/max/sum — NaN-as-nodata, like SQL SUM over an empty frame)
+    or 0 (count of nothing)."""
     from pyramidscheme_jl_spark.sources.catalog import (
         write_level,
     )
@@ -195,12 +196,13 @@ def test_focal_nan_nodata(spark, tmp_path):
             win = a[max(0, y - 1):y + 2, max(0, x - 1):x + 2]
             vals = win[np.isfinite(win)]
             assert got["count"][y, x] == vals.size
-            assert got["sum"][y, x] == (vals.sum() if vals.size else 0)
             if vals.size:
+                assert got["sum"][y, x] == vals.sum()
                 assert got["mean"][y, x] == vals.sum() / vals.size
                 assert got["min"][y, x] == vals.min()
                 assert got["max"][y, x] == vals.max()
             else:
+                assert np.isnan(got["sum"][y, x])
                 assert np.isnan(got["mean"][y, x])
                 assert np.isnan(got["min"][y, x])
                 assert np.isnan(got["max"][y, x])
