@@ -353,6 +353,8 @@ def sessionize(
     ts_col: str,
     gap,
     session_col: str = "session_id",
+    bucket_width=None,
+    auto_budget: int = 1 << 20,
 ) -> DataFrame:
     """Gap-based sessionization: rows in a ``by`` group belong to the
     same session while consecutive timestamps are at most ``gap`` apart
@@ -368,11 +370,31 @@ def sessionize(
 
     Scale shape: identical to the plain as-of join — one hash exchange
     on ``by`` + per-partition sort. A hot group serializes into one
-    task's window, the same breach ``asof_join`` measures; unlike as-of,
-    the running sum is order-carrying, so the bucketed repair does not
-    transfer — for power-law keys, bound the damage upstream (split
-    sessions at day boundaries by adding the day to ``by``, the
-    standard production shape).
+    task's window, the same breach ``asof_join`` measures. Although the
+    running sum is order-carrying, it is also ASSOCIATIVE, so the repair
+    does transfer (r8, VERDICT r7 #5): with ``bucket_width`` set the
+    window partitions by ``(by, floor(t / width))`` — local session
+    flags and running counts per bucket — then a per-BUCKET window (one
+    row per occupied bucket, tiny) stitches the boundaries: bucket ``b``
+    continues the previous occupied bucket's last session iff
+    ``first_t(b) - last_t(prev) <= gap``, and the cumulative sum of
+    effective new-session counts over strictly-earlier buckets renumbers
+    every row globally. Exact for ANY width (empty buckets, boundary
+    ties, and cross-bucket continuations all reduce to direct timestamp
+    differences) — output is bit-identical to the plain path.
+
+    ``bucket_width="auto"`` goes one better than ``asof_join``'s
+    all-groups split (the AQE-skew-join philosophy: repair only the
+    skewed keys): one scalars-only count job sizes the largest group; at
+    or under ``auto_budget`` rows the plain one-shuffle path runs
+    unchanged. Above it, ONLY the over-budget groups are bucketed — a
+    per-hot-group width table (``<= total_rows / auto_budget`` rows, so
+    broadcastable by construction) rides a broadcast join, each hot
+    group's own time range split honouring the memory
+    (``c/auto_budget``) and latency (``4x parallelism``) bounds, while
+    every cold group collapses to a single bucket (its window cost is
+    the plain path's). A/B: tools/sessionize_skew_ab.py,
+    BENCH/SESSIONIZE_SKEW.md.
     """
     if float(gap) != int(gap):
         raise ValueError(
@@ -383,16 +405,114 @@ def sessionize(
     by = [by] if isinstance(by, str) else list(by)
     dt = df.schema[ts_col].dataType
     t = _ordinal_long(F.col(ts_col), dt)
-    w = Window.partitionBy(*by).orderBy(t.asc())
-    is_new = F.when(
-        t - F.lag(t).over(w) <= F.lit(gap).cast("long"), F.lit(0)
-    ).otherwise(F.lit(1))  # first row: lag is null -> comparison null -> 1
-    return df.withColumn(
-        session_col,
-        F.sum(is_new).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("long"),
+
+    width_df = None
+    if bucket_width == "auto":
+        budget = int(auto_budget)
+        gstats = df.groupBy(*by).agg(
+            F.count("*").alias("__c"), F.min(t).alias("__lo"),
+            F.max(t).alias("__hi"),
+        )
+        mx = int(gstats.agg(F.max("__c")).collect()[0][0] or 0)
+        if mx <= budget:
+            bucket_width = None  # largest group is single-task-sized
+        else:
+            par = df.sparkSession.sparkContext.defaultParallelism
+            nb = F.greatest(
+                F.ceil(F.col("__c") / F.lit(budget)),  # bucket fits a task
+                F.least(  # spread the group, floor 64k rows/bucket
+                    F.lit(4 * par), F.ceil(F.col("__c") / F.lit(65536))
+                ),
+            )
+            width_df = gstats.where(F.col("__c") > budget).select(
+                *by,
+                F.greatest(
+                    F.lit(1),
+                    F.ceil((F.col("__hi") - F.col("__lo") + 1) / nb),
+                ).cast("long").alias("__w"),
+            )
+
+    if bucket_width is None and width_df is None:
+        w = Window.partitionBy(*by).orderBy(t.asc())
+        is_new = F.when(
+            t - F.lag(t).over(w) <= F.lit(gap).cast("long"), F.lit(0)
+        ).otherwise(F.lit(1))  # first row: lag null -> comparison null -> 1
+        return df.withColumn(
+            session_col,
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+
+    u = df.withColumn("__t0", t)
+    if width_df is not None:
+        # hot groups get their own width; cold groups (null __w after the
+        # left join) collapse to bucket 0 — exactly the plain window's
+        # per-group partition, so they pay nothing for the repair
+        u = u.join(F.broadcast(width_df), on=by, how="left").withColumn(
+            "__b",
+            F.expr(
+                "case when __w is null then 0L "
+                "else (__t0 - pmod(__t0, __w)) div __w end"
+            ),
+        ).drop("__w")
+    else:
+        bw = int(bucket_width)
+        if bw <= 0:
+            raise ValueError(
+                f"bucket_width must be positive, got {bucket_width}"
+            )
+        u = u.withColumn("__b", _floor_div("__t0", bw))
+    wloc = Window.partitionBy(*by, "__b").orderBy(F.col("__t0").asc())
+    # provisional: every bucket's first row flags a new session; the
+    # stitch below retracts it when the previous bucket reaches across
+    loc_new = F.when(
+        F.col("__t0") - F.lag("__t0").over(wloc) <= F.lit(gap).cast("long"),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    u = u.withColumn(
+        "__lid",
+        F.sum(loc_new).over(
+            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    # the windowed rows feed BOTH the per-bucket stats and the final
+    # join; without materialization Catalyst re-runs the whole
+    # scan+shuffle+sort+window pipeline for each consumer (measured —
+    # exchange reuse does not fire across the aggregate), and with it
+    # AQE sees the true (tiny) bstats size and broadcasts the stitch
+    ).localCheckpoint()
+    # one row per occupied (group, bucket)
+    bstats = u.groupBy(*by, "__b").agg(
+        F.min("__t0").alias("__ft"),
+        F.max("__t0").alias("__lt"),
+        F.max("__lid").alias("__nn"),
     )
+    wb = Window.partitionBy(*by).orderBy(F.col("__b").asc())
+    bstats = (
+        bstats.withColumn(
+            "__cont",
+            F.when(
+                F.col("__ft") - F.lag("__lt").over(wb)
+                <= F.lit(gap).cast("long"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),  # first occupied bucket: lag null -> 0
+        )
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum(F.col("__nn") - F.col("__cont")).over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(*by, "__b", "__cont", "__off")
+    )
+    out = u.join(bstats, on=[*by, "__b"], how="inner").withColumn(
+        session_col,
+        (F.col("__off") + F.col("__lid") - F.col("__cont")).cast("long"),
+    )
+    return out.select(*df.columns, session_col)
 
 
 def _floor_div(col, w: int):

@@ -352,6 +352,56 @@ def test_sessionize(spark):
     assert sorted(r["session_id"] for r in one) == [1, 1]
 
 
+def test_sessionize_bucketed_bit_identical(spark):
+    """r8 (VERDICT r7 #5): the bucketed hot-group repair must produce
+    bit-identical session ids to the plain window for ANY bucket width —
+    the fixture forces cross-bucket continuations, boundary duplicate
+    timestamps, empty buckets, and a new-session-at-boundary, and sweeps
+    widths from gap-sized to range-sized."""
+    from pyramidscheme_jl_spark.operators.temporal import sessionize
+
+    # deterministic irregular series: mix of dense runs (continuations
+    # across any boundary), exact-gap steps, and long holes (empty
+    # buckets between occupied ones)
+    rows = []
+    for g, seed in (("a", 3), ("b", 7), ("c", 11)):
+        t, h = 0, seed
+        for i in range(400):
+            h = (h * 1103515245 + 12345) % (1 << 31)
+            step = [1, 3, 30, 31, 250][h % 5]  # gap=30: 31 and 250 break
+            t += step
+            rows.append((g, t))
+    # duplicate timestamps, incl. at multiples of small widths
+    rows += [("a", 64), ("a", 64), ("b", 128), ("b", 128), ("b", 128)]
+    df = spark.createDataFrame(rows, "user string, t long")
+    plain = sorted(
+        (r["user"], r["t"], r["session_id"])
+        for r in sessionize(df, "user", "t", gap=30).collect()
+    )
+    for width in (7, 30, 64, 1024, 10**9):
+        got = sorted(
+            (r["user"], r["t"], r["session_id"])
+            for r in sessionize(
+                df, "user", "t", gap=30, bucket_width=width
+            ).collect()
+        )
+        assert got == plain, f"width={width} diverged"
+    # auto: tiny input stays on the plain path; forcing a small budget
+    # takes the bucketed path — both identical
+    for budget in (1 << 20, 16):
+        got = sorted(
+            (r["user"], r["t"], r["session_id"])
+            for r in sessionize(
+                df, "user", "t", gap=30, bucket_width="auto",
+                auto_budget=budget,
+            ).collect()
+        )
+        assert got == plain, f"auto budget={budget} diverged"
+    # column order is preserved (the join must not reorder the schema)
+    out = sessionize(df, "user", "t", gap=30, bucket_width=64)
+    assert out.columns == ["user", "t", "session_id"]
+
+
 def test_interval_join_brute_force(spark):
     """r7 interval join: pairs match a python brute force on a random
     fixture (incl. negative ordinals and empty intervals), identical
