@@ -156,25 +156,34 @@ def lsh_bucket(
             return pd.Series(((dots > 0).astype(np.int64) << shifts).sum(axis=1))
 
         return src.withColumn("bucket", bucket_udf(F.col("qvec")))
-    # 2^b via pow (exact in double up to 2^52; shiftleft rejects Column counts)
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.element_at(F.col(vec_col), b + 1) > 0, F.pow(F.lit(2.0), b).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    # unrolled sum of `bits` when-terms (bits <= ~16, so the tree is
+    # tiny). NOT F.aggregate over F.sequence: besides being interpreted
+    # rather than codegen'd, the lambda formulation hits a Spark
+    # binding bug when both sides of a join carry the structurally
+    # identical expression with different attribute ids
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at BindReferences — found by
+    # the r8 axis-multiprobe bench arm, latent in every prior
+    # axis-aligned lsh_topk call with a broadcast query side)
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return df.withColumn("bucket", bucket)
 
 
-def _multiprobe_udf(signs_t: np.ndarray, bits: int, depth: int, budget: int):
+def _multiprobe_udf(signs_t, bits: int, depth: int, budget: int):
     """array<long> of probe buckets per query vector, margin-ordered
     multi-probe (the Lv et al. 2007 shape): the buckets most likely to
     hold a missed neighbor are the base bucket with its LOWEST-|margin|
     hyperplane bits flipped. Flip sets of size <= ``depth`` over the
     ``w`` smallest-margin bits are scored by sum of squared margins and
     the best ``budget`` kept (plus the base bucket, always first).
+
+    ``signs_t=None`` (r8, VERDICT r7 #7) is the axis-aligned fold: bit
+    ``b``'s hyperplane is ``v[b] = 0``, so the margin is the exact
+    quantized ``|v[b]|`` — identical machinery with the projection
+    replaced by ``m[:, :bits]`` (an implicit identity sign matrix).
 
     Fully vectorized int64 numpy per Arrow batch: with C the fixed
     (ncombos x w) subset indicator over margin RANKS, scores =
@@ -195,7 +204,7 @@ def _multiprobe_udf(signs_t: np.ndarray, bits: int, depth: int, budget: int):
     @F.pandas_udf("array<long>")
     def probe_buckets(qv: pd.Series) -> pd.Series:
         m = np.array(qv.tolist(), dtype=np.int64)  # (n, dim)
-        dots = m @ signs_t  # (n, bits), exact
+        dots = m[:, :bits] if signs_t is None else m @ signs_t  # exact
         base = ((dots > 0).astype(np.int64) << shifts).sum(axis=1)
         mg = np.abs(dots)
         order = np.argsort(mg, axis=1, kind="stable")[:, :w]  # rank -> bit
@@ -242,9 +251,11 @@ def lsh_topk(
     neighbor across TWO close hyperplanes is reachable without halving
     ``bits`` (which would square every bucket's occupancy) — probe count
     buys recall linearly where fewer bits buys it exponentially in
-    candidate volume. Needs the hyperplane path (``seed``+``dim``):
-    margins are the exact int64 dots. Still an equi-join on bucket —
-    data side never rehashed, never scanned.
+    candidate volume. Works on BOTH hash families (r8, VERDICT r7 #7):
+    hyperplane margins are the exact int64 dots; axis-aligned margins
+    are the exact quantized ``|v[b]|`` (same machinery, identity sign
+    matrix). Still an equi-join on bucket — data side never rehashed,
+    never scanned.
 
     ``broadcast_queries`` (VERDICT r2 #2): True is the dims-sized-Q plan
     (query side broadcast, data side never shuffled). For large Q — "top-k
@@ -260,12 +271,15 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec"), "bucket"
     )
     if probes >= 2:
-        if seed is None or dim is None:
-            raise ValueError(
-                "margin-ordered multiprobe (probes >= 2) needs the "
-                "hyperplane path: pass seed and dim"
-            )
-        signs_t = np.array(hyperplane_signs(bits, dim, seed), dtype=np.int64).T
+        if seed is not None:
+            if dim is None:
+                raise ValueError("hyperplane multiprobe needs the "
+                                 "embedding dim")
+            signs_t = np.array(
+                hyperplane_signs(bits, dim, seed), dtype=np.int64
+            ).T
+        else:
+            signs_t = None  # axis-aligned: margins are the first dims
         budget = 4 * bits if probe_budget is None else int(probe_budget)
         mp = _multiprobe_udf(signs_t, bits, int(probes), budget)
         q = q.select(

@@ -323,9 +323,42 @@ def test_lsh_multiprobe_depth2(spark):
     assert rec2 >= rec1, (rec2, rec1)
     assert rec2 >= 0.9, rec2
 
-    # (4) axis-aligned path has no margins to order by
-    with _pytest.raises(ValueError, match="hyperplane"):
-        lsh_topk(df, queries, k=k, bits=bits, probes=2)
+    # (4) r8 (VERDICT r7 #7): the axis-aligned fold — probes>=2 without
+    # seed uses |v[b]| of the first `bits` dims as the margins (identity
+    # sign matrix), same machinery. Probe sequence = the numpy replay
+    # with dots = qv[:bits]; recall never below the single-bucket path.
+    dots_ax = qv[:bits]
+    base_ax = int(((dots_ax > 0).astype(np.int64) << np.arange(bits)).sum())
+    mg_ax = np.abs(dots_ax)
+    order_ax = np.argsort(mg_ax, kind="stable")[: min(bits, 12)]
+    cand_ax = []
+    for r in range(1, 3):
+        for comb_i, comb in enumerate(combinations(range(len(order_ax)), r)):
+            score = int(sum(int(mg_ax[order_ax[j]]) ** 2 for j in comb))
+            mask = 0
+            for j in comb:
+                mask |= 1 << int(order_ax[j])
+            cand_ax.append((score, comb_i if r == 1 else 1000 + comb_i, mask))
+    cand_ax = [m for _, _, m in sorted(cand_ax, key=lambda t: (t[0], t[1]))]
+    expected_ax = [base_ax] + [base_ax ^ m for m in cand_ax[:budget]]
+    got_ax = (
+        quantized(queries, "embedding").where("vec_id = 0")
+        .select(_multiprobe_udf(None, bits, 2, budget)("qvec").alias("b"))
+        .collect()[0]["b"]
+    )
+    assert list(got_ax) == expected_ax
+    # base bucket agrees with lsh_bucket's axis-aligned expression
+    ax_bucket = lsh_bucket(df, bits).where("vec_id = 0").collect()[0]["bucket"]
+    assert ax_bucket == base_ax
+    rec_ax0 = recall(lsh_topk(df, queries, k=k, bits=bits).collect())
+    rec_ax2 = recall(
+        lsh_topk(df, queries, k=k, bits=bits, probes=2,
+                 probe_budget=budget).collect()
+    )
+    assert rec_ax2 >= rec_ax0, (rec_ax2, rec_ax0)
+    # hyperplane multiprobe still validates its own requirement
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_topk(df, queries, k=k, bits=bits, seed=seed, probes=2)
 
 
 def test_ivf_topk_recall(spark):

@@ -179,6 +179,12 @@ def main() -> None:
                 data, q, k=k, bits=12, seed=args.seed, dim=args.dim,
                 probes=3, probe_budget=96,
             ),
+            # r8 (VERDICT r7 #7): axis-aligned margin multiprobe (the
+            # folded non-hyperplane path — margins are |v[b]|)
+            "lsh_ax_b12": lambda: lsh_topk(data, q, k=k, bits=12),
+            "lsh_ax_b12_d2": lambda: lsh_topk(
+                data, q, k=k, bits=12, probes=2, probe_budget=48,
+            ),
         }
         if args.only:
             keep = set(args.only) | {"brute"}
