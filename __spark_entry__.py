@@ -1412,6 +1412,24 @@ def _ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
     return path
 
 
+def q_raster_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-value histogram of the zonal fixture's base level
+    (raster.raster_histogram, r8): one tile scan, per-Arrow-batch
+    np.unique partials, one tiny hash aggregate — shuffle carries
+    (partitions x occupied bins) rows, never pixels. Oracle: DuckDB
+    groups the closed-form 512x512 mosaic pixels by value. Fixed-size
+    by design (the subsystem under test is the partial-histogram plan);
+    ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.raster import raster_histogram
+
+    path = _ensure_zonal_pyramid(spark)
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("value"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_embedding_ivfpq_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ top-k served from the PERSISTED index (round 8): the query
     path opens the manifest (trained centroids/codebooks/row count — no
@@ -1541,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r8 (never driver-verified) --------------------------------
         "embedding_ivfpq_indexed": q_embedding_ivfpq_indexed,
         "prebuilt_extend_window": q_prebuilt_extend_window,
+        "raster_value_histogram": q_raster_value_histogram,
         # -- in registry r7 but absent from CORRECTNESS_r07.json --------------
         "pip_join_mp": q_pip_join_mp,
         "zonal_raster_mp": q_zonal_raster_mp,
@@ -2135,6 +2154,17 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # by 7s in micro-batch 1). Level-z pixels are means of 2^z x 2^z
         # base blocks — exact dyadic rationals in both engines, quantized
         # at 2^20 for the hash.
+        # exact value histogram of the same fixture's base level: DuckDB
+        # groups the closed-form mosaic pixels by value; the engine side
+        # is the map-side-partial np.unique plan over the stored tiles.
+        "raster_value_histogram": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py)
+            SELECT CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM xs CROSS JOIN ys
+            GROUP BY 1
+        """,
         # raster zonal over the BUILT pyramid fixture: DuckDB regenerates
         # the 512x512 mosaic pixels closed-form and tests each pixel CENTER
         # (2px+1, 2py+1 vs doubled integer vertices — exact int math)

@@ -558,6 +558,25 @@ def slope_degrees(spark, path: str, z: int = 0, cellsize: float = 1.0):
     return focal_apply(spark, path, kern, z=z, radius=1)
 
 
+def aspect_degrees(spark, path: str, z: int = 0, cellsize: float = 1.0):
+    """DEM aspect in compass degrees (GDAL ``gdaldem aspect`` analog,
+    r8 — completes the Horn terrain family with ``slope_degrees`` and
+    ``hillshade``): downslope direction clockwise from north, 0=N 90=E
+    180=S 270=W; FLAT cells (both gradients zero) return -1 (the ArcGIS
+    flat sentinel; GDAL emits nodata there)."""
+    import numpy as np
+
+    def kern(pad, valid, r):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        # atan2 measured from east CCW -> compass CW from north
+        az = np.degrees(np.arctan2(dzdy, -dzdx))
+        out = np.where(az > 90.0, 450.0 - az, 90.0 - az)
+        out = np.where(out == 360.0, 0.0, out)
+        return np.where((dzdx == 0) & (dzdy == 0), -1.0, out)
+
+    return focal_apply(spark, path, kern, z=z, radius=1)
+
+
 def hillshade(
     spark,
     path: str,
@@ -584,3 +603,86 @@ def hillshade(
         return np.clip(shade * 255.0, 0, 255)
 
     return focal_apply(spark, path, kern, z=z, radius=1)
+
+
+def raster_histogram(
+    spark,
+    path: str,
+    z: int = 0,
+    bins: int | None = None,
+    vmin: float | None = None,
+    vmax: float | None = None,
+):
+    """Value histogram of a pyramid level — the stretch/symbology/QA
+    statistic every raster engine ships (GDAL ``gdalinfo -hist``).
+
+    ``bins=None`` (integer rasters only): EXACT per-value counts,
+    columns ``(value long, n long)``. With ``bins``/``vmin``/``vmax``:
+    fixed-width binning over ``[vmin, vmax)`` (the GDAL bucket rule:
+    values at ``vmax`` land in the last bucket), columns ``(bin int,
+    lo double, hi double, n long)``; out-of-range pixels are dropped,
+    NaN is nodata (excluded), per the engine convention.
+
+    Plan shape (the reason this is cheap at 100 TB): one tile scan ->
+    ``mapInPandas`` folds each Arrow batch's tiles into ONE partial
+    (bin, n) frame via ``np.unique``/``bincount`` — so the shuffle
+    carries at most (scan partitions x occupied bins) rows, never
+    pixels — then a single hash aggregate sums partials. Map-side
+    combining is structural, not optimizer-dependent.
+    """
+    from ..functions.codec import decode_tile
+    from ..sources.catalog import read_level
+
+    if bins is not None:
+        if vmin is None or vmax is None or not (float(vmax) > float(vmin)):
+            raise ValueError("binned histogram needs vmin < vmax")
+        bins = int(bins)
+        if bins <= 0:
+            raise ValueError(f"bins must be positive, got {bins}")
+    lo, hi = (float(vmin), float(vmax)) if bins is not None else (0.0, 0.0)
+    nb = bins
+
+    def gen(batches):
+        for pdf in batches:
+            acc: dict[int, int] = {}
+            exact = None
+            for row in pdf.itertuples():
+                a = decode_tile(row.bytes, row.h, row.w, row.dtype,
+                                getattr(row, "c", 1))
+                flat = a.ravel()
+                if nb is None:
+                    if not np.issubdtype(flat.dtype, np.integer):
+                        raise ValueError(
+                            "exact-value histogram (bins=None) needs an "
+                            f"integer raster, got dtype {row.dtype!r}; "
+                            "pass bins/vmin/vmax"
+                        )
+                    vals, cnts = np.unique(flat, return_counts=True)
+                else:
+                    if np.issubdtype(flat.dtype, np.floating):
+                        flat = flat[np.isfinite(flat)]  # NaN = nodata
+                    x = flat.astype(np.float64)
+                    idx = np.floor((x - lo) * nb / (hi - lo)).astype(np.int64)
+                    idx[x == hi] = nb - 1  # GDAL: max value -> last bucket
+                    keep = (idx >= 0) & (idx < nb)
+                    vals, cnts = np.unique(idx[keep], return_counts=True)
+                exact = True
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    acc[int(v)] = acc.get(int(v), 0) + int(c)
+            if exact is None:
+                continue
+            yield pd.DataFrame(
+                {"bin": list(acc.keys()), "n": list(acc.values())}
+            )
+
+    part = read_level(spark, path, z).mapInPandas(gen, "bin long, n long")
+    agg = part.groupBy("bin").agg(F.sum("n").alias("n"))
+    if nb is None:
+        return agg.select(F.col("bin").alias("value"), "n")
+    w = (hi - lo) / nb
+    return agg.select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.lit(lo) + F.col("bin") * F.lit(w)).alias("lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi"),
+        "n",
+    )

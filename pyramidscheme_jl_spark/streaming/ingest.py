@@ -589,11 +589,10 @@ def _patch_ancestors(
     lo = 1
     while lo <= spec.nlevels:
         if (
-            not with_t
-            and sum(len(changed[z]) for z in range(lo, spec.nlevels + 1))
+            sum(len(changed[z]) for z in range(lo, spec.nlevels + 1))
             <= _TAIL_MAX_CHANGED
         ):
-            _driver_tail(spark, path, spec, reducer, changed, lo, fs)
+            _driver_tail(spark, path, spec, reducer, changed, lo, fs, with_t)
             return
         hi = min(lo + _CASCADE_LEVELS - 1, spec.nlevels)
         union = _sibling_union_scan(spark, path, changed, lo, hi, with_t)
@@ -623,8 +622,9 @@ def _driver_tail(
     changed,
     z_lo: int,
     fs: LocalFS,
+    with_t: bool = False,
 ) -> None:
-    """Finish the geometric tip of a FLAT cascade driver-side (gated by
+    """Finish the geometric tip of a cascade driver-side (gated by
     ``_TAIL_MAX_CHANGED``): one pruned read of the remaining sibling
     sets, then the exact same ``_cascade_repair`` group function run
     locally per top ancestor (sink mode writes through the fs seam, so
@@ -632,71 +632,86 @@ def _driver_tail(
     read is direct pyarrow (``_read_sibling_rows_local``) — a Spark scan
     here cost ~0.6 s of plan-build + job overhead per batch for a few
     dozen rows (round-5 probe); on an object store the same reads go
-    through pyarrow.fs (fsio seam note)."""
+    through pyarrow.fs (fsio seam note). ``with_t`` (r8, VERDICT r7 #6):
+    cubes take the same tail — before this, a steady full-slice cube
+    batch paid one entire Spark job for the single top-level tile its
+    final pass recomputes, a pure per-batch constant."""
     hi = spec.nlevels
     dirs = {z: _assert_stream_layout(path, z, "filewise", fs) for z in range(z_lo, hi + 1)}
-    pdf = _read_sibling_rows_local(path, changed, z_lo, hi, fs)
+    pdf = _read_sibling_rows_local(path, changed, z_lo, hi, fs, with_t)
     fn = _cascade_repair(
-        spec, reducer, z_lo, hi, changed, False,
+        spec, reducer, z_lo, hi, changed, with_t,
         sink={"fs": fs, "dirs": dirs},
     )
     gkeys = sorted(
-        {(tx >> (hi - z), ty >> (hi - z)) for z in range(z_lo, hi + 1) for tx, ty in changed[z]}
+        {k[:-2] + (k[-2] >> (hi - z), k[-1] >> (hi - z))
+         for z in range(z_lo, hi + 1) for k in changed[z]}
     )
-    for gx, gy in gkeys:
+    for gkey in gkeys:
         if len(pdf):
             row_shift = (hi - pdf["lvl"].values).astype("int64")
-            sub = pdf[
-                ((pdf["tx"].values >> row_shift) == gx)
-                & ((pdf["ty"].values >> row_shift) == gy)
-            ]
+            mask = ((pdf["tx"].values >> row_shift) == gkey[-2]) & (
+                (pdf["ty"].values >> row_shift) == gkey[-1]
+            )
+            if with_t:
+                mask &= pdf["t"].values == gkey[0]
+            sub = pdf[mask]
         else:
             sub = pdf
-        fn((gx, gy), sub)
+        fn(gkey, sub)
 
 
 def _read_sibling_rows_local(
-    path: str, changed, z_lo: int, z_hi: int, fs: LocalFS
+    path: str, changed, z_lo: int, z_hi: int, fs: LocalFS,
+    with_t: bool = False,
 ) -> pd.DataFrame:
     """Driver-side pyarrow read of the 4-sibling child sets of
-    ``changed[z]`` for z in [z_lo, z_hi] (flat pyramids; the bounded tail
-    path only — bytes here are gated by ``_TAIL_MAX_CHANGED``). Row-group
-    pruning via tx/ty IN filters; exact parent membership in numpy;
-    ``lvl`` and ``_ord`` columns match ``_sibling_union_scan``'s shape.
-    Filewise ``tile-<tx>-<ty>`` files (all ancestor levels) are pruned by
-    NAME — only the needed sibling files are ever opened; base-level
-    delta files carry the task's key BOUNDS in their names
-    (``-x<min>-<max>-y<min>-<max>``), so a z_lo=1 tail skips whole delta
-    files without a footer open (bound-less legacy names fall back to
-    the filtered read; ``compact_pyramid`` remains the hard bound on the
-    level's file count). File reads run in a small thread pool — pyarrow
-    drops the GIL during IO/decompress and the sequential loop was ~1 s
-    of the steady small-batch floor (round-6 profile)."""
+    ``changed[z]`` for z in [z_lo, z_hi] (the bounded tail path only —
+    bytes here are gated by ``_TAIL_MAX_CHANGED``). Row-group pruning
+    via tx/ty (and, for cubes, t) IN filters; exact parent membership in
+    numpy; ``lvl`` and ``_ord`` columns match ``_sibling_union_scan``'s
+    shape. Filewise ``tile-[t<t>-]<tx>-<ty>`` files (all ancestor
+    levels) are pruned by NAME — only the needed sibling files are ever
+    opened; base-level delta files carry the task's key BOUNDS in their
+    names (``-x<min>-<max>-y<min>-<max>``), so a z_lo=1 tail skips whole
+    delta files without a footer open (bound-less legacy names fall back
+    to the filtered read; delta names carry no t bounds, so cube deltas
+    prune on x/y only and leave t to the read filter;
+    ``compact_pyramid`` remains the hard bound on the level's file
+    count). File reads run in a small thread pool — pyarrow drops the
+    GIL during IO/decompress and the sequential loop was ~1 s of the
+    steady small-batch floor (round-6 profile)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
     tile_named = re.compile(r"tile-(\d+)-(\d+)\.parquet$")
-    work = []  # (z-1, d, fname, txs, tys, packed)
+    tile_named_t = re.compile(r"tile-t(\d+)-(\d+)-(\d+)\.parquet$")
+    work = []  # (z-1, d, fname, ts, txs, tys, parent_set)
     for z in range(z_lo, z_hi + 1):
         parents = sorted(changed[z])
         if not parents:
             continue
-        txs = sorted({2 * px + dx for px, _ in parents for dx in (0, 1)})
-        tys = sorted({2 * py + dy for _, py in parents for dy in (0, 1)})
-        packed_set = {(px << 32) | py for px, py in parents}
-        packed = np.array(sorted(packed_set), dtype=np.int64)
+        txs = sorted({2 * k[-2] + dx for k in parents for dx in (0, 1)})
+        tys = sorted({2 * k[-1] + dy for k in parents for dy in (0, 1)})
+        ts = sorted({k[0] for k in parents}) if with_t else None
+        parent_set = set(parents)
         d = level_path(path, z - 1)
         txset, tyset = set(txs), set(tys)
+        tset = set(ts) if with_t else None
         for fname in fs.listdir(d):
             if not fname.endswith(".parquet") or fname.startswith((".", "_")):
                 continue
-            m = tile_named.match(fname)
+            m = tile_named_t.match(fname) if with_t else tile_named.match(fname)
             if m:
-                ftx, fty = (int(v) for v in m.groups())
+                vals = [int(v) for v in m.groups()]
+                ftx, fty = vals[-2], vals[-1]
                 if ftx not in txset or fty not in tyset:
                     continue
-                if (((ftx >> 1) << 32) | (fty >> 1)) not in packed_set:
+                if with_t and vals[0] not in tset:
+                    continue
+                pk = (ftx >> 1, fty >> 1)
+                if ((vals[0],) + pk if with_t else pk) not in parent_set:
                     continue
             else:
                 mb = _DELTA_BOUNDED.match(fname)
@@ -706,21 +721,34 @@ def _read_sibling_rows_local(
                         y0 <= t <= y1 for t in tyset
                     ):
                         continue
-            work.append((z - 1, d, fname, txs, tys, packed))
+            work.append((z - 1, d, fname, ts, txs, tys, parent_set))
 
     def read_one(item):
-        lvl, d, fname, txs, tys, packed = item
-        tab = pq.read_table(
-            os.path.join(d, fname),
-            filters=[("tx", "in", txs), ("ty", "in", tys)],
-        )
+        lvl, d, fname, ts, txs, tys, parent_set = item
+        filters = [("tx", "in", txs), ("ty", "in", tys)]
+        if with_t:
+            filters.append(("t", "in", ts))
+        tab = pq.read_table(os.path.join(d, fname), filters=filters)
         if tab.num_rows == 0:
             return None
         pdf = tab.to_pandas()
-        pair = ((pdf["tx"].values >> 1).astype(np.int64) << 32) | (
-            pdf["ty"].values >> 1
-        )
-        pdf = pdf[np.isin(pair, packed)]
+        ptx = (pdf["tx"].values >> 1).astype(np.int64)
+        pty = (pdf["ty"].values >> 1).astype(np.int64)
+        if with_t:
+            # epoch-scale t cannot pack into int64 with tx/ty (r4 review)
+            # — tuple membership on a bounded row count instead
+            keep = np.fromiter(
+                ((int(t), int(x), int(y)) in parent_set
+                 for t, x, y in zip(pdf["t"].values, ptx, pty)),
+                dtype=bool, count=len(pdf),
+            )
+        else:
+            packed = np.array(
+                sorted((px << 32) | py for px, py in parent_set),
+                dtype=np.int64,
+            )
+            keep = np.isin((ptx << 32) | pty, packed)
+        pdf = pdf[keep]
         if not len(pdf):
             return None
         if "_ord" not in pdf.columns:
@@ -733,7 +761,9 @@ def _read_sibling_rows_local(
             frames = [f for f in ex.map(read_one, work) if f is not None]
     if not frames:
         return pd.DataFrame(
-            columns=["lvl", *[f.name for f in TILE_SCHEMA.fields if f.name != "z"], "_ord"]
+            columns=["lvl", *(["t"] if with_t else []),
+                     *[f.name for f in TILE_SCHEMA.fields if f.name != "z"],
+                     "_ord"]
         )
     return pd.concat(frames, ignore_index=True)
 

@@ -244,3 +244,81 @@ def test_focal_stats_cube(spark, tmp_path):
             base[iy * 16:(iy + 1) * 16, ix * 16:(ix + 1) * 16] = (
                 np.frombuffer(r["bytes"], dtype=np.uint8).reshape(16, 16))
         assert np.array_equal(full, _replay(base, "mean", 1)), f"t={t}"
+
+
+def test_raster_histogram_exact_and_binned(spark, pyr):
+    """r8: exact-value histogram equals numpy's over the assembled
+    mosaic; binned mode follows the GDAL bucket rule (fixed width over
+    [vmin, vmax), value == vmax lands in the last bucket), drops
+    out-of-range pixels, and excludes NaN as nodata; error paths pin the
+    validation contract."""
+    from pyramidscheme_jl_spark.operators.raster import raster_histogram
+
+    root, full = pyr
+    vals, cnts = np.unique(full, return_counts=True)
+    got = {r["value"]: r["n"] for r in raster_histogram(spark, root, z=0).collect()}
+    assert got == {int(v): int(c) for v, c in zip(vals, cnts)}
+    assert sum(got.values()) == full.size
+
+    # binned over the uint8 range: 8 buckets of width 32
+    res = raster_histogram(spark, root, z=0, bins=8, vmin=0.0, vmax=256.0)
+    rows = {r["bin"]: r for r in res.collect()}
+    exp = np.histogram(full.astype(np.float64), bins=8, range=(0, 256))[0]
+    for b in range(8):
+        if exp[b]:
+            assert rows[b]["n"] == int(exp[b])
+            assert rows[b]["lo"] == b * 32.0 and rows[b]["hi"] == (b + 1) * 32.0
+        else:
+            assert b not in rows  # empty buckets are absent, not zero rows
+
+    # level 1 is float64 (mean reducer): exact mode must refuse,
+    # binned mode must work and count every (finite) pixel
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException, match="integer raster"):
+        raster_histogram(spark, root, z=1).collect()
+    n1 = raster_histogram(
+        spark, root, z=1, bins=4, vmin=0.0, vmax=256.0
+    ).agg({"n": "sum"}).collect()[0][0]
+    assert n1 == 64 * 64  # level-1 pixel count, nothing dropped
+
+    with _pytest.raises(ValueError, match="vmin < vmax"):
+        raster_histogram(spark, root, z=0, bins=4, vmin=1.0, vmax=1.0)
+    with _pytest.raises(ValueError, match="positive"):
+        raster_histogram(spark, root, z=0, bins=0, vmin=0.0, vmax=1.0)
+
+
+def test_aspect_degrees(spark, pyr):
+    """r8: aspect (Horn downslope compass direction) matches the
+    full-mosaic replay bit-for-bit; flat cells return the -1 sentinel;
+    range contract [0, 360) U {-1} holds everywhere."""
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.raster import (
+        _horn_gradients,
+        aspect_degrees,
+    )
+
+    root, full = pyr
+    fullf = np.full((130, 130), np.nan)
+    fullf[1:-1, 1:-1] = full.astype(np.float64)
+    dzdx, dzdy = _horn_gradients(fullf, 1.0)
+    az = np.degrees(np.arctan2(dzdy, -dzdx))
+    exp = np.where(az > 90.0, 450.0 - az, 90.0 - az)
+    exp = np.where(exp == 360.0, 0.0, exp)
+    exp = np.where((dzdx == 0) & (dzdy == 0), -1.0, exp)
+
+    got = np.zeros((128, 128))
+    for r in aspect_degrees(spark, root, z=0).collect():
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+        got[r["ty"] * 32:(r["ty"] + 1) * 32, r["tx"] * 32:(r["tx"] + 1) * 32] = a
+    assert np.array_equal(got, exp)
+    ok = (got == -1.0) | ((got >= 0.0) & (got < 360.0))
+    assert ok.all()
+    # flat sentinel: a constant surface is all -1 (checked through the
+    # replay math — the engine kernel is the identical expression, pinned
+    # bit-for-bit above)
+    flat = np.full((6, 6), np.nan)
+    flat[1:-1, 1:-1] = 7.0
+    fx, fy = _horn_gradients(flat, 1.0)
+    assert ((fx == 0) & (fy == 0)).all()
