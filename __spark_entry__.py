@@ -1430,6 +1430,35 @@ def q_raster_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_warp_affine_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Axis-aligned affine NN regrid (raster.warp_affine, r8 — the
+    ``gdalwarp`` analog): the 512x512 zonal fixture warped onto a
+    320x288 grid at rational scales x=8/5, y=7/4 with offsets (-3, +5),
+    so the output carries ragged edge tiles AND two out-of-range NaN
+    columns (the float64-nodata path). z=0 pinned: the mapping is exact
+    int64 (center rule, integer DIV), so DuckDB replays it closed-form
+    from the mosaic formula. Per-tile stats: integer vmin/vmax, and
+    vmean as exact-integer-sum / count — ONE IEEE division, portable
+    bit-for-bit (the focal-row discipline). Fixed-size by design (the
+    subsystem under test is the warp gather plan); ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.raster import warp_affine
+
+    path = _ensure_zonal_pyramid(spark)
+    df = warp_affine(
+        spark, path, (320, 288), (8, 5), (7, 4), offset=(-3, 5), z=0, tilesize=256
+    )
+    return df.select(
+        F.col("tx").cast("long").alias("otx"),
+        F.col("ty").cast("long").alias("oty"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("vmin").cast("long").alias("vmin_px"),
+        F.col("vmax").cast("long").alias("vmax_px"),
+        F.expr("CAST(FLOOR(vmean * 1048576 + 0.5) AS BIGINT)").alias("vmean_u"),
+    )
+
+
 def q_embedding_ivfpq_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ top-k served from the PERSISTED index (round 8): the query
     path opens the manifest (trained centroids/codebooks/row count — no
@@ -1557,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "warp_affine_stats": q_warp_affine_stats,
         "embedding_ivfpq_indexed": q_embedding_ivfpq_indexed,
         "prebuilt_extend_window": q_prebuilt_extend_window,
         "raster_value_histogram": q_raster_value_histogram,
@@ -2164,6 +2194,35 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM xs CROSS JOIN ys
             GROUP BY 1
+        """,
+        # warp_affine over the same fixture: DuckDB replays the exact
+        # integer center-rule mapping (bx = ((2X+1)*8)//10 - 3, by =
+        # ((2Y+1)*7)//8 + 5 — all operands non-negative at the division,
+        # so // == the engine's DIV) and aggregates per 256px output
+        # tile; out-of-range pixels are simply not generated (the engine
+        # side holds NaN there, skipped by its nan-stats). w/h pinned
+        # closed-form; vmean is exact-int-sum / count, one IEEE division.
+        "warp_affine_stats": """
+            WITH xs AS (SELECT UNNEST(range(0, 320)) AS X),
+                 ys AS (SELECT UNNEST(range(0, 288)) AS Y),
+                 m AS (
+                   SELECT X, Y,
+                          ((2*X+1)*8)//10 - 3 AS bx,
+                          ((2*Y+1)*7)//8 + 5 AS by
+                   FROM xs CROSS JOIN ys),
+                 v AS (
+                   SELECT X//256 AS otx, Y//256 AS oty,
+                          CAST((16*((bx//128)+(by//128)) + xor(bx%128, by%128)) % 256 AS BIGINT) AS v
+                   FROM m
+                   WHERE bx BETWEEN 0 AND 511 AND by BETWEEN 0 AND 511)
+            SELECT CAST(otx AS BIGINT) AS otx,
+                   CAST(oty AS BIGINT) AS oty,
+                   CAST(LEAST(320 - otx*256, 256) AS BIGINT) AS w,
+                   CAST(LEAST(288 - oty*256, 256) AS BIGINT) AS h,
+                   CAST(MIN(v) AS BIGINT) AS vmin_px,
+                   CAST(MAX(v) AS BIGINT) AS vmax_px,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1048576 + 0.5) AS BIGINT) AS vmean_u
+            FROM v GROUP BY otx, oty
         """,
         # raster zonal over the BUILT pyramid fixture: DuckDB regenerates
         # the 512x512 mosaic pixels closed-form and tests each pixel CENTER

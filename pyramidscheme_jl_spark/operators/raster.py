@@ -686,3 +686,215 @@ def raster_histogram(
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# warp: axis-aligned affine regrid (GDAL ``gdalwarp`` without rotation) —
+# nearest-neighbor resampling on an EXACT rational pixel mapping, reading
+# from the pyramid level nearest the target resolution (the serving use the
+# pyramid exists for: regrid/zoom without touching the base).
+
+
+def _rational(s) -> tuple[int, int]:
+    num, den = (int(s[0]), int(s[1])) if isinstance(s, (tuple, list)) else (int(s), 1)
+    if num <= 0 or den <= 0:
+        raise ValueError(f"scale must be a positive rational, got {num}/{den}")
+    return num, den
+
+
+def warp_affine(
+    spark,
+    path: str,
+    out_shape: tuple[int, int],
+    scale,
+    scale_y=None,
+    offset: tuple[int, int] = (0, 0),
+    z: int | str = "auto",
+    tilesize: int = 256,
+) -> DataFrame:
+    """Regrid a stored pyramid onto a new ``out_shape = (out_w, out_h)``
+    pixel grid by an axis-aligned affine map (scale + translate — GDAL
+    ``gdalwarp -tr/-te`` territory; rotation is out of scope) with
+    nearest-neighbor resampling. ``scale`` (and optional anisotropic
+    ``scale_y``) is *source base pixels per output pixel* as an exact
+    rational ``(num, den)`` (or a bare int); ``offset`` is an integer
+    base-pixel translation. Output pixel ``X`` samples source base pixel
+
+        ``bx = ((2*X + 1) * num) // (2 * den) + off_x``
+
+    — the GDAL center rule ``floor((X + 0.5) * scale + off)`` carried out
+    in exact int64, so the mapping is engine-portable (the DuckDB oracle
+    reruns the same integer arithmetic, no float grid math anywhere).
+
+    ``z="auto"`` reads from the coarsest stored level whose pixels are
+    still no coarser than the output sampling rate (largest L with
+    ``2^L <= min(scale_x, scale_y)``, the GDAL overview-selection rule):
+    a 16x zoom-out warp reads level 4 — 1/256th of the base bytes — which
+    is the whole point of having built the pyramid. Sampling from level L
+    snaps through ``bx >> L``. Pass an explicit ``z`` to pin (the oracle
+    row pins 0 for closed-form exactness).
+
+    Plan shape (scales like focal/rasterize, everything JVM-side until
+    the per-tile gather):
+
+    1. ``spark.range`` over the OUTPUT tile grid (no driver lists);
+       closed-form int expressions bound each output tile's needed source
+       base-pixel rectangle, clamped to the source extent; tiles mapping
+       entirely outside are dropped here (sparse output, never computed).
+    2. ``explode(sequence(...))`` twice fans out to needed source tile
+       coords — with auto level choice each output tile touches at most
+       ~(ts*scale/2^L/ts + 1)^2 <= 9 source tiles, so shuffle volume is
+       bounded by source bytes x <=4 typical replication.
+    3. Equi-join on the source level's (tx, ty) — broadcast-or-shuffle is
+       AQE's call; both sides are already partitioned by tile key shape.
+    4. ``groupBy(otx, oty)`` + ``applyInPandas`` gathers: per source tile
+       the hit output rows/cols are contiguous index runs (the mapping is
+       monotonic), one fancy-index assignment each — no per-pixel Python.
+
+    dtype: if the full output grid maps inside the source extent (closed
+    form on the corner pixels — the map is monotonic), the source dtype
+    is preserved exactly; otherwise the output is float64 with NaN
+    nodata, uniformly (no per-tile dtype mixing). All-nodata tiles are
+    dropped (sparse-raster semantics, as rasterize/zonal).
+
+    Returns TILE_SCHEMA rows at ``z=0`` of a NEW pyramid base of
+    ``out_shape`` — compose with ``write_level`` + ``write_multiscales``
+    + ``build_overviews`` to re-pyramid the warped raster.
+
+    Reference parity note: PyramidScheme.jl has no warp (it always
+    serves the native grid via selectlevel, src/PyramidScheme.jl:447-467);
+    this is north-rule surface — the regrid every raster engine pairs
+    with a tiling service.
+    """
+    from ..api import PyramidDataset
+    from ..functions.codec import decode_tile
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    out_w, out_h = int(out_shape[0]), int(out_shape[1])
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"out_shape must be positive, got {out_shape}")
+    numx, denx = _rational(scale)
+    numy, deny = _rational(scale_y if scale_y is not None else scale)
+    offx, offy = int(offset[0]), int(offset[1])
+
+    spec = PyramidDataset.open(spark, path).spec
+    bw, bh = spec.base_w, spec.base_h
+    ts_src = spec.tilesize
+    if z == "auto":
+        lvl = 0
+        while (
+            lvl + 1 <= spec.nlevels
+            and (1 << (lvl + 1)) * denx <= numx  # 2^(l+1) <= scale_x
+            and (1 << (lvl + 1)) * deny <= numy  # 2^(l+1) <= scale_y
+        ):
+            lvl += 1
+    else:
+        lvl = int(z)
+        if lvl < 0 or lvl > spec.nlevels:
+            raise ValueError(f"level {lvl} out of range for {spec.nlevels + 1}-level pyramid")
+
+    # closed-form full-coverage test on the corner pixels (monotonic map)
+    def _bpx(X: int, num: int, den: int, off: int) -> int:
+        return ((2 * X + 1) * num) // (2 * den) + off
+
+    covered = (
+        _bpx(0, numx, denx, offx) >= 0
+        and _bpx(out_w - 1, numx, denx, offx) < bw
+        and _bpx(0, numy, deny, offy) >= 0
+        and _bpx(out_h - 1, numy, deny, offy) < bh
+    )
+
+    out_spec = PyramidSpec(out_w, out_h, tilesize)
+    ontx = -(-out_w // tilesize)
+    onty = -(-out_h // tilesize)
+
+    grid = spark.range(ontx * onty).select(
+        (F.col("id") % ontx).cast("int").alias("otx"),
+        F.expr(f"CAST(id DIV {ontx} AS INT)").alias("oty"),
+    )
+
+    # the center rule as EXACT int64 SQL (div = integer division; every
+    # operand is non-negative before the offset add, so trunc == floor —
+    # no double division anywhere: floor(double) goes off-by-one exactly
+    # at the integer boundaries NN sampling lands on)
+    def _bsql(px: str, num: int, den: int, off: int) -> str:
+        return f"((2 * CAST({px} AS BIGINT) + 1) * {num}) DIV {2 * den} + ({off})"
+
+    x0s = f"(CAST(otx AS BIGINT) * {tilesize})"
+    x1s = f"(LEAST(CAST({out_w} AS BIGINT), (CAST(otx AS BIGINT) + 1) * {tilesize}) - 1)"
+    y0s = f"(CAST(oty AS BIGINT) * {tilesize})"
+    y1s = f"(LEAST(CAST({out_h} AS BIGINT), (CAST(oty AS BIGINT) + 1) * {tilesize}) - 1)"
+
+    bounds = grid.select(
+        "otx", "oty",
+        F.expr(f"GREATEST({_bsql(x0s, numx, denx, offx)}, 0)").alias("bx0"),
+        F.expr(f"LEAST({_bsql(x1s, numx, denx, offx)}, {bw - 1})").alias("bx1"),
+        F.expr(f"GREATEST({_bsql(y0s, numy, deny, offy)}, 0)").alias("by0"),
+        F.expr(f"LEAST({_bsql(y1s, numy, deny, offy)}, {bh - 1})").alias("by1"),
+    ).where((F.col("bx0") <= F.col("bx1")) & (F.col("by0") <= F.col("by1")))
+    # generators can't nest in one select (r7 lesson): explode per axis
+    pairs = bounds.select(
+        "otx", "oty", "by0", "by1",
+        F.explode(
+            F.expr(
+                f"sequence(SHIFTRIGHT(bx0, {lvl}) DIV {ts_src},"
+                f" SHIFTRIGHT(bx1, {lvl}) DIV {ts_src})"
+            ).cast("array<int>")
+        ).alias("stx"),
+    ).select(
+        "otx", "oty", "stx",
+        F.explode(
+            F.expr(
+                f"sequence(SHIFTRIGHT(by0, {lvl}) DIV {ts_src},"
+                f" SHIFTRIGHT(by1, {lvl}) DIV {ts_src})"
+            ).cast("array<int>")
+        ).alias("sty"),
+    )
+
+    src = read_level(spark, path, lvl).select(
+        F.col("tx").alias("stx"), F.col("ty").alias("sty"),
+        "bytes", "w", "h", "c", "dtype",
+    )
+    joined = pairs.join(src, ["stx", "sty"])
+
+    consts = (numx, denx, offx, numy, deny, offy, lvl, ts_src, tilesize,
+              out_w, out_h, bw, bh, covered)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        (nx, dx, ox, ny, dy, oy, L, ts, ots, ow_all, oh_all, bw_, bh_, cov) = consts
+        if pdf.empty:
+            return _rows_to_pdf([])
+        otx = int(pdf["otx"].iloc[0])
+        oty = int(pdf["oty"].iloc[0])
+        x0, y0, ow, oh = tile_pixel_window((ow_all, oh_all), 0, otx, oty, ots)
+        X = x0 + np.arange(ow, dtype=np.int64)
+        Y = y0 + np.arange(oh, dtype=np.int64)
+        bx = ((2 * X + 1) * nx) // (2 * dx) + ox
+        by = ((2 * Y + 1) * ny) // (2 * dy) + oy
+        vx = (bx >= 0) & (bx < bw_)
+        vy = (by >= 0) & (by < bh_)
+        lx = bx >> L
+        ly = by >> L
+        c = int(pdf["c"].iloc[0])
+        shape = (oh, ow) if c == 1 else (oh, ow, c)
+        out = np.full(shape, np.nan, dtype=np.float64)
+        src_dtype = str(pdf["dtype"].iloc[0])
+        for row in pdf.itertuples(index=False):
+            a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+            sx0, sy0 = int(row.stx) * ts, int(row.sty) * ts
+            ix = np.where(vx & (lx >= sx0) & (lx < sx0 + int(row.w)))[0]
+            iy = np.where(vy & (ly >= sy0) & (ly < sy0 + int(row.h)))[0]
+            if ix.size and iy.size:
+                out[np.ix_(iy, ix)] = a[(ly[iy] - sy0)[:, None], (lx[ix] - sx0)[None, :]]
+        if cov:
+            if np.isnan(out).any():
+                raise ValueError(
+                    f"warp output tile ({otx},{oty}) has unsampled pixels in "
+                    "a fully-covered warp — source level is missing tiles"
+                )
+            out = out.astype(src_dtype, copy=False)
+        elif np.isnan(out).all():
+            return _rows_to_pdf([])
+        return _rows_to_pdf([_tile_row(out_spec, 0, otx, oty, out)])
+
+    return joined.groupBy("otx", "oty").applyInPandas(assemble, TILE_SCHEMA)
