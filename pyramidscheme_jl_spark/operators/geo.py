@@ -16,13 +16,22 @@ once and never expanded). Dense cities are bounded by cell occupancy ~
 joins; `broadcast_queries=False` switches to a shuffle-hash equi-join
 for corpus-sized query sets (the `lsh_topk` split).
 
-Honest limits (documented, not silently wrong): longitude cells do not
-wrap at the antimeridian, and the blocking width uses one global
-``cos(max |lat|)`` — both raise/deteriorate gracefully: a row with
-|lat| above ``max_abs_lat`` raises inside the scan (it would silently
-miss neighbors otherwise), and high-latitude corpora pay wider lon
-cells (more candidates, identical results). A production S2-style cell
-covering removes both caps; the refine is unchanged.
+Longitude wraps at the antimeridian (r8): lon cells live on a uniform
+``n_lon = floor(360 / s_lon)`` ring grid — cells are *widened* to
+``360 / n_lon`` (never narrowed: a sub-width seam cell would let a
+qualifying pair sit 2 cells apart and be silently missed) — and the
+query probes step modulo ``n_lon``, so a Fiji/Chukotka pair lands in
+adjacent ring cells like any other. Input longitudes are normalized
+from any convention ([-180, 180], [0, 360], unbounded) to one turn;
+the haversine refine is wrap-correct by construction (``sin^2(dl/2)``
+is periodic — 359.8 degrees apart IS 0.2 degrees apart).
+
+Honest limit (documented, not silently wrong): the blocking width uses
+one global ``cos(max |lat|)`` — a row with |lat| above ``max_abs_lat``
+raises inside the scan (it would silently miss neighbors otherwise),
+and high-latitude corpora pay wider lon cells (more candidates,
+identical results). A production S2-style cell covering removes the
+cap; the refine is unchanged.
 """
 
 from __future__ import annotations
@@ -97,6 +106,17 @@ def radius_join(
             f"max_abs_lat={max_abs_lat} (a pair could span any longitude)"
         )
     s_lon = math.degrees(2 * math.asin(y))
+    # ring grid: UNIFORM cells of >= s_lon width that tile the full turn.
+    # floor (not ceil): widening keeps the invariant "wrapped dlon <= s_lon
+    # -> cell indices adjacent mod n_lon"; a ceil grid's cells would be
+    # NARROWER than s_lon and a pair could span two boundaries. n_lon < 3
+    # cannot host distinct -1/0/+1 probes (they'd collide and duplicate
+    # pairs), so degrade to ONE all-longitudes cell — blocking then prunes
+    # on latitude alone, which at such radii (>1/3 of the turn) is what a
+    # cell grid does anyway.
+    n_lon = max(1, int(360.0 / s_lon))
+    if n_lon < 3:
+        n_lon = 1
 
     def guard(df: DataFrame, side: str) -> DataFrame:
         # contract enforcement in the scan itself: a row past the cap
@@ -109,11 +129,13 @@ def radius_join(
         )
 
     la = F.floor(F.col(lat_col) / F.lit(s_lat)).cast("long")
-    lo = F.floor(F.col(lon_col) / F.lit(s_lon)).cast("long")
-    # pack the two indices into one int64 join key; 2^31 cells per axis
-    # (max packed value ~2^61) covers cell sizes down to ~2 cm, far below
-    # any meaningful radius — no collision is reachable past the guard
-    cell = (la + F.lit(1 << 30)) * F.lit(1 << 31) + (lo + F.lit(1 << 30))
+    # normalize ANY longitude convention to [0, 360), then ring index;
+    # the trailing % n_lon only fires on the 360.0 float edge
+    lon_w = ((F.col(lon_col) % 360.0) + 360.0) % 360.0
+    lo = F.floor(lon_w / F.lit(360.0 / n_lon)).cast("long") % F.lit(n_lon)
+    # pack lat band and ring index into one int64 join key; 2^31 lat bands
+    # cover cell sizes down to ~2 cm, far below any meaningful radius
+    cell = (la + F.lit(1 << 30)) * F.lit(1 << 31) + lo
 
     d = guard(points, "points").select(
         F.col(id_col).alias("__pid"),
@@ -121,19 +143,24 @@ def radius_join(
         F.col(lon_col).alias("__plon"),
         cell.alias("__cell"),
     )
+    dxs = (-1, 0, 1) if n_lon >= 3 else (0,)
     offs = F.array(*[
-        F.lit(dy * (1 << 31) + dx)
-        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in dxs
     ])
     q = guard(queries, "queries").select(
         F.col(query_id_col).alias("__qid"),
         F.col(lat_col).alias("__qlat"),
         F.col(lon_col).alias("__qlon"),
-        cell.alias("__c0"),
+        (la + F.lit(1 << 30)).alias("__la"),
+        lo.alias("__lo"),
         F.explode(offs).alias("__off"),  # generators can't nest in exprs
     ).select(
         "__qid", "__qlat", "__qlon",
-        (F.col("__c0") + F.col("__off")).alias("__cell"),
+        (
+            (F.col("__la") + F.col("__off.dy")) * F.lit(1 << 31)
+            + (F.col("__lo") + F.col("__off.dx") + F.lit(n_lon)) % F.lit(n_lon)
+        ).alias("__cell"),
     )
     joined = (
         d.join(F.broadcast(q), "__cell")

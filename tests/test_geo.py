@@ -128,3 +128,62 @@ def test_radius_join_nearest_only(spark):
         points, queries, radius, nearest_only=True, dist_col=None
     ).columns
     assert cols == ["query_id", "point_id"]
+
+
+def test_radius_join_wraps_antimeridian(spark):
+    """Pairs straddling +-180 must be found (r8: ring-grid lon cells)."""
+    ps = [
+        (0, 10.0, 179.95), (1, 10.0, -179.95), (2, -30.0, 179.99),
+        (3, -30.0, -179.85), (4, 10.0, 170.0),  # same lat, far in lon
+        (5, 60.0, 179.9), (6, 60.0, -179.9),
+    ]
+    qs = [(100, 10.0, -179.99), (101, -30.0, 179.9), (102, 60.0, 179.99)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+    for radius in (25_000.0, 40_000.0):
+        expect = _brute_pairs(qs, ps, radius)
+        assert any(  # the fixture genuinely crosses the seam
+            (q[0], p[0]) in expect and (q[2] > 170) != (p[2] > 170)
+            for q in qs for p in ps if abs(q[2]) > 170 and abs(p[2]) > 170
+        )
+        got = {
+            (r["query_id"], r["point_id"])
+            for r in radius_join(points, queries, radius).collect()
+        }
+        assert got == expect
+
+
+def test_radius_join_normalizes_lon_conventions(spark):
+    """lon given as [0, 360) or unbounded turns joins identically to
+    [-180, 180] — and NO duplicate pairs from the modulo probes."""
+    ps180 = [(0, 5.0, -179.9), (1, 5.0, 179.9), (2, 5.0, -90.0)]
+    ps360 = [(0, 5.0, 180.1), (1, 5.0, 179.9 + 720.0), (2, 5.0, 270.0)]
+    qs = [(100, 5.0, 180.0), (101, 5.0, -90.05)]
+    radius = 30_000.0
+    expect = _brute_pairs(qs, ps180, radius)
+    points = spark.createDataFrame(ps360, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+    rows = radius_join(points, queries, radius).collect()
+    got = [(r["query_id"], r["point_id"]) for r in rows]
+    assert set(got) == expect
+    assert len(got) == len(set(got))  # modulo probes emit each pair once
+
+
+def test_radius_join_huge_radius_single_ring_cell(spark):
+    """Radius large enough that n_lon < 3 collapses to one all-longitudes
+    cell: correct pairs, no duplicates (the -1/0/+1 probes would collide
+    mod 2)."""
+    rng = np.random.RandomState(7)
+    ps = [
+        (i, float(rng.uniform(-74, 74)), float(rng.uniform(-180, 180)))
+        for i in range(60)
+    ]
+    qs = [(100, 10.0, 179.0), (101, -60.0, -1.0)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+    radius = 3_000_000.0  # s_lon ~129 deg -> n_lon = 2 -> collapse to 1
+    expect = _brute_pairs(qs, ps, radius)
+    rows = radius_join(points, queries, radius).collect()
+    got = [(r["query_id"], r["point_id"]) for r in rows]
+    assert set(got) == expect
+    assert len(got) == len(set(got))
