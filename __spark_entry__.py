@@ -1459,6 +1459,80 @@ def q_warp_affine_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_REGIONS_ORACLE_DIR = "/dev/shm/psjl_regions_oracle_v1"
+
+#: integer-rect burn list for the region fixture: A+B touch (one region
+#: despite crossing the x=128 tile boundary), C is same-value but
+#: disconnected, D touches B with a DIFFERENT value (no merge), E1+E2
+#: overlap into a plus shape crossing x=128 and y=384. Pixel coverage of
+#: rect [x0,x1)x[y0,y1) is exactly x0<=px<=x1-1 (centers never on integer
+#: edges), so DuckDB recomputes every region closed-form.
+_REGION_RECTS = [
+    ("a", (10, 10, 120, 60), 1.0),
+    ("b", (120, 10, 200, 60), 1.0),
+    ("c", (300, 200, 340, 260), 1.0),
+    ("d", (120, 60, 200, 100), 2.0),
+    ("e1", (40, 300, 90, 460), 3.0),
+    ("e2", (0, 350, 130, 400), 3.0),
+]
+
+
+def _ensure_regions_pyramid(spark: SparkSession) -> str:
+    """Memoized rasterize->write_level fixture for the region-label oracle."""
+    path = f"{_REGIONS_ORACLE_DIR}/pyr"
+    done = f"{_REGIONS_ORACLE_DIR}/_done"
+    if os.path.exists(done):
+        return path
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import rasterize_polygons
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    shutil.rmtree(_REGIONS_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(_REGIONS_ORACLE_DIR, exist_ok=True)
+    polys = [
+        {
+            "polygon_id": pid,
+            "ring": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+            "value": v,
+        }
+        for pid, (x0, y0, x1, y1), v in _REGION_RECTS
+    ]
+    tiles = rasterize_polygons(spark, polys, (512, 512), tilesize=128)
+    write_level(tiles, path, 0)
+    write_multiscales(path, 0, 128, 512, 512, "rasterize", "-")
+    open(done, "w").close()
+    return path
+
+
+def q_region_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected-component region table (regions.region_label, r8 — the
+    GDAL ``polygonize`` analytics analog) over a rasterized-rects fixture:
+    per-tile run union-find -> boundary-strip stitch (one row per tile
+    edge) -> pointer-doubled global resolve (dedup.connected_components)
+    -> one hash aggregate. The fixture's merged regions cross tile
+    boundaries by construction; ``region_id`` is the row-major index of
+    the region's first pixel, so DuckDB recomputes every region
+    closed-form from the same rect list. Fixed-size by design (the
+    subsystem under test is the stitch plan); ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.regions import region_label
+
+    path = _ensure_regions_pyramid(spark)
+    return region_label(spark, path, z=0).select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("value").cast("long").alias("value"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("xmin").cast("long").alias("xmin"),
+        F.col("ymin").cast("long").alias("ymin"),
+        F.col("xmax").cast("long").alias("xmax"),
+        F.col("ymax").cast("long").alias("ymax"),
+    )
+
+
 def q_embedding_ivfpq_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ top-k served from the PERSISTED index (round 8): the query
     path opens the manifest (trained centroids/codebooks/row count — no
@@ -1586,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "region_label": q_region_label,
         "warp_affine_stats": q_warp_affine_stats,
         "embedding_ivfpq_indexed": q_embedding_ivfpq_indexed,
         "prebuilt_extend_window": q_prebuilt_extend_window,
@@ -1781,6 +1856,40 @@ def _ivfpq_values(sf_dir: str) -> tuple[str, str, int]:
         for i in range(qb.shape[2])
     )
     return cent, cb, int(qb.shape[2])
+
+
+def _region_oracle_sql() -> str:
+    """Closed-form region table for the rasterized-rects fixture: the
+    expected merge structure is declared here (a+b touch; e1+e2 overlap;
+    c disconnected; d value-isolated) and every aggregate — including
+    region_id = MIN(Y*512+X), the engine's first-pixel labeling rule —
+    is recomputed from the SAME rect constants the fixture burns."""
+    groups = {"r1": ["a", "b"], "c": ["c"], "d": ["d"], "e": ["e1", "e2"]}
+    rects = {pid: (r, v) for pid, r, v in _REGION_RECTS}
+    parts = []
+    for g, members in groups.items():
+        cond = " OR ".join(
+            f"(X BETWEEN {rects[m][0][0]} AND {rects[m][0][2] - 1} "
+            f"AND Y BETWEEN {rects[m][0][1]} AND {rects[m][0][3] - 1})"
+            for m in members
+        )
+        val = int(rects[members[0]][1])
+        parts.append(f"SELECT '{g}' AS rk, {val} AS value, X, Y FROM px WHERE {cond}")
+    union = " UNION ".join(parts)  # UNION (not ALL): dedupes the e1/e2 overlap
+    return f"""
+        WITH xs AS (SELECT UNNEST(range(0, 512)) AS X),
+             ys AS (SELECT UNNEST(range(0, 512)) AS Y),
+             px AS (SELECT X, Y FROM xs CROSS JOIN ys),
+             hits AS ({union})
+        SELECT CAST(MIN(Y * 512 + X) AS BIGINT) AS region_id,
+               CAST(value AS BIGINT) AS value,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(MIN(X) AS BIGINT) AS xmin,
+               CAST(MIN(Y) AS BIGINT) AS ymin,
+               CAST(MAX(X) AS BIGINT) AS xmax,
+               CAST(MAX(Y) AS BIGINT) AS ymax
+        FROM hits GROUP BY rk, value
+    """
 
 
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
@@ -2195,6 +2304,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM xs CROSS JOIN ys
             GROUP BY 1
         """,
+        # region_label over the rasterized-rects fixture: expected merges
+        # declared in _region_oracle_sql, all aggregates recomputed from
+        # the shared rect constants
+        "region_label": _region_oracle_sql(),
         # warp_affine over the same fixture: DuckDB replays the exact
         # integer center-rule mapping (bx = ((2X+1)*8)//10 - 3, by =
         # ((2Y+1)*7)//8 + 5 — all operands non-negative at the division,

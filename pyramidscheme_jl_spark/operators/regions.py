@@ -1,0 +1,345 @@
+"""Raster -> region table: connected-component labeling of equal-valued
+pixel regions over a stored pyramid level (the analytics half of GDAL
+``polygonize`` / ArcGIS Region Group).
+
+The reference has no raster->vector arrow at all (PyramidScheme.jl serves
+pixels; src/PyramidScheme.jl:447-467); this is north-rule surface —
+``rasterize_polygons`` burns vectors in, ``region_label`` reads regions
+back out, and the pair closes the raster<->vector loop.
+
+Spark-first shape (the reason this works at 10^12 pixels):
+
+1. ONE tile scan; per tile a run-based union-find labels local components
+   (rows decompose into maximal equal-value runs; vertically overlapping
+   runs of equal value union — 4- or 8-connectivity). Each local component
+   gets a provisional label that is GLOBALLY canonical without any
+   coordination: the row-major global index of its first pixel.
+2. The same pass emits (a) one partial row per local component (count,
+   bbox, value) and (b) one strip row per tile edge (positions, values,
+   labels of the edge pixels — arrays, so the shuffle carries one row per
+   tile edge, ~2/tilesize of the pixel volume, the focal-halo budget).
+3. Facing strips meet on a shared edge key; equal values at touching
+   positions become label-equivalence edges. (8-connectivity adds the
+   four corner pixels to per-corner keys for the two diagonal pairs a
+   vertical/horizontal strip cannot see.)
+4. ``dedup.connected_components`` (min-label + pointer doubling,
+   O(log diameter) rounds, count-only driver traffic) resolves the
+   equivalence graph — a region snaking across thousands of tiles costs
+   log rounds, not length rounds.
+5. Final labels join back to the partials (left join: components with no
+   cross-tile edge keep their provisional label) and one hash aggregate
+   emits the region table.
+
+Labels are deterministic and meaningful: ``region_id`` is the row-major
+global pixel index of the region's first (topmost, then leftmost) pixel.
+NaN pixels are nodata and belong to no region. Values compare by exact
+float equality (regions are equal-VALUE sets; quantize upstream if you
+need tolerance-based segmentation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codec import decode_tile
+from ..plans.grid import level_shape
+
+#: union row schema for the single-scan emit: partial rows fill the first
+#: block, strip rows the second (NULL elsewhere)
+_SCAN_SCHEMA = (
+    "kind int, label long, value double, n long, "
+    "x0 long, y0 long, x1 long, y1 long, "
+    "ekey string, side int, pos array<long>, vals array<double>, labels array<long>"
+)
+
+_REGION_SCHEMA = (
+    "region_id long, value double, n_px long, "
+    "xmin long, ymin long, xmax long, ymax long"
+)
+
+
+def _label_tile(a: np.ndarray, eight: bool = False):
+    """Run-based union-find over one tile (4-connectivity; ``eight``
+    widens the vertical overlap test by one column each side, which IS
+    8-connectivity for runs).
+
+    Returns ``(runs, root)``: ``runs`` is an int64 array of shape (R, 4)
+    with columns (row, c0, c1, run_id) — c1 exclusive — over VALID
+    (non-NaN) pixels only, and ``root`` maps run_id -> component root
+    run_id. Pure numpy run extraction; the union loop is O(runs), not
+    O(pixels).
+    """
+    h, w = a.shape
+    slack = 1 if eight else 0
+    valid = ~np.isnan(a)
+    parent = np.arange(h * w, dtype=np.int64)  # upper bound: one run per px
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    runs = []
+    rid = 0
+    prev = []  # (c0, c1, value, run_id) of the previous row
+    for r in range(h):
+        row_valid = valid[r]
+        if not row_valid.any():
+            prev = []
+            continue
+        v = a[r]
+        # run boundaries: validity changes or value changes between
+        # consecutive valid pixels
+        brk = np.empty(w, dtype=bool)
+        brk[0] = True
+        brk[1:] = (row_valid[1:] != row_valid[:-1]) | (
+            row_valid[1:] & row_valid[:-1] & (v[1:] != v[:-1])
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], w)
+        cur = []
+        j = 0  # sweep pointer into prev (both run lists are sorted by c0)
+        for c0, c1 in zip(starts.tolist(), ends.tolist()):
+            if not row_valid[c0]:
+                continue
+            val = v[c0]
+            me = rid
+            rid += 1
+            runs.append((r, c0, c1, me))
+            # union with overlapping same-value runs of the previous row
+            lo = c0 - slack
+            hi = c1 + slack
+            while j < len(prev) and prev[j][1] <= lo:
+                j += 1
+            k = j
+            while k < len(prev) and prev[k][0] < hi:
+                if prev[k][2] == val:
+                    ra, rb = find(me), find(prev[k][3])
+                    if ra != rb:
+                        # root = smaller run id = earlier first pixel
+                        if ra < rb:
+                            parent[rb] = ra
+                        else:
+                            parent[ra] = rb
+                k += 1
+            cur.append((c0, c1, val, me))
+        prev = cur
+    if not runs:
+        return np.empty((0, 4), dtype=np.int64), parent
+    rr = np.asarray(runs, dtype=np.int64)
+    root = np.array([find(int(i)) for i in rr[:, 3]], dtype=np.int64)
+    return rr, root
+
+
+def _scan_gen(ts: int, W: int, eight: bool):
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = decode_tile(row.bytes, row.h, row.w, row.dtype,
+                                getattr(row, "c", 1)).astype(np.float64)
+                if a.ndim == 3:
+                    raise ValueError("region_label expects single-band rasters")
+                tx, ty = int(row.tx), int(row.ty)
+                gx0, gy0 = tx * ts, ty * ts
+                rr, root = _label_tile(a, eight)
+                if rr.shape[0] == 0:
+                    continue
+                h, w = a.shape
+                # provisional label per run root: global pixel index of the
+                # component's first pixel == min over its runs of the run
+                # start (runs are emitted in row-major order, so the min
+                # run id belongs to the first run — but its START pixel is
+                # what we key on)
+                gidx = (rr[:, 0] + gy0) * W + (rr[:, 1] + gx0)
+                lab_of_root: dict[int, int] = {}
+                for i in range(rr.shape[0]):
+                    rt = int(root[i])
+                    g = int(gidx[i])
+                    if rt not in lab_of_root or g < lab_of_root[rt]:
+                        lab_of_root[rt] = g
+                lab = np.array([lab_of_root[int(r_)] for r_ in root], dtype=np.int64)
+                vals = a[rr[:, 0], rr[:, 1]]
+                # per-component partials (one pandas groupby over runs)
+                part = pd.DataFrame({
+                    "label": lab,
+                    "value": vals,
+                    "n": rr[:, 2] - rr[:, 1],
+                    "x0": rr[:, 1] + gx0,
+                    "x1": rr[:, 2] - 1 + gx0,
+                    "y": rr[:, 0] + gy0,
+                }).groupby("label", as_index=False).agg(
+                    value=("value", "min"), n=("n", "sum"),
+                    x0=("x0", "min"), x1=("x1", "max"),
+                    y0=("y", "min"), y1=("y", "max"),
+                )
+                for p in part.itertuples(index=False):
+                    out.append((0, int(p.label), float(p.value), int(p.n),
+                                int(p.x0), int(p.y0), int(p.x1), int(p.y1),
+                                None, None, None, None, None))
+
+                def edge(which: str, ekey: str, side: int):
+                    if which in ("l", "r"):
+                        col = 0 if which == "l" else w - 1
+                        sel = (rr[:, 1] <= col) & (rr[:, 2] > col)
+                        rs = rr[sel]
+                        ls = lab[sel]
+                        if rs.shape[0] == 0:
+                            return
+                        pos = rs[:, 0] + gy0
+                        vv = a[rs[:, 0], col]
+                    else:
+                        r_ = 0 if which == "t" else h - 1
+                        sel = rr[:, 0] == r_
+                        rs = rr[sel]
+                        ls = lab[sel]
+                        if rs.shape[0] == 0:
+                            return
+                        # expand runs of the edge row to pixels
+                        pos_list, v_list, l_list = [], [], []
+                        for i in range(rs.shape[0]):
+                            c0, c1 = int(rs[i, 1]), int(rs[i, 2])
+                            pos_list.append(np.arange(c0, c1, dtype=np.int64) + gx0)
+                            v_list.append(np.full(c1 - c0, a[r_, c0]))
+                            l_list.append(np.full(c1 - c0, ls[i], dtype=np.int64))
+                        pos = np.concatenate(pos_list)
+                        vv = np.concatenate(v_list)
+                        ls = np.concatenate(l_list)
+                    out.append((1, None, None, None, None, None, None, None,
+                                ekey, side, pos.tolist(), vv.tolist(),
+                                ls.tolist()))
+
+                edge("r", f"v:{tx + 1}:{ty}", 0)
+                edge("l", f"v:{tx}:{ty}", 1)
+                edge("b", f"h:{tx}:{ty + 1}", 0)
+                edge("t", f"h:{tx}:{ty}", 1)
+                if eight:
+                    # corner pixels -> per-corner keys for the diagonals the
+                    # strips cannot see (TL-BR and TR-BL across 4 tiles)
+                    def corner(r_: int, c_: int, ekey: str, side: int):
+                        if not (0 <= r_ < h and 0 <= c_ < w):
+                            return
+                        if np.isnan(a[r_, c_]):
+                            return
+                        sel = (rr[:, 0] == r_) & (rr[:, 1] <= c_) & (rr[:, 2] > c_)
+                        if not sel.any():
+                            return
+                        out.append((1, None, None, None, None, None, None,
+                                    None, ekey, side,
+                                    [int((r_ + gy0) * W + c_ + gx0)],
+                                    [float(a[r_, c_])],
+                                    [int(lab[np.flatnonzero(sel)[0]])]))
+
+                    # corner point (X*ts, Y*ts): side = which of the 4
+                    # touching pixels this tile holds (0=TL, 1=TR, 2=BL,
+                    # 3=BR of the corner); diagonals are (0,3) and (1,2)
+                    corner(h - 1, w - 1, f"c:{tx + 1}:{ty + 1}", 0)
+                    corner(h - 1, 0, f"c:{tx}:{ty + 1}", 1)
+                    corner(0, w - 1, f"c:{tx + 1}:{ty}", 2)
+                    corner(0, 0, f"c:{tx}:{ty}", 3)
+            cols = ["kind", "label", "value", "n", "x0", "y0", "x1", "y1",
+                    "ekey", "side", "pos", "vals", "labels"]
+            yield pd.DataFrame(out, columns=cols)
+
+    return gen
+
+
+def _match_edges(eight: bool):
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        kind = pdf["ekey"].iloc[0][0]
+        sides = {}
+        for row in pdf.itertuples(index=False):
+            sides.setdefault(int(row.side), []).append(row)
+        pairs = set()
+
+        def lut(rows):
+            d = {}
+            for r in rows:
+                for p, v, l_ in zip(r.pos, r.vals, r.labels):
+                    d[int(p)] = (float(v), int(l_))
+            return d
+
+        if kind == "c":
+            # diagonal pairs only: side0 (BR of the NW tile) with side3
+            # (TL of the SE tile), side1 (BL of NE... see emit comments)
+            for sa, sb in ((0, 3), (1, 2)):
+                if sa in sides and sb in sides:
+                    va, la = sides[sa][0].vals[0], sides[sa][0].labels[0]
+                    vb, lb = sides[sb][0].vals[0], sides[sb][0].labels[0]
+                    if va == vb and la != lb:
+                        pairs.add((min(la, lb), max(la, lb)))
+        else:
+            if 0 in sides and 1 in sides:
+                a = lut(sides[0])
+                b = lut(sides[1])
+                offs = (-1, 0, 1) if eight else (0,)
+                for p, (v, l_) in a.items():
+                    for off in offs:
+                        hit = b.get(p + off)
+                        if hit is not None and hit[0] == v and hit[1] != l_:
+                            pairs.add((min(l_, hit[1]), max(l_, hit[1])))
+        return pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
+
+    return match
+
+
+def region_label(
+    spark,
+    path: str,
+    z: int = 0,
+    connectivity: int = 4,
+) -> DataFrame:
+    """Label maximal connected equal-valued pixel regions of level ``z``;
+    returns one row per region: ``(region_id, value, n_px, xmin, ymin,
+    xmax, ymax)`` in level pixel coords, ``region_id`` = row-major global
+    index of the region's first pixel (deterministic, engine-portable).
+    """
+    from ..api import PyramidDataset
+    from ..operators.dedup import connected_components
+    from ..sources.catalog import read_level
+
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    eight = connectivity == 8
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z > spec.nlevels:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    W = level_shape((spec.base_w, spec.base_h), z)[0]
+
+    scan = read_level(spark, path, z).mapInPandas(
+        _scan_gen(spec.tilesize, W, eight), _SCAN_SCHEMA
+    )
+    # partials + strips are tiny (components + 2/tilesize of pixels); pin
+    # them so the two downstream branches don't re-decode every tile
+    scan = scan.localCheckpoint(eager=True)
+
+    partials = scan.where(F.col("kind") == 0).select(
+        "label", "value", "n", "x0", "y0", "x1", "y1"
+    )
+    edges = (
+        scan.where(F.col("kind") == 1)
+        .groupBy("ekey")
+        .applyInPandas(_match_edges(eight), "id_a long, id_b long")
+        .distinct()
+    )
+    comp = connected_components(edges)  # (id, component); nodes iff in edges
+    return (
+        partials.join(comp, partials["label"] == comp["id"], "left")
+        .select(
+            F.coalesce("component", "label").alias("region_id"),
+            "value", "n", "x0", "y0", "x1", "y1",
+        )
+        .groupBy("region_id")
+        .agg(
+            F.min("value").alias("value"),
+            F.sum("n").alias("n_px"),
+            F.min("x0").alias("xmin"),
+            F.min("y0").alias("ymin"),
+            F.max("x1").alias("xmax"),
+            F.max("y1").alias("ymax"),
+        )
+    )

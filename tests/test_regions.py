@@ -1,0 +1,128 @@
+"""region_label (regions.region_label): distributed connected-component
+labeling over pyramid tiles — per-tile run union-find + boundary-strip
+stitch + pointer-doubled global resolve. Oracle: brute-force BFS over the
+assembled plane in pure python.
+"""
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+from pyramidscheme_jl_spark.operators.regions import region_label
+from pyramidscheme_jl_spark.sources.catalog import write_level_driver, write_multiscales
+
+
+def _brute_regions(a: np.ndarray, connectivity: int = 4):
+    """BFS labeling; returns {region_id: (value, n, xmin, ymin, xmax, ymax)}
+    with region_id = row-major index of the first pixel."""
+    h, w = a.shape
+    seen = np.zeros((h, w), dtype=bool)
+    if connectivity == 4:
+        nbrs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+    else:
+        nbrs = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx)
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            if seen[y, x] or np.isnan(a[y, x]):
+                continue
+            v = a[y, x]
+            q = deque([(y, x)])
+            seen[y, x] = True
+            px = []
+            while q:
+                cy, cx = q.popleft()
+                px.append((cy, cx))
+                for dy, dx in nbrs:
+                    ny, nx = cy + dy, cx + dx
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] and a[ny, nx] == v:
+                        seen[ny, nx] = True
+                        q.append((ny, nx))
+            ys = [p[0] for p in px]
+            xs = [p[1] for p in px]
+            out[y * w + x] = (float(v), len(px), min(xs), min(ys), max(xs), max(ys))
+    return out
+
+
+def _write_plane(spark, a: np.ndarray, path: str, ts: int) -> None:
+    h, w = a.shape
+    spec = PyramidSpec(w, h, ts)
+    rows = []
+    for ty in range(-(-h // ts)):
+        for tx in range(-(-w // ts)):
+            tile = a[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            rows.append(_tile_row(spec, 0, tx, ty, tile))
+    write_level_driver(_rows_to_pdf(rows).to_dict("records"), path, 0)
+    write_multiscales(path, 0, ts, w, h, "none", "-")
+
+
+def _collect(df):
+    return {
+        int(r.region_id): (
+            float(r.value), int(r.n_px),
+            int(r.xmin), int(r.ymin), int(r.xmax), int(r.ymax),
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def plane():
+    """A 96x80 plane with regions engineered to cross the 32px tile grid:
+    nested frames, a diagonal-only chain, a snake spanning many tiles,
+    NaN background, plus pseudo-random speckle."""
+    rng = np.random.RandomState(11)
+    a = np.full((80, 96), np.nan)
+    a[2:40, 2:60] = 1.0           # big rect across tiles
+    a[10:20, 10:50] = 2.0         # hole punched in it (same-value ring stays connected)
+    a[50:80, 0:96] = 3.0          # full-width band
+    a[55:60, 20:90] = 4.0         # stripe inside the band
+    # diagonal chain crossing a tile corner at (32, 32): connects iff 8-conn
+    for i in range(8):
+        a[28 + i, 28 + i] = 7.0
+    # speckle quadrant with few distinct values -> many random regions
+    a[0:32, 64:96] = rng.randint(0, 3, size=(32, 32)).astype(np.float64)
+    return a
+
+
+@pytest.fixture(scope="module")
+def plane_path(spark, plane, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("regions") / "pyr")
+    _write_plane(spark, plane, path, ts=32)
+    return path
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_region_label_matches_bfs(spark, plane, plane_path, conn):
+    got = _collect(region_label(spark, plane_path, z=0, connectivity=conn))
+    want = _brute_regions(plane, conn)
+    assert got == want
+
+
+def test_connectivity_difference_is_real(plane):
+    """The fixture genuinely distinguishes 4- from 8-connectivity."""
+    assert len(_brute_regions(plane, 4)) > len(_brute_regions(plane, 8))
+
+
+def test_single_region_spanning_all_tiles(spark, tmp_path):
+    a = np.full((64, 64), 5.0)
+    path = str(tmp_path / "pyr")
+    _write_plane(spark, a, path, ts=16)  # 4x4 tiles, one region
+    got = _collect(region_label(spark, path, z=0))
+    assert got == {0: (5.0, 64 * 64, 0, 0, 63, 63)}
+
+
+def test_all_nodata_yields_empty(spark, tmp_path):
+    a = np.full((32, 32), np.nan)
+    path = str(tmp_path / "pyr")
+    _write_plane(spark, a, path, ts=16)
+    assert region_label(spark, path, z=0).count() == 0
+
+
+def test_validation(spark, plane_path):
+    with pytest.raises(ValueError, match="connectivity"):
+        region_label(spark, plane_path, connectivity=6)
+    with pytest.raises(ValueError, match="out of range"):
+        region_label(spark, plane_path, z=5)
