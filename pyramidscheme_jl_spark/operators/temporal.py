@@ -521,6 +521,67 @@ def _floor_div(col, w: int):
     return F.expr(f"({col} - pmod({col}, {int(w)}L)) div {int(w)}L")
 
 
+def interval_stats(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width="auto",
+    tier_threshold: int | None = 64,
+) -> dict:
+    """Precompute the catalog statistics ``interval_join`` needs — width,
+    max length, occupied tiers — as a plain dict the caller persists and
+    passes back via ``stats=``. A serving deployment computes this ONCE
+    per interval dataset (at ingest / compaction, exactly like table
+    statistics) so every query-path join runs with ZERO driver jobs
+    before the join itself (r7 soft spot: the occupied-tier set was
+    recomputed per call).
+
+    Contract: the dict describes the interval set the join will read.
+    Refresh it when the data changes — the safe staleness direction is
+    ``max_len`` an upper bound and ``occupied`` a superset (extra probe
+    tiers cost empty lookups, never correctness); an interval LONGER
+    than ``max_len`` whose clamped tier is missing from ``occupied``
+    would be silently unmatched, the same contract violation as a stale
+    index.
+    """
+    s_o = _ordinal_long(F.col(start_col), intervals.schema[start_col].dataType)
+    e_o = _ordinal_long(F.col(end_col), intervals.schema[end_col].dataType)
+    iv = intervals.withColumn("__s", s_o).withColumn("__e", e_o).where(
+        F.col("__e") >= F.col("__s")
+    )
+    row = iv.agg(
+        F.avg(F.col("__e") - F.col("__s") + 1).alias("m"),
+        F.max(F.col("__e") - F.col("__s") + 1).alias("mx"),
+    ).collect()[0]
+    w = max(1, int(row["m"] or 1)) if bucket_width == "auto" else int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    max_len = int(row["mx"] or 1)
+    occupied: list[int] = []
+    no_tiers = tier_threshold is None or tier_threshold == float("inf")
+    if not no_tiers and -(-max_len // w) > int(tier_threshold):
+        import math
+
+        nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
+        occupied = sorted(
+            r["__tv"]
+            for r in iv.select(_tier_of(w, nt).alias("__tv")).distinct().collect()
+        )
+    return {"width": w, "max_len": max_len, "occupied": occupied}
+
+
+def _tier_of(w: int, nt: int):
+    """Smallest tier whose width ``w * 2^t`` covers the interval length."""
+    return F.least(
+        F.lit(nt - 1),
+        F.greatest(
+            F.lit(0),
+            F.ceil(F.log2((F.col("__e") - F.col("__s") + 1) / F.lit(float(w))))
+            .cast("int"),
+        ),
+    )
+
+
 def interval_join(
     intervals: DataFrame,
     points: DataFrame,
@@ -531,6 +592,7 @@ def interval_join(
     bucket_width="auto",
     suffix: str = "_p",
     tier_threshold: int | None = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Point-in-interval join: every (interval, point) pair with
     ``start <= point.on <= end`` (closed ends — SQL ``BETWEEN``), the
@@ -587,9 +649,16 @@ def interval_join(
     # one scalars-only job serves both the auto width AND the length-skew
     # trigger (at deployment both are catalog statistics); with an explicit
     # width AND tiering disabled (tier_threshold=None/inf) neither consumer
-    # exists, so the job is skipped entirely (ADVICE r7)
+    # exists, so the job is skipped entirely (ADVICE r7). A precomputed
+    # ``stats`` dict (interval_stats) replaces ALL driver jobs — the
+    # serve-many shape (r8).
     no_tiers = tier_threshold is None or tier_threshold == float("inf")
-    if bucket_width == "auto" or not no_tiers:
+    pre_occ: list[int] | None = None
+    if stats is not None:
+        bucket_width = int(stats["width"])
+        max_len = int(stats["max_len"])
+        pre_occ = list(stats.get("occupied") or [])
+    elif bucket_width == "auto" or not no_tiers:
         row = iv.agg(
             F.avg(F.col("__e") - F.col("__s") + 1).alias("m"),
             F.max(F.col("__e") - F.col("__s") + 1).alias("mx"),
@@ -612,29 +681,27 @@ def interval_join(
         import math
 
         nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
-        tv = F.least(
-            F.lit(nt - 1),
-            F.greatest(
-                F.lit(0),
-                F.ceil(F.log2((F.col("__e") - F.col("__s") + 1) / F.lit(float(w))))
-                .cast("int"),
-            ),
-        )
-        # materialize the (narrow) interval rows once: the occupied-tier
-        # probe AND the join otherwise each re-execute the full upstream
-        # lineage (ADVICE r7); at deployment occupied tiers come from
-        # catalog statistics and this checkpoint disappears
-        iv = iv.withColumn("__tv", tv).localCheckpoint()
-        # points probe only tiers that actually hold intervals — with the
-        # common bimodal length mix (short jobs + always-on windows) that
-        # is 2-3 tiers, not log2(spread); one tiny distinct job (<= ~40
-        # rows; at deployment a catalog statistic), run BEFORE the bucket
-        # explode so it scans interval rows, not exploded ones. Measured
-        # at 4M points x 15 nominal tiers: the all-tiers probe was the
-        # dominant cost.
-        occupied = sorted(
-            r["__tv"] for r in iv.select("__tv").distinct().collect()
-        ) or [0]
+        tv = _tier_of(w, nt)
+        if pre_occ is not None:
+            # catalog-statistics path: occupied tiers were computed once at
+            # ingest (interval_stats); no checkpoint, no distinct job — the
+            # interval rows flow straight into the explode
+            iv = iv.withColumn("__tv", tv)
+            occupied = pre_occ or [0]
+        else:
+            # materialize the (narrow) interval rows once: the occupied-tier
+            # probe AND the join otherwise each re-execute the full upstream
+            # lineage (ADVICE r7)
+            iv = iv.withColumn("__tv", tv).localCheckpoint()
+            # points probe only tiers that actually hold intervals — with the
+            # common bimodal length mix (short jobs + always-on windows) that
+            # is 2-3 tiers, not log2(spread); one tiny distinct job (<= ~40
+            # rows), run BEFORE the bucket explode so it scans interval rows,
+            # not exploded ones. Measured at 4M points x 15 nominal tiers:
+            # the all-tiers probe was the dominant cost.
+            occupied = sorted(
+                r["__tv"] for r in iv.select("__tv").distinct().collect()
+            ) or [0]
         iv = iv.withColumn(
             "__wt", F.expr(f"shiftleft({w}L, __tv)")
         ).withColumn(
@@ -666,6 +733,57 @@ def interval_join(
     return joined.drop("__s", "__e", "__t", "__bk", *extra_drop)
 
 
+def interval_overlap_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width="auto",
+    tier_threshold: int | None = 64,
+) -> dict:
+    """Catalog statistics for ``interval_overlap_join`` (the two-sided
+    twin of ``interval_stats``): width/max over BOTH sides plus each
+    side's occupied tier set. Same persistence contract — compute at
+    ingest, pass back via ``stats=``, refresh when data changes
+    (supersets are the safe staleness direction)."""
+
+    def prep(df, s_col, e_col):
+        s_o = _ordinal_long(F.col(s_col), df.schema[s_col].dataType)
+        e_o = _ordinal_long(F.col(e_col), df.schema[e_col].dataType)
+        return df.withColumn("__s", s_o).withColumn("__e", e_o).where(
+            F.col("__e") >= F.col("__s")
+        )
+
+    l = prep(left, left_start, left_end)
+    r = prep(right, right_start, right_end)
+    lens = l.select((F.col("__e") - F.col("__s") + 1).alias("n")).unionAll(
+        r.select((F.col("__e") - F.col("__s") + 1).alias("n"))
+    )
+    row = lens.agg(F.avg("n").alias("m"), F.max("n").alias("mx")).collect()[0]
+    w = max(1, int(row["m"] or 1)) if bucket_width == "auto" else int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    max_len = int(row["mx"] or 1)
+    occ_l: list[int] = []
+    occ_r: list[int] = []
+    no_tiers = tier_threshold is None or tier_threshold == float("inf")
+    if not no_tiers and -(-max_len // w) > int(tier_threshold):
+        import math
+
+        nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
+        occ_l = sorted(
+            x["__tv"]
+            for x in l.select(_tier_of(w, nt).alias("__tv")).distinct().collect()
+        )
+        occ_r = sorted(
+            x["__tv"]
+            for x in r.select(_tier_of(w, nt).alias("__tv")).distinct().collect()
+        )
+    return {"width": w, "max_len": max_len, "occupied_l": occ_l, "occupied_r": occ_r}
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -677,6 +795,7 @@ def interval_overlap_join(
     bucket_width="auto",
     suffix: str = "_r",
     tier_threshold: int | None = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Interval x interval overlap join: pairs with
     ``l.start <= r.end AND r.start <= l.end`` (closed ends).
@@ -715,9 +834,19 @@ def interval_overlap_join(
     l = prep(left, left_start, left_end)
     r = prep(right, right_start, right_end)
     # same stats gating as interval_join (ADVICE r7): explicit width +
-    # tiering disabled => no consumer for the stats job, skip it
+    # tiering disabled => no consumer for the stats job, skip it; a
+    # precomputed ``stats`` dict (interval_overlap_stats) replaces all
+    # driver jobs (r8)
     no_tiers = tier_threshold is None or tier_threshold == float("inf")
-    if bucket_width == "auto" or not no_tiers:
+    pre_occ: dict | None = None
+    if stats is not None:
+        bucket_width = int(stats["width"])
+        max_len = int(stats["max_len"])
+        pre_occ = {
+            "l": list(stats.get("occupied_l") or []),
+            "r": list(stats.get("occupied_r") or []),
+        }
+    elif bucket_width == "auto" or not no_tiers:
         lens = l.select((F.col("__e") - F.col("__s") + 1).alias("n")).unionAll(
             r.select((F.col("__e") - F.col("__s") + 1).alias("n"))
         )
@@ -738,31 +867,28 @@ def interval_overlap_join(
         nt = max(1, math.ceil(math.log2(max(max_len / w, 1.0))) + 1)
 
         def own_tier(df):
-            tv = F.least(
-                F.lit(nt - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.ceil(
-                        F.log2((F.col("__e") - F.col("__s") + 1) / F.lit(float(w)))
-                    ).cast("int"),
-                ),
-            )
-            return df.withColumn("__tv", tv)
+            return df.withColumn("__tv", _tier_of(w, nt))
 
-        # materialize both (narrow) sides once — the occupied-tier probes
-        # and the join would otherwise each re-run the upstream lineage
-        # (ADVICE r7; catalog statistics at deployment)
-        l, r = own_tier(l).localCheckpoint(), own_tier(r).localCheckpoint()
-        # each side emits at its OWN tier plus only the OTHER side's
-        # occupied tiers above it (two tiny distinct jobs, <= ~40 rows
-        # each) — the emit set that can actually meet a partner; with
-        # bimodal lengths that is 2-3 entries, not log2(spread)
-        occ = {
-            side: sorted(
-                row["__tv"] for row in df.select("__tv").distinct().collect()
-            )
-            for side, df in (("l", l), ("r", r))
-        }
+        if pre_occ is not None:
+            # catalog-statistics path (interval_overlap_stats): no
+            # checkpoints, no distinct jobs
+            l, r = own_tier(l), own_tier(r)
+            occ = pre_occ
+        else:
+            # materialize both (narrow) sides once — the occupied-tier probes
+            # and the join would otherwise each re-run the upstream lineage
+            # (ADVICE r7)
+            l, r = own_tier(l).localCheckpoint(), own_tier(r).localCheckpoint()
+            # each side emits at its OWN tier plus only the OTHER side's
+            # occupied tiers above it (two tiny distinct jobs, <= ~40 rows
+            # each) — the emit set that can actually meet a partner; with
+            # bimodal lengths that is 2-3 entries, not log2(spread)
+            occ = {
+                side: sorted(
+                    row["__tv"] for row in df.select("__tv").distinct().collect()
+                )
+                for side, df in (("l", l), ("r", r))
+            }
 
         def burst_t(df, side, other_occ):
             lits = F.array(*[F.lit(int(t)) for t in other_occ]) if other_occ \

@@ -660,3 +660,96 @@ def test_session_agg_streaming(spark, tmp_path):
     # batch-1 sessions finalized by batch 2's watermark; the far-future
     # session itself is still open and therefore absent
     assert got == {("a", 1000.0, 2), ("b", 2000.0, 1)}
+
+
+def test_interval_join_stats_path_identical(spark):
+    """r8 catalog-statistics path: interval_stats computed once and passed
+    via stats= must reproduce the inline path's pairs exactly on both the
+    flat and the tiered (skewed) plan."""
+    import random
+
+    from pyramidscheme_jl_spark.operators.temporal import (
+        interval_join,
+        interval_stats,
+    )
+
+    rng = random.Random(43)
+    ivs = [(i, s := rng.randrange(0, 50000), s + rng.randrange(0, 30)) for i in range(120)]
+    ivs.append((900, -500, 120000))  # giant: trips the tier trigger
+    pts = [(2000 + j, rng.randrange(-1000, 121000)) for j in range(250)]
+    idf = spark.createDataFrame(ivs, "iv_id long, s long, e long")
+    pdf = spark.createDataFrame(pts, "pt_id long, t long")
+    expect = {(i, p) for i, s, e in ivs for p, t in pts if s <= t <= e}
+
+    # tiered: stats says occupied tiers; join must not run any stats job
+    st = interval_stats(idf, "s", "e", bucket_width=20, tier_threshold=1)
+    assert st["width"] == 20 and st["occupied"]  # the giant occupies a high tier
+    got = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            idf, pdf, "s", "e", "t", tier_threshold=1, stats=st
+        ).collect()
+    }
+    assert got == expect
+
+    # flat: stats carries just the width
+    st2 = interval_stats(idf, "s", "e", tier_threshold=None)
+    got2 = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            idf, pdf, "s", "e", "t", tier_threshold=None, stats=st2
+        ).collect()
+    }
+    assert got2 == expect
+
+    # auto-width stats equals the inline auto decision
+    st3 = interval_stats(idf, "s", "e")
+    inline = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(idf, pdf, "s", "e", "t").collect()
+    }
+    got3 = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(idf, pdf, "s", "e", "t", stats=st3).collect()
+    }
+    assert got3 == inline == expect
+
+
+def test_interval_overlap_stats_path_identical(spark):
+    import random
+
+    from pyramidscheme_jl_spark.operators.temporal import (
+        interval_overlap_join,
+        interval_overlap_stats,
+    )
+
+    rng = random.Random(44)
+    ls = [(i, s := rng.randrange(0, 30000), s + rng.randrange(0, 50)) for i in range(100)]
+    ls.append((800, 0, 90000))  # giant on the left
+    rs = [(1000 + j, s := rng.randrange(0, 30000), s + rng.randrange(0, 200)) for j in range(100)]
+    ldf = spark.createDataFrame(ls, "l_id long, ls long, le long")
+    rdf = spark.createDataFrame(rs, "r_id long, rs long, re long")
+    expect = {
+        (li, rj)
+        for li, a, b in ls
+        for rj, c, d in rs
+        if a <= d and c <= b
+    }
+    st = interval_overlap_stats(ldf, rdf, "ls", "le", "rs", "re", bucket_width=25, tier_threshold=1)
+    assert st["occupied_l"] and st["occupied_r"]
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", tier_threshold=1, stats=st
+        ).collect()
+    }
+    assert got == expect
+    # flat arm with stats
+    st2 = interval_overlap_stats(ldf, rdf, "ls", "le", "rs", "re", tier_threshold=None)
+    got2 = {
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", tier_threshold=None, stats=st2
+        ).collect()
+    }
+    assert got2 == expect
