@@ -1,0 +1,83 @@
+"""Executed-plan evidence for the r8 operators (BENCH/PLANS.md input).
+
+Same contract as explain_r7_ops: no CartesianProduct /
+BroadcastNestedLoopJoin, no row-at-a-time python (BatchEvalPython)
+anywhere, Arrow stages only where the op declares them. Exit 1 on any
+violation.
+
+Usage: python tools/explain_r8_ops.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from pyramidscheme_jl_spark.session import get_spark
+
+    spark = get_spark(app="explain-r8")
+    qs = E.queries()
+    names = [
+        "warp_affine_stats",       # decode+gather Arrow stages by design
+        "region_label",            # scan + edge-match Arrow stages by design
+        "raster_value_histogram",  # partial-histogram Arrow stage by design
+        "embedding_ivfpq_indexed", # codes scan: NO arrow (LUT join is JVM)
+        "prebuilt_extend_window",  # metadata projection: NO arrow
+        "geo_radius_join",         # ring-grid cells (r8 wrap): pure JVM
+    ]
+    arrow_ok = {"warp_affine_stats", "region_label", "raster_value_histogram"}
+    # region_label runs its Arrow stages EAGERLY inside the call (the scan
+    # is localCheckpointed and the CC loop executes there); the returned
+    # plan is legitimately arrow-free, so only forbid bad stages for it
+    eager_arrow = {"region_label"}
+    rc = 0
+    for name in names:
+        df = qs[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        bad = [
+            m for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if m in plan
+        ]
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        arrow_stages = ("ArrowEvalPython" in plan
+                        or "FlatMapGroupsInPandas" in plan
+                        or "MapInPandas" in plan)
+        if arrow_stages and name not in arrow_ok:
+            bad.append("unexpected-arrow-stage")
+        if name in arrow_ok - eager_arrow and not arrow_stages:
+            bad.append("missing-declared-arrow-stage")
+        if name == "embedding_ivfpq_indexed" and "PartitionFilters: []" in plan:
+            # the whole point of the persisted index: probed lists must be
+            # partition filters on the codes scan
+            for ln in plan.splitlines():
+                if "PartitionFilters" in ln and "list_id" in ln:
+                    break
+            else:
+                bad.append("missing-list_id-partition-filter")
+        joins = [
+            ln.strip() for ln in plan.splitlines()
+            if "Join" in ln and ln.strip().startswith(("*", "+", "Sort", "Broadcast", "Shuffled"))
+        ]
+        exch = plan.count("Exchange")
+        print(f"== {name}: exchanges~{exch} joins={joins[:3]}"
+              + (f"  VIOLATIONS={bad}" if bad else "  ok"))
+        if bad:
+            rc = 1
+            print(plan[:4000])
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
