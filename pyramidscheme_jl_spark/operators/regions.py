@@ -22,9 +22,12 @@ Spark-first shape (the reason this works at 10^12 pixels):
    positions become label-equivalence edges. (8-connectivity adds the
    four corner pixels to per-corner keys for the two diagonal pairs a
    vertical/horizontal strip cannot see.)
-4. ``dedup.connected_components`` (min-label + pointer doubling,
-   O(log diameter) rounds, count-only driver traffic) resolves the
-   equivalence graph — a region snaking across thousands of tiles costs
+4. The equivalence graph resolves two-tier: dims-sized edge lists (the
+   common case — one edge per component pair meeting at a boundary)
+   collect behind a limit guard into a driver union-find;
+   cluster-sized graphs fall back to ``dedup.connected_components``
+   (min-label + pointer doubling, O(log diameter) rounds, count-only
+   driver traffic) — a region snaking across thousands of tiles costs
    log rounds, not length rounds.
 5. Final labels join back to the partials (left join: components with no
    cross-tile edge keep their provisional label) and one hash aggregate
@@ -218,8 +221,10 @@ def _scan_gen(ts: int, W: int, eight: bool):
                 edge("b", f"h:{tx}:{ty + 1}", 0)
                 edge("t", f"h:{tx}:{ty}", 1)
                 if eight:
-                    # corner pixels -> per-corner keys for the diagonals the
-                    # strips cannot see (TL-BR and TR-BL across 4 tiles)
+                    # corner pixels -> per-DIAGONAL pseudo edge keys (pos=0
+                    # both sides), so the corner diagonals the strips cannot
+                    # see ride the SAME (ekey, pos) equi-join as everything
+                    # else: "cd" pairs TL-BR, "ce" pairs TR-BL of a corner
                     def corner(r_: int, c_: int, ekey: str, side: int):
                         if not (0 <= r_ < h and 0 <= c_ < w):
                             return
@@ -229,18 +234,14 @@ def _scan_gen(ts: int, W: int, eight: bool):
                         if not sel.any():
                             return
                         out.append((1, None, None, None, None, None, None,
-                                    None, ekey, side,
-                                    [int((r_ + gy0) * W + c_ + gx0)],
+                                    None, ekey, side, [0],
                                     [float(a[r_, c_])],
                                     [int(lab[np.flatnonzero(sel)[0]])]))
 
-                    # corner point (X*ts, Y*ts): side = which of the 4
-                    # touching pixels this tile holds (0=TL, 1=TR, 2=BL,
-                    # 3=BR of the corner); diagonals are (0,3) and (1,2)
-                    corner(h - 1, w - 1, f"c:{tx + 1}:{ty + 1}", 0)
-                    corner(h - 1, 0, f"c:{tx}:{ty + 1}", 1)
-                    corner(0, w - 1, f"c:{tx + 1}:{ty}", 2)
-                    corner(0, 0, f"c:{tx}:{ty}", 3)
+                    corner(h - 1, w - 1, f"cd:{tx + 1}:{ty + 1}", 0)  # TL of corner
+                    corner(0, 0, f"cd:{tx}:{ty}", 1)                  # BR of corner
+                    corner(h - 1, 0, f"ce:{tx}:{ty + 1}", 0)          # TR of corner
+                    corner(0, w - 1, f"ce:{tx + 1}:{ty}", 1)          # BL of corner
             cols = ["kind", "label", "value", "n", "x0", "y0", "x1", "y1",
                     "ekey", "side", "pos", "vals", "labels"]
             yield pd.DataFrame(out, columns=cols)
@@ -248,43 +249,91 @@ def _scan_gen(ts: int, W: int, eight: bool):
     return gen
 
 
-def _match_edges(eight: bool):
-    def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        kind = pdf["ekey"].iloc[0][0]
-        sides = {}
-        for row in pdf.itertuples(index=False):
-            sides.setdefault(int(row.side), []).append(row)
-        pairs = set()
+def _strip_edges(scan: DataFrame, eight: bool) -> DataFrame:
+    """Label-equivalence edges from the strip rows, entirely JVM-side:
+    strips explode to skinny (ekey, pos, val, lab) rows (the volume stays
+    ~2/tilesize of the pixels) and facing sides meet in ONE equi-join on
+    (ekey, pos) — no second python stage (two chained pandas stages run
+    two python workers per task, the measured sandbox trap), and the
+    whole match is codegen'd. 8-connectivity probes pos -1/0/+1 on the
+    side-0 arm (diagonals across a strip); corner diagonals arrive as
+    their own pseudo keys with pos=0 and ride the same join."""
+    s = (
+        scan.where(F.col("kind") == 1)
+        .select("ekey", "side", F.arrays_zip("pos", "vals", "labels").alias("z"))
+        .select("ekey", "side", F.explode("z").alias("e"))
+        .select(
+            "ekey",
+            "side",
+            F.col("e.pos").alias("pos"),
+            F.col("e.vals").alias("val"),
+            F.col("e.labels").alias("lab"),
+        )
+    )
+    a = s.where(F.col("side") == 0).drop("side")
+    if eight:
+        # corner pseudo-keys must NOT probe +-1 (their pos is a constant 0,
+        # not a coordinate): keep exact for them, explode for strips
+        a = a.withColumn(
+            "pos",
+            F.explode(
+                F.when(
+                    F.col("ekey").startswith("c"),
+                    F.array(F.col("pos")),
+                ).otherwise(
+                    F.array(F.col("pos") - 1, F.col("pos"), F.col("pos") + 1)
+                )
+            ),
+        )
+    b = (
+        s.where(F.col("side") == 1)
+        .drop("side")
+        .withColumnRenamed("val", "val_b")
+        .withColumnRenamed("lab", "lab_b")
+    )
+    return (
+        a.join(b, ["ekey", "pos"])
+        .where((F.col("val") == F.col("val_b")) & (F.col("lab") != F.col("lab_b")))
+        .select(
+            F.least("lab", "lab_b").alias("id_a"),
+            F.greatest("lab", "lab_b").alias("id_b"),
+        )
+        .distinct()
+    )
 
-        def lut(rows):
-            d = {}
+
+def _resolve_components(spark, edges: DataFrame, max_edges: int) -> DataFrame:
+    """(id, component) label map for the stitch graph — driver union-find
+    when the edge list fits ``max_edges`` (ONE job: a limit-guarded
+    collect; min-label semantics identical to the distributed resolve),
+    else ``dedup.connected_components``."""
+    from ..operators.dedup import connected_components
+
+    if max_edges > 0:
+        rows = edges.limit(max_edges + 1).collect()
+        if len(rows) <= max_edges:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
             for r in rows:
-                for p, v, l_ in zip(r.pos, r.vals, r.labels):
-                    d[int(p)] = (float(v), int(l_))
-            return d
-
-        if kind == "c":
-            # diagonal pairs only: side0 (BR of the NW tile) with side3
-            # (TL of the SE tile), side1 (BL of NE... see emit comments)
-            for sa, sb in ((0, 3), (1, 2)):
-                if sa in sides and sb in sides:
-                    va, la = sides[sa][0].vals[0], sides[sa][0].labels[0]
-                    vb, lb = sides[sb][0].vals[0], sides[sb][0].labels[0]
-                    if va == vb and la != lb:
-                        pairs.add((min(la, lb), max(la, lb)))
-        else:
-            if 0 in sides and 1 in sides:
-                a = lut(sides[0])
-                b = lut(sides[1])
-                offs = (-1, 0, 1) if eight else (0,)
-                for p, (v, l_) in a.items():
-                    for off in offs:
-                        hit = b.get(p + off)
-                        if hit is not None and hit[0] == v and hit[1] != l_:
-                            pairs.add((min(l_, hit[1]), max(l_, hit[1])))
-        return pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
-
-    return match
+                a, b = find(int(r.id_a)), find(int(r.id_b))
+                if a != b:
+                    if a < b:
+                        parent[b] = a
+                    else:
+                        parent[a] = b
+            items = [(k, find(k)) for k in parent]
+            return F.broadcast(  # bounded by max_edges: always small enough
+                spark.createDataFrame(
+                    items or [(None, None)], "id long, component long"
+                ).where(F.col("id").isNotNull())
+            )
+    return connected_components(edges)
 
 
 def region_label(
@@ -292,14 +341,26 @@ def region_label(
     path: str,
     z: int = 0,
     connectivity: int = 4,
+    driver_resolve_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label maximal connected equal-valued pixel regions of level ``z``;
     returns one row per region: ``(region_id, value, n_px, xmin, ymin,
     xmax, ymax)`` in level pixel coords, ``region_id`` = row-major global
     index of the region's first pixel (deterministic, engine-portable).
+
+    Equivalence resolution is two-tier (the engine's gated driver-tail
+    pattern): the edge list is dims-sized — one entry per pair of local
+    components meeting at a tile boundary, ~regions-crossing-tiles, NOT
+    pixels — so up to ``driver_resolve_max_edges`` it is collected behind
+    a ``limit()`` guard and union-found on the driver in microseconds
+    (the distributed pointer-doubling loop costs ~8 s of fixed Spark-job
+    rounds that would dominate any wall below ~10^9 px). Past the bound
+    — or with ``driver_resolve_max_edges=0`` — the plan falls back to
+    ``dedup.connected_components`` (O(log diameter) rounds, count-only
+    driver traffic), which is the correct shape when the stitch graph
+    itself is cluster-sized.
     """
     from ..api import PyramidDataset
-    from ..operators.dedup import connected_components
     from ..sources.catalog import read_level
 
     if connectivity not in (4, 8):
@@ -320,13 +381,8 @@ def region_label(
     partials = scan.where(F.col("kind") == 0).select(
         "label", "value", "n", "x0", "y0", "x1", "y1"
     )
-    edges = (
-        scan.where(F.col("kind") == 1)
-        .groupBy("ekey")
-        .applyInPandas(_match_edges(eight), "id_a long, id_b long")
-        .distinct()
-    )
-    comp = connected_components(edges)  # (id, component); nodes iff in edges
+    edges = _strip_edges(scan, eight)
+    comp = _resolve_components(spark, edges, driver_resolve_max_edges)
     return (
         partials.join(comp, partials["label"] == comp["id"], "left")
         .select(
