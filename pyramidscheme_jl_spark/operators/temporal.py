@@ -635,6 +635,12 @@ def interval_join(
     (by[, tier], bucket). Inherent output skew (a moment covered by
     millions of intervals) is a property of the answer, not the plan;
     the bucket key spreads DISJOINT time ranges regardless.
+
+    ``stats=`` (a dict from ``interval_stats``, r8) replaces every
+    driver-side planning job — width/max/occupied come from the
+    persisted catalog statistic and the call plans with zero collects
+    and zero checkpoints. When given, it overrides ``bucket_width``;
+    see ``interval_stats`` for the staleness contract.
     """
     by = [] if by is None else [by] if isinstance(by, str) else list(by)
     s_dt = intervals.schema[start_col].dataType
@@ -821,6 +827,10 @@ def interval_overlap_join(
     O(log spread) per interval regardless of skew; exactness does not
     depend on the tier estimate (a mis-rounding only widens an
     interval's bucket count by one).
+
+    ``stats=`` (from ``interval_overlap_stats``, r8) replaces every
+    driver-side planning job, overriding ``bucket_width`` — the
+    serve-many shape; see ``interval_stats`` for the staleness contract.
     """
     by = [] if by is None else [by] if isinstance(by, str) else list(by)
 
