@@ -389,11 +389,21 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    driver_resolve_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: ``(id, component)``
     where ``component`` is the smallest node id reachable — the decision
     step that turns pair generators (hamming/minhash/jaccard/cosine) into
     dedup GROUPS (keep min-id, drop the rest).
+
+    Two-tier (r8, the engine's gated driver-tail pattern): the edge list
+    is already the DECISION-sized object (near-dup pairs, orders of
+    magnitude below corpus rows), so up to ``driver_resolve_max_edges``
+    it is collected behind a ``limit()`` guard (bounded: ~16 B/edge) and
+    union-found on the driver — the distributed loop costs ~8 s of fixed
+    per-round Spark-job constants that dominate any wall below millions
+    of edges. Past the bound (or with ``driver_resolve_max_edges=0``)
+    the distributed path runs:
 
     Min-label propagation with pointer doubling and a driver-side
     convergence loop (the same shape as knn_join's ring loop): each round
@@ -403,11 +413,39 @@ def connected_components(
     equi-join on the node-sized label table) — rounds are O(log diameter).
     The loop ends when a round changes nothing; the driver sees only the
     changed-row COUNT, never data rows. Graphs deeper than ``max_iter``
-    doublings raise rather than return wrong labels.
+    doublings raise rather than return wrong labels. Both tiers emit
+    IDENTICAL rows (min-label semantics; nodes appear iff in ``edges``).
 
-    Nodes appear iff they occur in ``edges`` — singletons carry no dedup
-    decision and would double the output for nothing at corpus scale.
+    Singletons carry no dedup decision and would double the output for
+    nothing at corpus scale — they appear in neither tier's output.
     """
+    if driver_resolve_max_edges > 0:
+        spark = edges.sparkSession
+        rows = edges.select(
+            F.col(a_col).alias("a"), F.col(b_col).alias("b")
+        ).limit(driver_resolve_max_edges + 1).collect()
+        if len(rows) <= driver_resolve_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                ra, rb = find(r.a), find(r.b)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            items = [(k, find(k)) for k in parent]
+            a_t = edges.schema[a_col].dataType.simpleString()
+            out = spark.createDataFrame(
+                items or [(None, None)], f"id {a_t}, component {a_t}"
+            ).where(F.col("id").isNotNull())
+            return F.broadcast(out)  # bounded by the guard: always small
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()

@@ -302,40 +302,6 @@ def _strip_edges(scan: DataFrame, eight: bool) -> DataFrame:
     )
 
 
-def _resolve_components(spark, edges: DataFrame, max_edges: int) -> DataFrame:
-    """(id, component) label map for the stitch graph — driver union-find
-    when the edge list fits ``max_edges`` (ONE job: a limit-guarded
-    collect; min-label semantics identical to the distributed resolve),
-    else ``dedup.connected_components``."""
-    from ..operators.dedup import connected_components
-
-    if max_edges > 0:
-        rows = edges.limit(max_edges + 1).collect()
-        if len(rows) <= max_edges:
-            parent: dict[int, int] = {}
-
-            def find(x: int) -> int:
-                while parent.setdefault(x, x) != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for r in rows:
-                a, b = find(int(r.id_a)), find(int(r.id_b))
-                if a != b:
-                    if a < b:
-                        parent[b] = a
-                    else:
-                        parent[a] = b
-            items = [(k, find(k)) for k in parent]
-            return F.broadcast(  # bounded by max_edges: always small enough
-                spark.createDataFrame(
-                    items or [(None, None)], "id long, component long"
-                ).where(F.col("id").isNotNull())
-            )
-    return connected_components(edges)
-
-
 def region_label(
     spark,
     path: str,
@@ -361,6 +327,7 @@ def region_label(
     itself is cluster-sized.
     """
     from ..api import PyramidDataset
+    from ..operators.dedup import connected_components
     from ..sources.catalog import read_level
 
     if connectivity not in (4, 8):
@@ -382,7 +349,9 @@ def region_label(
         "label", "value", "n", "x0", "y0", "x1", "y1"
     )
     edges = _strip_edges(scan, eight)
-    comp = _resolve_components(spark, edges, driver_resolve_max_edges)
+    comp = connected_components(
+        edges, driver_resolve_max_edges=driver_resolve_max_edges
+    )
     return (
         partials.join(comp, partials["label"] == comp["id"], "left")
         .select(

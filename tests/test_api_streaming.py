@@ -564,13 +564,22 @@ def test_connected_components(spark):
         [(1, 2), (2, 3), (10, 11), (5, 4), (6, 5), (3, 6)],
         "id_a long, id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    # 1-2-3-6-5-4 is one chain component; 10-11 the other; no singletons —
+    # and the r8 driver-tail tier must emit IDENTICAL rows to the
+    # distributed pointer-doubling tier
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
-    # 1-2-3-6-5-4 is one chain component; 10-11 the other; no singletons
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    assert got == want
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_resolve_max_edges=0).collect()
+    }
+    assert dist == want
     # a path graph longer than max_iter raises instead of mislabeling
+    # (distributed tier only — the driver tail has no iteration cap)
     path = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(path, max_iter=2)
+        connected_components(path, max_iter=2, driver_resolve_max_edges=0)
     assert {r["component"] for r in connected_components(path).collect()} == {0}
 
 
@@ -599,7 +608,9 @@ def test_connected_components_storage_flat(spark):
         (F.pmod(F.hash(F.col("id")), 20000) + 10000).cast("long").alias("id_a"),
         (F.pmod(F.hash(F.col("id") + n), 20000) + 10000).cast("long").alias("id_b"),
     ).where(F.col("id_a") != F.col("id_b"))
-    comp = connected_components(chain.union(rand))
+    # pin the DISTRIBUTED tier (the r8 driver tail would otherwise absorb
+    # this ~100k-edge graph and leave the storage property vacuous)
+    comp = connected_components(chain.union(rand), driver_resolve_max_edges=0)
     assert comp.count() > 0
     # chain labels exact: every chain node maps to 0 (chain ids < 4096
     # never collide with the random block's 10000+ range)
