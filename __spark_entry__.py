@@ -1508,6 +1508,28 @@ def _ensure_regions_pyramid(spark: SparkSession) -> str:
     return path
 
 
+def q_zonal_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-polygon pixel quantiles (joins.zonal_quantiles, r8): the
+    order statistic zonal_raster's scalar tiers can't express — per-
+    (polygon, value) COUNT partials (bounded by occupied values x tiles,
+    never pixels), one hash aggregate, a per-polygon cumulative window,
+    type-1 rule (smallest value with cum >= ceil(q*n)). All-integer after
+    the decode, so DuckDB reruns the identical window construction on the
+    closed-form mosaic pixels. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import zonal_quantiles
+
+    path = _ensure_zonal_pyramid(spark)
+    res = zonal_quantiles(spark, path, _ZONAL_POLYS, qs=(0.25, 0.5, 0.75), z=0)
+    return res.select(
+        "polygon_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("q250").cast("long").alias("q250"),
+        F.col("q500").cast("long").alias("q500"),
+        F.col("q750").cast("long").alias("q750"),
+    )
+
+
 def q_region_label(spark: SparkSession, sf: str) -> DataFrame:
     """Connected-component region table (regions.region_label, r8 — the
     GDAL ``polygonize`` analytics analog) over a rasterized-rects fixture:
@@ -1660,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "zonal_quantiles": q_zonal_quantiles,
         "region_label": q_region_label,
         "warp_affine_stats": q_warp_affine_stats,
         "embedding_ivfpq_indexed": q_embedding_ivfpq_indexed,
@@ -2356,6 +2379,31 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY polygon_id
+        """,
+        # exact zonal quantiles over the same fixture: identical type-1
+        # window construction (smallest v with cum >= ceil(q*n)) — all
+        # integer counts + one exactly-representable ceil per quantile
+        "zonal_quantiles": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS v
+                   FROM xs CROSS JOIN ys),
+                 hits AS ({zr_union}),
+                 h AS (SELECT polygon_id, v, COUNT(*) AS n FROM hits GROUP BY 1, 2),
+                 c AS (
+                   SELECT polygon_id, v, n,
+                          SUM(n) OVER (PARTITION BY polygon_id ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(n) OVER (PARTITION BY polygon_id) AS total
+                   FROM h)
+            SELECT polygon_id,
+                   CAST(MAX(total) AS BIGINT) AS n_px,
+                   CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.25 * total) AS BIGINT) THEN v END) AS BIGINT) AS q250,
+                   CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * total) AS BIGINT) THEN v END) AS BIGINT) AS q500,
+                   CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.75 * total) AS BIGINT) THEN v END) AS BIGINT) AS q750
+            FROM c GROUP BY polygon_id
         """,
         # raster point extraction over the same fixture: every point is a
         # pixel center derived from part keys; DuckDB recomputes the pixel

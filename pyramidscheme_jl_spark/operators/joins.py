@@ -607,7 +607,7 @@ def bbox_join(
     )
 
 
-def _zonal_over_tiles(
+def _zonal_candidates(
     spark: SparkSession,
     tiles: DataFrame,
     spec,
@@ -615,13 +615,13 @@ def _zonal_over_tiles(
     res_z: int,
     extra_keys: tuple[str, ...] = (),
     max_pushdown_ranges: int = 64,
-) -> DataFrame:
-    """Shared zonal core (flat pyramids and (x, y, t) cubes): filter+refine
-    at TILE granularity over any TILE_SCHEMA-shaped DataFrame. See
-    ``zonal_raster`` for the three cost tiers; ``extra_keys`` (e.g. ``t``)
-    ride through the split, the Arrow refine, and the final group-by."""
+):
+    """Shared zonal candidate builder: pushed cell-range scan filter +
+    broadcast compact-cover join. Returns ``(cand, rings)`` where ``cand``
+    carries one row per (tile, polygon-cover hit) with ``is_full`` marking
+    interior covers. Used by ``_zonal_over_tiles`` (scalar aggregates) and
+    ``zonal_quantiles`` (value histograms)."""
     from ..functions.cells import cell_range
-    from ..functions.codec import decode_tile
 
     covers, rings, ress = _covers_df(spark, polygons, res_z, spec.world)
 
@@ -671,6 +671,28 @@ def _zonal_over_tiles(
             F.explode(anc).alias("jcell"),
         )
         .join(F.broadcast(covers), F.col("jcell") == covers["cover_cell"], "inner")
+    )
+    return cand, rings
+
+
+def _zonal_over_tiles(
+    spark: SparkSession,
+    tiles: DataFrame,
+    spec,
+    polygons: list[dict],
+    res_z: int,
+    extra_keys: tuple[str, ...] = (),
+    max_pushdown_ranges: int = 64,
+) -> DataFrame:
+    """Shared zonal core (flat pyramids and (x, y, t) cubes): filter+refine
+    at TILE granularity over any TILE_SCHEMA-shaped DataFrame. See
+    ``zonal_raster`` for the three cost tiers; ``extra_keys`` (e.g. ``t``)
+    ride through the split, the Arrow refine, and the final group-by."""
+    from ..functions.codec import decode_tile
+
+    keys = list(extra_keys)
+    cand, rings = _zonal_candidates(
+        spark, tiles, spec, polygons, res_z, extra_keys, max_pushdown_ranges
     )
 
     # stats fast path: integer dtype (no NaN possible) AND single-channel —
@@ -821,6 +843,122 @@ def zonal_raster(
         spark, read_level(spark, path, z), spec, polygons, spec.cell_res(z),
         max_pushdown_ranges=max_pushdown_ranges,
     )
+
+
+def zonal_quantiles(
+    spark: SparkSession,
+    path: str,
+    polygons: list[dict],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    z: int = 0,
+    max_pushdown_ranges: int = 64,
+) -> DataFrame:
+    """EXACT per-polygon pixel-value quantiles (median and friends) over
+    an INTEGER pyramid level — the order statistic ``zonal_raster``'s
+    scalar aggregates cannot express.
+
+    Quantile rule: type-1 (lower): the smallest value ``v`` whose
+    cumulative count reaches ``ceil(q * n_px)``. Everything after the
+    decode is integer counts + one ``ceil`` of an exactly-representable
+    product, so the result is engine-portable bit-for-bit (the DuckDB
+    twin runs the same window construction).
+
+    Plan: same pruned-scan + broadcast-cover candidates as
+    ``zonal_raster`` (``_zonal_candidates``), but the refine emits
+    per-(polygon, value) COUNTS — bounded by occupied values x tiles,
+    never pixels — then one hash aggregate and a per-polygon cumulative
+    window over at most |value domain| rows. Unlike ``zonal_raster``
+    there is NO metadata-only interior tier: an exact order statistic
+    needs every pixel's value, so interior covers decode too (O(area),
+    inherent to exactness — at 100 TB prefer ``raster_histogram``-style
+    binned approximations if the domain is wide). Integer single-channel
+    rasters only: floats raise (exact quantiles over continuous values
+    would shuffle every distinct pixel).
+    """
+    from pyspark.sql import Window
+
+    from ..api import PyramidDataset
+    from ..functions.codec import decode_tile
+    from ..sources.catalog import read_level
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 < float(q) <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    labels = [f"q{int(round(float(q) * 1000)):03d}" for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantiles collide at 1/1000 resolution: {qs}")
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z >= spec.nlevels + 1:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+
+    cand, rings = _zonal_candidates(
+        spark, read_level(spark, path, z), spec, polygons, spec.cell_res(z),
+        max_pushdown_ranges=max_pushdown_ranges,
+    )
+    ring_items = sorted(rings.items())
+
+    def refine(batches):
+        ringmap = dict(ring_items)
+        for pdf in batches:
+            acc: dict[tuple[str, int], int] = {}
+            for row in pdf.itertuples(index=False):
+                if row.c != 1 or not str(row.dtype).startswith(("int", "uint")):
+                    raise ValueError(
+                        "zonal_quantiles needs a single-channel integer "
+                        f"raster, got dtype={row.dtype!r} c={row.c}"
+                    )
+                arr = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+                if row.is_full:
+                    vals, cnts = np.unique(arr, return_counts=True)
+                else:
+                    sx = (row.xmax - row.xmin) / row.w
+                    sy = (row.ymax - row.ymin) / row.h
+                    cx = row.xmin + (np.arange(row.w) + 0.5) * sx
+                    cy = row.ymin + (np.arange(row.h) + 0.5) * sy
+                    gx, gy = np.meshgrid(cx, cy)
+                    mask = points_in_polygon(
+                        gx.ravel(), gy.ravel(), ringmap[row.polygon_id]
+                    ).reshape(arr.shape)
+                    if not mask.any():
+                        continue
+                    vals, cnts = np.unique(arr[mask], return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    key = (row.polygon_id, int(v))
+                    acc[key] = acc.get(key, 0) + int(c)
+            yield pd.DataFrame(
+                [(p, v, n) for (p, v), n in acc.items()],
+                columns=["polygon_id", "value", "n"],
+            )
+
+    parts = cand.select(
+        "polygon_id", "is_full", "bytes", "w", "h", "c", "dtype",
+        "xmin", "ymin", "xmax", "ymax",
+    ).repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        refine, "polygon_id string, value long, n long"
+    )
+    hist = parts.groupBy("polygon_id", "value").agg(F.sum("n").alias("n"))
+    cum_w = (
+        Window.partitionBy("polygon_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("polygon_id")
+    h2 = hist.withColumn("cum", F.sum("n").over(cum_w)).withColumn(
+        "total", F.sum("n").over(tot_w)
+    )
+    qaggs = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(float(q)) * F.col("total")).cast("long"),
+                F.col("value"),
+            )
+        ).alias(lab)
+        for q, lab in zip(qs, labels)
+    ]
+    return h2.groupBy("polygon_id").agg(F.max("total").alias("n_px"), *qaggs)
 
 
 def zonal_cube(

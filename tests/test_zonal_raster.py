@@ -330,3 +330,52 @@ def test_raster_extract_hot_cell_salting(spark, pyr_path):
         ).collect()
     }
     assert every == plain
+
+
+def test_zonal_quantiles_matches_brute_force(spark, pyr_path):
+    """r8 zonal_quantiles: type-1 (lower) quantiles — smallest value whose
+    cumulative count reaches ceil(q*n) — vs a direct numpy replay over the
+    ray-cast pixel sets, including q=1.0 (the max)."""
+    import math
+
+    from pyramidscheme_jl_spark.operators.joins import zonal_quantiles
+
+    qs = (0.25, 0.5, 0.75, 1.0)
+    got = {
+        r["polygon_id"]: r
+        for r in zonal_quantiles(spark, pyr_path, _polys(), qs=qs, z=0).collect()
+    }
+    base = _base()
+    for pid, ring in RINGS.items():
+        h, w = base.shape
+        cx = (np.arange(w) + 0.5)
+        cy = (np.arange(h) + 0.5)
+        gx, gy = np.meshgrid(cx, cy)
+        m = points_in_polygon(gx.ravel(), gy.ravel(), np.asarray(ring, dtype=np.float64))
+        vals = np.sort(base.ravel()[m]).astype(np.int64)
+        n = vals.size
+        g = got[pid]
+        assert g["n_px"] == n, pid
+        for q, lab in zip(qs, ("q250", "q500", "q750", "q1000")):
+            k = math.ceil(q * n)
+            assert g[lab] == int(vals[k - 1]), (pid, q)
+
+
+def test_zonal_quantiles_float_level_raises(spark, pyr_path):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from pyramidscheme_jl_spark.operators.joins import zonal_quantiles
+
+    with pytest.raises(PythonException, match="integer"):
+        zonal_quantiles(spark, pyr_path, _polys(), z=1).collect()
+
+
+def test_zonal_quantiles_validation(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.joins import zonal_quantiles
+
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        zonal_quantiles(spark, pyr_path, _polys(), qs=(0.0,))
+    with pytest.raises(ValueError, match="non-empty"):
+        zonal_quantiles(spark, pyr_path, _polys(), qs=())
+    with pytest.raises(ValueError, match="collide"):
+        zonal_quantiles(spark, pyr_path, _polys(), qs=(0.5, 0.5001))
