@@ -136,3 +136,28 @@ def test_validation_errors(spark, pyr_path):
         warp_affine(spark, pyr_path, (8, 8), (1, 1), z=9)
     with pytest.raises(ValueError, match="out_shape"):
         warp_affine(spark, pyr_path, (0, 8), (1, 1))
+
+
+def test_warp_randomized_configs_match_replay(spark, pyr_path):
+    """Property sweep: random out-shapes, rational scales, offsets, and
+    pinned levels all reproduce the integer-mapping replay exactly
+    (covers ragged tiles, partial coverage, empty intersections)."""
+    rng = np.random.RandomState(1234)
+    for trial in range(8):
+        out_w = int(rng.randint(5, 400))
+        out_h = int(rng.randint(5, 400))
+        nx, dx = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+        ny, dy = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+        ox = int(rng.randint(-60, 60))
+        oy = int(rng.randint(-60, 60))
+        L = int(rng.choice([0, 0, 1, 2]))
+        src = _base() if L == 0 else _level_mosaic(spark, pyr_path, L)
+        want = _replay(src, out_w, out_h, nx, dx, ny, dy, ox, oy, L)
+        df = warp_affine(
+            spark, pyr_path, (out_w, out_h), (nx, dx), (ny, dy),
+            offset=(ox, oy), z=L, tilesize=64,
+        )
+        got, _ = _collect_warp(df, out_w, out_h, 64)
+        m = ~np.isnan(want)
+        np.testing.assert_array_equal(np.isnan(got), ~m, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got[m], want[m], err_msg=f"trial {trial}")
