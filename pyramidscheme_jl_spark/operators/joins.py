@@ -852,6 +852,9 @@ def zonal_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     z: int = 0,
     max_pushdown_ranges: int = 64,
+    bins: int | None = None,
+    vmin: float | None = None,
+    vmax: float | None = None,
 ) -> DataFrame:
     """EXACT per-polygon pixel-value quantiles (median and friends) over
     an INTEGER pyramid level — the order statistic ``zonal_raster``'s
@@ -870,10 +873,18 @@ def zonal_quantiles(
     window over at most |value domain| rows. Unlike ``zonal_raster``
     there is NO metadata-only interior tier: an exact order statistic
     needs every pixel's value, so interior covers decode too (O(area),
-    inherent to exactness — at 100 TB prefer ``raster_histogram``-style
-    binned approximations if the domain is wide). Integer single-channel
-    rasters only: floats raise (exact quantiles over continuous values
+    inherent to exactness). Integer single-channel rasters only in the
+    exact mode: floats raise (exact quantiles over continuous values
     would shuffle every distinct pixel).
+
+    **Binned mode** (``bins``/``vmin``/``vmax``, the ``raster_histogram``
+    bucket rule: fixed width over ``[vmin, vmax)``, value == vmax lands
+    in the last bucket, NaN is nodata, out-of-range pixels dropped):
+    works for ANY dtype including floats; the quantile is resolved on
+    the bucket index and reported as the bucket's LOWER EDGE in
+    ``q*`` plus the index in ``q*_bin`` — a deterministic approximation
+    with error <= one bucket width, the 100-TB shape for continuous
+    domains.
     """
     from pyspark.sql import Window
 
@@ -889,6 +900,14 @@ def zonal_quantiles(
     labels = [f"q{int(round(float(q) * 1000)):03d}" for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(f"quantiles collide at 1/1000 resolution: {qs}")
+    if bins is not None:
+        if vmin is None or vmax is None or not (float(vmax) > float(vmin)):
+            raise ValueError("binned quantiles need vmin < vmax")
+        bins = int(bins)
+        if bins <= 0:
+            raise ValueError(f"bins must be positive, got {bins}")
+    lo_b, hi_b = (float(vmin), float(vmax)) if bins is not None else (0.0, 0.0)
+    nb = bins
     spec = PyramidDataset.open(spark, path).spec
     if z < 0 or z >= spec.nlevels + 1:
         raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
@@ -904,14 +923,19 @@ def zonal_quantiles(
         for pdf in batches:
             acc: dict[tuple[str, int], int] = {}
             for row in pdf.itertuples(index=False):
-                if row.c != 1 or not str(row.dtype).startswith(("int", "uint")):
+                if row.c != 1:
                     raise ValueError(
-                        "zonal_quantiles needs a single-channel integer "
-                        f"raster, got dtype={row.dtype!r} c={row.c}"
+                        f"zonal_quantiles needs single-channel rasters, got c={row.c}"
+                    )
+                if nb is None and not str(row.dtype).startswith(("int", "uint")):
+                    raise ValueError(
+                        "exact zonal_quantiles needs an integer raster, got "
+                        f"dtype={row.dtype!r}; pass bins/vmin/vmax for the "
+                        "binned mode"
                     )
                 arr = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
                 if row.is_full:
-                    vals, cnts = np.unique(arr, return_counts=True)
+                    flat = arr.ravel()
                 else:
                     sx = (row.xmax - row.xmin) / row.w
                     sy = (row.ymax - row.ymin) / row.h
@@ -923,7 +947,14 @@ def zonal_quantiles(
                     ).reshape(arr.shape)
                     if not mask.any():
                         continue
-                    vals, cnts = np.unique(arr[mask], return_counts=True)
+                    flat = arr[mask]
+                if nb is not None:
+                    x = flat.astype(np.float64)
+                    x = x[np.isfinite(x)]  # NaN = nodata
+                    idx = np.floor((x - lo_b) * nb / (hi_b - lo_b)).astype(np.int64)
+                    idx[x == hi_b] = nb - 1  # the raster_histogram bucket rule
+                    flat = idx[(idx >= 0) & (idx < nb)]
+                vals, cnts = np.unique(flat, return_counts=True)
                 for v, c in zip(vals.tolist(), cnts.tolist()):
                     key = (row.polygon_id, int(v))
                     acc[key] = acc.get(key, 0) + int(c)
@@ -958,7 +989,22 @@ def zonal_quantiles(
         ).alias(lab)
         for q, lab in zip(qs, labels)
     ]
-    return h2.groupBy("polygon_id").agg(F.max("total").alias("n_px"), *qaggs)
+    res = h2.groupBy("polygon_id").agg(F.max("total").alias("n_px"), *qaggs)
+    if nb is None:
+        return res
+    w_b = (hi_b - lo_b) / nb
+    return res.select(
+        "polygon_id",
+        "n_px",
+        *[
+            c
+            for lab in labels
+            for c in (
+                (F.lit(lo_b) + F.col(lab) * F.lit(w_b)).alias(lab),
+                F.col(lab).cast("int").alias(f"{lab}_bin"),
+            )
+        ],
+    )
 
 
 def zonal_cube(

@@ -379,3 +379,38 @@ def test_zonal_quantiles_validation(spark, pyr_path):
         zonal_quantiles(spark, pyr_path, _polys(), qs=())
     with pytest.raises(ValueError, match="collide"):
         zonal_quantiles(spark, pyr_path, _polys(), qs=(0.5, 0.5001))
+
+
+def test_zonal_quantiles_binned_float_level(spark, pyr_path):
+    """Binned mode over the float64 z=1 level: quantile resolved on the
+    raster_histogram bucket rule, reported as lower edge + bin index —
+    replayed in numpy bucket-for-bucket."""
+    import math
+
+    from pyramidscheme_jl_spark.operators.joins import zonal_quantiles
+
+    nb, lo, hi = 32, 0.0, 256.0
+    got = {
+        r["polygon_id"]: r
+        for r in zonal_quantiles(
+            spark, pyr_path, _polys(), qs=(0.5,), z=1, bins=nb, vmin=lo, vmax=hi
+        ).collect()
+    }
+    base = _base()
+    lvl1 = base.reshape(base.shape[0] // 2, 2, base.shape[1] // 2, 2).mean(axis=(1, 3))
+    h, w = lvl1.shape
+    cx = (np.arange(w) + 0.5) * 2.0
+    cy = (np.arange(h) + 0.5) * 2.0
+    gx, gy = np.meshgrid(cx, cy)
+    for pid, ring in RINGS.items():
+        m = points_in_polygon(gx.ravel(), gy.ravel(), np.asarray(ring, dtype=np.float64))
+        x = lvl1.ravel()[m]
+        idx = np.floor((x - lo) * nb / (hi - lo)).astype(np.int64)
+        idx[x == hi] = nb - 1
+        idx = np.sort(idx[(idx >= 0) & (idx < nb)])
+        n = idx.size
+        k = math.ceil(0.5 * n)
+        g = got[pid]
+        assert g["n_px"] == n, pid
+        assert g["q500_bin"] == int(idx[k - 1]), pid
+        assert g["q500"] == lo + int(idx[k - 1]) * (hi - lo) / nb, pid
