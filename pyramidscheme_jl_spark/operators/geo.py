@@ -199,3 +199,79 @@ def radius_join(
     if dist_col is None:
         return out.drop("__d")
     return out.withColumnRenamed("__d", dist_col)
+
+
+def geo_knn(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    radius0_m: float = 1_000.0,
+    max_expansions: int = 12,
+    id_col: str = "point_id",
+    query_id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 75.0,
+    dist_col: str = "dist_m",
+) -> DataFrame:
+    """k nearest points per query by great-circle distance — the
+    spherical twin of ``knn_join`` (same radius-doubling exactness
+    argument): run ``radius_join`` at ``radius0_m * 2^i`` until every
+    query holds >= k candidates, then rank. Candidates within r are
+    COMPLETE (the ring-grid blocking never loses a pair), so once a
+    query has k of them its true kNN set is inside them — no boundary
+    case exists. Queries that never reach k (corpus smaller than k, or
+    the radius cap where blocking stays valid at ``max_abs_lat`` is
+    hit) return the neighbors found under the largest valid radius —
+    the same everything-within-reach contract as ``knn_join``'s
+    exhausted-grid arm. The driver loop sees per-round deficit COUNTS
+    only.
+
+    Ranking is by a trig double (ties broken by lowest point id), so —
+    like ``radius_join(nearest_only=True)`` — no engine-exact oracle is
+    offered; determinism within one engine is pinned by test.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if radius0_m <= 0:
+        raise ValueError(f"radius0_m must be positive, got {radius0_m}")
+    from pyspark.sql import Window
+
+    n_q = queries.select(query_id_col).distinct().count()
+    r = float(radius0_m)
+    best = None
+    for _ in range(max_expansions):
+        try:
+            cand = radius_join(
+                points, queries, r,
+                id_col=id_col, query_id_col=query_id_col,
+                lat_col=lat_col, lon_col=lon_col,
+                max_abs_lat=max_abs_lat, dist_col="__d",
+            )
+        except ValueError:
+            break  # radius grew past the blocking cap: keep the last arm
+        best = (cand, r)
+        sat = (
+            cand.groupBy(query_id_col).count()
+            .where(F.col("count") >= k).count()
+        )
+        if sat >= n_q:
+            break
+        r *= 2.0
+    if best is None:  # radius0 already past the cap
+        raise ValueError(
+            f"radius0_m={radius0_m} is too large to block at "
+            f"max_abs_lat={max_abs_lat}"
+        )
+    cand, _ = best
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(
+            query_id_col, id_col,
+            F.col("__d").alias(dist_col), F.col("__rk").alias("rank"),
+        )
+    )

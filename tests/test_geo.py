@@ -187,3 +187,58 @@ def test_radius_join_huge_radius_single_ring_cell(spark):
     got = [(r["query_id"], r["point_id"]) for r in rows]
     assert set(got) == expect
     assert len(got) == len(set(got))
+
+
+def test_geo_knn_matches_brute_force(spark):
+    """radius-doubling spherical kNN: exact sets vs brute force, k=3,
+    radius0 deliberately tiny so several expansions are required."""
+    rng = np.random.RandomState(9)
+    ps = [
+        (i, float(rng.uniform(-70, 70)), float(rng.uniform(-179, 179)))
+        for i in range(300)
+    ]
+    qs = [(100 + j, ps[j * 29][1] + 0.3, ps[j * 29][2] - 0.2) for j in range(8)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+    from pyramidscheme_jl_spark.operators.geo import geo_knn
+
+    got = {}
+    for r in geo_knn(points, queries, k=3, radius0_m=2_000.0).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["point_id"], r["dist_m"]))
+    for qid, qla, qlo in qs:
+        dists = []
+        for pid, pla, plo in ps:
+            p1, p2 = math.radians(qla), math.radians(pla)
+            dp, dl = p2 - p1, math.radians(plo) - math.radians(qlo)
+            a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+            dists.append((2 * EARTH_RADIUS_M * math.asin(math.sqrt(a)), pid))
+        dists.sort()
+        want = [pid for _, pid in dists[:3]]
+        rows = sorted(got[qid])
+        assert [pid for _, pid, _ in rows] == want, qid
+        # returned distances match the replay
+        for (_, pid, d), (wd, wpid) in zip(rows, dists[:3]):
+            assert abs(d - wd) < 1e-6 * max(1.0, wd)
+
+
+def test_geo_knn_small_corpus_returns_what_exists(spark):
+    ps = [(0, 10.0, 10.0), (1, 10.2, 10.2)]
+    qs = [(100, 10.1, 10.1)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lon double")
+    from pyramidscheme_jl_spark.operators.geo import geo_knn
+
+    rows = geo_knn(points, queries, k=5, radius0_m=1_000.0).collect()
+    assert sorted(r["point_id"] for r in rows) == [0, 1]  # all that exist
+
+
+def test_geo_knn_validation(spark):
+    ps = [(0, 10.0, 10.0)]
+    points = spark.createDataFrame(ps, "point_id long, lat double, lon double")
+    queries = spark.createDataFrame([(1, 0.0, 0.0)], "query_id long, lat double, lon double")
+    from pyramidscheme_jl_spark.operators.geo import geo_knn
+
+    with pytest.raises(ValueError, match="k must"):
+        geo_knn(points, queries, k=0)
+    with pytest.raises(ValueError, match="too large"):
+        geo_knn(points, queries, k=1, radius0_m=50_000_000.0)
