@@ -1508,6 +1508,37 @@ def _ensure_regions_pyramid(spark: SparkSession) -> str:
     return path
 
 
+def q_region_label_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed raster<->vector loop (r8): rasterize rects ->
+    region_label_raster (per-pixel region ids, nodata=-1) -> write_level
+    -> raster_histogram (exact per-value counts). Every pixel of the
+    labeled raster is closed-form in DuckDB: region ids via a window MIN
+    over each declared region's pixel set, the -1 row = emitted-tile
+    area minus labeled pixels. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import raster_histogram
+    from pyramidscheme_jl_spark.operators.regions import region_label_raster
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    src = _ensure_regions_pyramid(spark)
+    path = f"{_REGIONS_ORACLE_DIR}/labels"
+    done = f"{_REGIONS_ORACLE_DIR}/_labels_done"
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        write_level(region_label_raster(spark, src, z=0), path, 0)
+        write_multiscales(path, 0, 128, 512, 512, "labels", "-")
+        open(done, "w").close()
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("region_id"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_zonal_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-polygon pixel quantiles (joins.zonal_quantiles, r8): the
     order statistic zonal_raster's scalar tiers can't express — per-
@@ -1682,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "region_label_hist": q_region_label_hist,
         "zonal_quantiles": q_zonal_quantiles,
         "region_label": q_region_label,
         "warp_affine_stats": q_warp_affine_stats,
@@ -1883,10 +1915,27 @@ def _ivfpq_values(sf_dir: str) -> tuple[str, str, int]:
 
 def _region_oracle_sql() -> str:
     """Closed-form region table for the rasterized-rects fixture: the
-    expected merge structure is declared here (a+b touch; e1+e2 overlap;
-    c disconnected; d value-isolated) and every aggregate — including
-    region_id = MIN(Y*512+X), the engine's first-pixel labeling rule —
-    is recomputed from the SAME rect constants the fixture burns."""
+    expected merge structure is declared in ``_region_hits_cte`` (a+b
+    touch; e1+e2 overlap; c disconnected; d value-isolated) and every
+    aggregate — including region_id = MIN(Y*512+X), the engine's
+    first-pixel labeling rule — is recomputed from the SAME rect
+    constants the fixture burns."""
+    return f"""
+        {_region_hits_cte()}
+        SELECT CAST(MIN(Y * 512 + X) AS BIGINT) AS region_id,
+               CAST(value AS BIGINT) AS value,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(MIN(X) AS BIGINT) AS xmin,
+               CAST(MIN(Y) AS BIGINT) AS ymin,
+               CAST(MAX(X) AS BIGINT) AS xmax,
+               CAST(MAX(Y) AS BIGINT) AS ymax
+        FROM hits GROUP BY rk, value
+    """
+
+
+def _region_hits_cte() -> str:
+    """Shared CTE body (px grid + per-region pixel sets) for the region
+    oracles, from the same rect constants the fixture burns."""
     groups = {"r1": ["a", "b"], "c": ["c"], "d": ["d"], "e": ["e1", "e2"]}
     rects = {pid: (r, v) for pid, r, v in _REGION_RECTS}
     parts = []
@@ -1904,14 +1953,23 @@ def _region_oracle_sql() -> str:
              ys AS (SELECT UNNEST(range(0, 512)) AS Y),
              px AS (SELECT X, Y FROM xs CROSS JOIN ys),
              hits AS ({union})
-        SELECT CAST(MIN(Y * 512 + X) AS BIGINT) AS region_id,
-               CAST(value AS BIGINT) AS value,
-               CAST(COUNT(*) AS BIGINT) AS n_px,
-               CAST(MIN(X) AS BIGINT) AS xmin,
-               CAST(MIN(Y) AS BIGINT) AS ymin,
-               CAST(MAX(X) AS BIGINT) AS xmax,
-               CAST(MAX(Y) AS BIGINT) AS ymax
-        FROM hits GROUP BY rk, value
+    """
+
+
+def _region_hist_oracle_sql() -> str:
+    """Per-pixel twin of the labeled raster: region ids via MIN over each
+    declared region's pixels; the -1 nodata row = area of tiles holding
+    at least one labeled pixel minus the labeled total (the engine emits
+    only those tiles, full 128x128 each on this fixture)."""
+    return f"""
+        {_region_hits_cte()},
+             r AS (SELECT rk, MIN(Y * 512 + X) AS rid, COUNT(*) AS n
+                   FROM hits GROUP BY rk),
+             t AS (SELECT DISTINCT X // 128 AS tx, Y // 128 AS ty FROM hits)
+        SELECT CAST(rid AS BIGINT) AS region_id, CAST(n AS BIGINT) AS n FROM r
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM t) * 16384 - (SELECT SUM(n) FROM r) AS BIGINT)
     """
 
 
@@ -2331,6 +2389,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # declared in _region_oracle_sql, all aggregates recomputed from
         # the shared rect constants
         "region_label": _region_oracle_sql(),
+        # per-pixel labeled-raster twin: rasterize -> region_label_raster
+        # -> write_level -> raster_histogram, every pixel closed-form
+        "region_label_hist": _region_hist_oracle_sql(),
         # warp_affine over the same fixture: DuckDB replays the exact
         # integer center-rule mapping (bx = ((2X+1)*8)//10 - 3, by =
         # ((2Y+1)*7)//8 + 5 — all operands non-negative at the division,

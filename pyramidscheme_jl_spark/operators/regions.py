@@ -302,6 +302,110 @@ def _strip_edges(scan: DataFrame, eight: bool) -> DataFrame:
     )
 
 
+def _runs_gen(ts: int, W: int, eight: bool):
+    """Second-pass scan for the labeled-raster output: re-derives each
+    tile's runs + provisional labels (deterministic — same algorithm as
+    the first pass) and emits them as skinny rows. Runs are ~px/avg-run-
+    length rows of five ints (<~10% of pixel volume as bytes), which is
+    what rides the label-map join; the alternative — carrying per-pixel
+    labels through the stitch shuffle — would move the full pixel volume.
+    """
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = decode_tile(row.bytes, row.h, row.w, row.dtype,
+                                getattr(row, "c", 1)).astype(np.float64)
+                tx, ty = int(row.tx), int(row.ty)
+                gx0, gy0 = tx * ts, ty * ts
+                rr, root = _label_tile(a, eight)
+                if rr.shape[0] == 0:
+                    continue
+                gidx = (rr[:, 0] + gy0) * W + (rr[:, 1] + gx0)
+                lab_of_root: dict[int, int] = {}
+                for i in range(rr.shape[0]):
+                    rt = int(root[i])
+                    g = int(gidx[i])
+                    if rt not in lab_of_root or g < lab_of_root[rt]:
+                        lab_of_root[rt] = g
+                for i in range(rr.shape[0]):
+                    out.append((tx, ty, int(rr[i, 0]), int(rr[i, 1]),
+                                int(rr[i, 2]), lab_of_root[int(root[i])]))
+            yield pd.DataFrame(
+                out, columns=["tx", "ty", "r", "c0", "c1", "label"]
+            )
+
+    return gen
+
+
+def region_label_raster(
+    spark,
+    path: str,
+    z: int = 0,
+    connectivity: int = 4,
+    driver_resolve_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """The labeled RASTER half of polygonize: a TILE_SCHEMA level whose
+    int64 pixels hold the global ``region_id`` (= the region's first-
+    pixel row-major index, identical ids to ``region_label``); nodata
+    (NaN input) pixels hold ``-1``. Compose with ``write_level`` +
+    ``write_multiscales`` to store; ``region_label`` for the region
+    TABLE (count/bbox per region).
+
+    Plan: the stitch resolve is shared with ``region_label`` (strips ->
+    JVM equi-join -> two-tier components); a second scan re-derives each
+    tile's runs deterministically and joins the run rows (skinny — runs,
+    not pixels) against the final label map, then one per-tile assembly
+    writes the label plane. Tiles with zero labeled pixels are dropped
+    (sparse semantics).
+    """
+    from ..api import PyramidDataset
+    from ..operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+    from ..operators.dedup import connected_components
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    eight = connectivity == 8
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z > spec.nlevels:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    lw, lh = level_shape((spec.base_w, spec.base_h), z)
+    ts = spec.tilesize
+
+    scan = read_level(spark, path, z).mapInPandas(
+        _scan_gen(ts, lw, eight), _SCAN_SCHEMA
+    ).localCheckpoint(eager=True)
+    comp = connected_components(
+        _strip_edges(scan, eight),
+        driver_resolve_max_edges=driver_resolve_max_edges,
+    )
+    runs = read_level(spark, path, z).mapInPandas(
+        _runs_gen(ts, lw, eight), "tx int, ty int, r int, c0 int, c1 int, label long"
+    )
+    resolved = (
+        runs.join(comp, runs["label"] == comp["id"], "left")
+        .select(
+            "tx", "ty", "r", "c0", "c1",
+            F.coalesce("component", "label").alias("rid"),
+        )
+    )
+    out_spec = PyramidSpec(lw, lh, ts)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..plans.grid import tile_pixel_window
+
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        _, _, w, h = tile_pixel_window((lw, lh), 0, tx, ty, ts)
+        plane = np.full((h, w), -1, dtype=np.int64)
+        for r_ in pdf.itertuples(index=False):
+            plane[r_.r, r_.c0:r_.c1] = r_.rid
+        return _rows_to_pdf([_tile_row(out_spec, 0, tx, ty, plane)])
+
+    return resolved.groupBy("tx", "ty").applyInPandas(assemble, TILE_SCHEMA)
+
+
 def region_label(
     spark,
     path: str,

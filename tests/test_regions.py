@@ -126,3 +126,42 @@ def test_validation(spark, plane_path):
         region_label(spark, plane_path, connectivity=6)
     with pytest.raises(ValueError, match="out of range"):
         region_label(spark, plane_path, z=5)
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_region_label_raster_matches_bfs_plane(spark, plane, plane_path, conn):
+    """The labeled-raster output: per-pixel region ids equal the BFS
+    labeling plane exactly (nodata = -1), ids shared with region_label."""
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.regions import region_label_raster
+
+    h, w = plane.shape
+    want = np.full((h, w), -1, dtype=np.int64)
+    # replay: BFS again but painting labels
+    seen = np.zeros((h, w), dtype=bool)
+    if conn == 4:
+        nbrs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+    else:
+        nbrs = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx)
+    for y in range(h):
+        for x in range(w):
+            if seen[y, x] or np.isnan(plane[y, x]):
+                continue
+            v, rid = plane[y, x], y * w + x
+            q = deque([(y, x)])
+            seen[y, x] = True
+            while q:
+                cy, cx = q.popleft()
+                want[cy, cx] = rid
+                for dy, dx in nbrs:
+                    ny, nx = cy + dy, cx + dx
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] and plane[ny, nx] == v:
+                        seen[ny, nx] = True
+                        q.append((ny, nx))
+    got = np.full((h, w), -1, dtype=np.int64)
+    rows = region_label_raster(spark, plane_path, z=0, connectivity=conn).collect()
+    for r in rows:
+        assert r.dtype == "int64"
+        a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c)
+        got[r.ty * 32 : r.ty * 32 + r.h, r.tx * 32 : r.tx * 32 + r.w] = a
+    np.testing.assert_array_equal(got, want)
