@@ -898,3 +898,30 @@ def warp_affine(
         return _rows_to_pdf([_tile_row(out_spec, 0, otx, oty, out)])
 
     return joined.groupBy("otx", "oty").applyInPandas(assemble, TILE_SCHEMA)
+
+
+def render_viewport(
+    spark,
+    path: str,
+    extent: tuple[int, int, int, int],
+    out_size: tuple[int, int],
+    tilesize: int = 256,
+) -> DataFrame:
+    """The tile-server shape (GDAL ``ReadAsArray(buf_xsize=, buf_ysize=)``):
+    render an integer world-pixel ``extent = (xmin, ymin, xmax, ymax)`` of
+    the pyramid onto an exactly ``out_size = (ow, oh)`` grid. Pure
+    composition: the extent/out ratio IS an exact rational scale, so this
+    is ``warp_affine`` with ``scale=(xmax-xmin, ow)``, ``offset=(xmin,
+    ymin)`` and the auto overview-level rule — a 16x-zoomed-out viewport
+    reads level 4, never the base. Complements ``read_window`` (which
+    serves the chosen level's NATIVE grid clipped to the extent); this
+    returns the caller's exact raster shape.
+    """
+    x0, y0, x1, y1 = (int(v) for v in extent)
+    if not (x1 > x0 and y1 > y0):
+        raise ValueError(f"empty extent {extent}")
+    ow, oh = int(out_size[0]), int(out_size[1])
+    return warp_affine(
+        spark, path, (ow, oh), (x1 - x0, ow), (y1 - y0, oh),
+        offset=(x0, y0), z="auto", tilesize=tilesize,
+    )

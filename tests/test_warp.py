@@ -161,3 +161,33 @@ def test_warp_randomized_configs_match_replay(spark, pyr_path):
         m = ~np.isnan(want)
         np.testing.assert_array_equal(np.isnan(got), ~m, err_msg=f"trial {trial}")
         np.testing.assert_array_equal(got[m], want[m], err_msg=f"trial {trial}")
+
+
+def test_render_viewport_zoomed_out_reads_overview(spark, pyr_path):
+    """render_viewport: a 4x zoomed-out viewport of an interior extent
+    serves level-2 pixels on the exact requested grid."""
+    from pyramidscheme_jl_spark.operators.raster import render_viewport
+
+    ext = (32, 16, 160, 144)  # 128x128 world px
+    ow = oh = 32              # 4x zoom out -> auto level 2
+    df = render_viewport(spark, pyr_path, ext, (ow, oh), tilesize=64)
+    got, _ = _collect_warp(df, ow, oh, 64)
+    want = _replay(_level_mosaic(spark, pyr_path, 2), ow, oh, 128, 32, 128, 32, 32, 16, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_viewport_native_scale_equals_crop(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.raster import render_viewport
+
+    ext = (10, 20, 74, 84)
+    df = render_viewport(spark, pyr_path, ext, (64, 64), tilesize=64)
+    got, dtypes = _collect_warp(df, 64, 64, 64)
+    assert dtypes == {"uint8"}
+    np.testing.assert_array_equal(got, _base()[20:84, 10:74])
+
+
+def test_render_viewport_validation(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.raster import render_viewport
+
+    with pytest.raises(ValueError, match="empty extent"):
+        render_viewport(spark, pyr_path, (10, 10, 10, 40), (8, 8))
