@@ -1508,6 +1508,72 @@ def _ensure_regions_pyramid(spark: SparkSession) -> str:
     return path
 
 
+_SIEVE_ORACLE_DIR = "/dev/shm/psjl_sieve_oracle_v1"
+
+#: sieve fixture: A large; B small touching A (contact 20) AND C (contact
+#: 10) -> takes A's value; C large; D small isolated -> unchanged; E+F
+#: small touching only each other -> unchanged (single-pass rule)
+_SIEVE_RECTS = [
+    ("a", (0, 0, 200, 100), 1.0),
+    ("b", (200, 0, 210, 20), 2.0),
+    ("c", (200, 20, 260, 90), 3.0),
+    ("d", (400, 400, 410, 410), 4.0),
+    ("e", (0, 300, 10, 310), 5.0),
+    ("f", (10, 300, 20, 310), 6.0),
+]
+_SIEVE_MIN_PX = 300
+
+
+def q_region_sieve(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed cleanup loop (r8): rasterize -> region_sieve (small
+    regions absorb their max-contact large neighbor's VALUE; GDAL
+    gdal_sieve analog) -> write_level -> region_label over the SIEVED
+    raster. The post-sieve region structure is closed-form: B (200 px,
+    contacts A=20 > C=10) takes A's value and merges into it; D (isolated
+    small) and E/F (small touching only small) stay. Fixed-size by
+    design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import rasterize_polygons
+    from pyramidscheme_jl_spark.operators.regions import (
+        region_label,
+        region_sieve,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    path = f"{_SIEVE_ORACLE_DIR}/sieved"
+    done = f"{_SIEVE_ORACLE_DIR}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(_SIEVE_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_SIEVE_ORACLE_DIR, exist_ok=True)
+        src = f"{_SIEVE_ORACLE_DIR}/src"
+        polys = [
+            {"polygon_id": pid,
+             "ring": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+             "value": v}
+            for pid, (x0, y0, x1, y1), v in _SIEVE_RECTS
+        ]
+        tiles = rasterize_polygons(spark, polys, (512, 512), tilesize=128)
+        write_level(tiles, src, 0)
+        write_multiscales(src, 0, 128, 512, 512, "rasterize", "-")
+        write_level(region_sieve(spark, src, min_px=_SIEVE_MIN_PX, z=0), path, 0)
+        write_multiscales(path, 0, 128, 512, 512, "sieved", "-")
+        open(done, "w").close()
+    return region_label(spark, path, z=0).select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("value").cast("long").alias("value"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("xmin").cast("long").alias("xmin"),
+        F.col("ymin").cast("long").alias("ymin"),
+        F.col("xmax").cast("long").alias("xmax"),
+        F.col("ymax").cast("long").alias("ymax"),
+    )
+
+
 def q_region_label_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Composed raster<->vector loop (r8): rasterize rects ->
     region_label_raster (per-pixel region ids, nodata=-1) -> write_level
@@ -1713,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "region_sieve": q_region_sieve,
         "region_label_hist": q_region_label_hist,
         "zonal_quantiles": q_zonal_quantiles,
         "region_label": q_region_label,
@@ -1970,6 +2037,40 @@ def _region_hist_oracle_sql() -> str:
         UNION ALL
         SELECT CAST(-1 AS BIGINT),
                CAST((SELECT COUNT(*) FROM t) * 16384 - (SELECT SUM(n) FROM r) AS BIGINT)
+    """
+
+
+def _sieve_oracle_sql() -> str:
+    """Closed-form POST-sieve region table: the single-pass rule's outcome
+    is declared (B joins A under value 1; C/D/E/F unchanged) and every
+    aggregate recomputes from the same rect constants the fixture burns."""
+    groups = {
+        "ab": (["a", "b"], 1), "c": (["c"], 3), "d": (["d"], 4),
+        "e": (["e"], 5), "f": (["f"], 6),
+    }
+    rects = {pid: r for pid, r, _ in _SIEVE_RECTS}
+    parts = []
+    for g, (members, val) in groups.items():
+        cond = " OR ".join(
+            f"(X BETWEEN {rects[m][0]} AND {rects[m][2] - 1} "
+            f"AND Y BETWEEN {rects[m][1]} AND {rects[m][3] - 1})"
+            for m in members
+        )
+        parts.append(f"SELECT '{g}' AS rk, {val} AS value, X, Y FROM px WHERE {cond}")
+    union = " UNION ALL ".join(parts)  # sieve rects are pairwise disjoint
+    return f"""
+        WITH xs AS (SELECT UNNEST(range(0, 512)) AS X),
+             ys AS (SELECT UNNEST(range(0, 512)) AS Y),
+             px AS (SELECT X, Y FROM xs CROSS JOIN ys),
+             hits AS ({union})
+        SELECT CAST(MIN(Y * 512 + X) AS BIGINT) AS region_id,
+               CAST(value AS BIGINT) AS value,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(MIN(X) AS BIGINT) AS xmin,
+               CAST(MIN(Y) AS BIGINT) AS ymin,
+               CAST(MAX(X) AS BIGINT) AS xmax,
+               CAST(MAX(Y) AS BIGINT) AS ymax
+        FROM hits GROUP BY rk, value
     """
 
 
@@ -2392,6 +2493,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # per-pixel labeled-raster twin: rasterize -> region_label_raster
         # -> write_level -> raster_histogram, every pixel closed-form
         "region_label_hist": _region_hist_oracle_sql(),
+        # post-sieve region table: the composed rasterize -> sieve ->
+        # write_level -> region_label loop vs the declared closed form
+        "region_sieve": _sieve_oracle_sql(),
         # warp_affine over the same fixture: DuckDB replays the exact
         # integer center-rule mapping (bx = ((2X+1)*8)//10 - 3, by =
         # ((2Y+1)*7)//8 + 5 — all operands non-negative at the division,

@@ -50,11 +50,13 @@ from pyspark.sql import functions as F
 from ..functions.codec import decode_tile
 from ..plans.grid import level_shape
 
-#: union row schema for the single-scan emit: partial rows fill the first
-#: block, strip rows the second (NULL elsewhere)
+#: union row schema for the single-scan emit: partial rows (kind 0) fill
+#: the first block, strip rows (kind 1) the arrays, in-tile contact rows
+#: (kind 2, emitted only when the scan is asked for them) use
+#: (label=la, lb, n=4-adjacent pixel pairs)
 _SCAN_SCHEMA = (
     "kind int, label long, value double, n long, "
-    "x0 long, y0 long, x1 long, y1 long, "
+    "x0 long, y0 long, x1 long, y1 long, lb long, "
     "ekey string, side int, pos array<long>, vals array<double>, labels array<long>"
 )
 
@@ -138,7 +140,49 @@ def _label_tile(a: np.ndarray, eight: bool = False):
     return rr, root
 
 
-def _scan_gen(ts: int, W: int, eight: bool):
+def _tile_contacts(rr: np.ndarray, root: np.ndarray) -> dict:
+    """4-adjacent pixel-pair counts between DIFFERENT components of one
+    tile, keyed by (root_a, root_b): vertical = column overlap of runs in
+    consecutive rows, horizontal = one pair per touching run break. O(runs)
+    two-pointer sweep (runs arrive row-major)."""
+    acc: dict[tuple[int, int], int] = {}
+    n = rr.shape[0]
+    i = 0
+    prev: list[int] = []  # indices of the previous row's runs
+    while i < n:
+        r = rr[i, 0]
+        j = i
+        while j < n and rr[j, 0] == r:
+            j += 1
+        cur = list(range(i, j))
+        # horizontal: consecutive runs touching => different value => pair
+        for a, b in zip(cur, cur[1:]):
+            if rr[a, 2] == rr[b, 1]:
+                ra, rb = int(root[a]), int(root[b])
+                k = (min(ra, rb), max(ra, rb))
+                acc[k] = acc.get(k, 0) + 1
+        # vertical: overlap sweep against the previous row (if adjacent)
+        if prev and rr[prev[0], 0] == r - 1:
+            p = 0
+            for c in cur:
+                c0, c1 = int(rr[c, 1]), int(rr[c, 2])
+                while p < len(prev) and rr[prev[p], 2] <= c0:
+                    p += 1
+                q = p
+                while q < len(prev) and rr[prev[q], 1] < c1:
+                    ov = min(c1, int(rr[prev[q], 2])) - max(c0, int(rr[prev[q], 1]))
+                    if ov > 0:
+                        ra, rb = int(root[c]), int(root[prev[q]])
+                        if ra != rb:
+                            k = (min(ra, rb), max(ra, rb))
+                            acc[k] = acc.get(k, 0) + ov
+                    q += 1
+        prev = cur
+        i = j
+    return acc
+
+
+def _scan_gen(ts: int, W: int, eight: bool, contacts: bool = False):
     def gen(batches):
         for pdf in batches:
             out = []
@@ -183,7 +227,15 @@ def _scan_gen(ts: int, W: int, eight: bool):
                 for p in part.itertuples(index=False):
                     out.append((0, int(p.label), float(p.value), int(p.n),
                                 int(p.x0), int(p.y0), int(p.x1), int(p.y1),
-                                None, None, None, None, None))
+                                None, None, None, None, None, None))
+
+                if contacts:
+                    # in-tile 4-contact pairs on provisional labels
+                    for (ra, rb), wgt in _tile_contacts(rr, root).items():
+                        la_, lb_ = lab_of_root[ra], lab_of_root[rb]
+                        out.append((2, min(la_, lb_), None, int(wgt),
+                                    None, None, None, None, max(la_, lb_),
+                                    None, None, None, None, None))
 
                 def edge(which: str, ekey: str, side: int):
                     if which in ("l", "r"):
@@ -213,7 +265,7 @@ def _scan_gen(ts: int, W: int, eight: bool):
                         vv = np.concatenate(v_list)
                         ls = np.concatenate(l_list)
                     out.append((1, None, None, None, None, None, None, None,
-                                ekey, side, pos.tolist(), vv.tolist(),
+                                None, ekey, side, pos.tolist(), vv.tolist(),
                                 ls.tolist()))
 
                 edge("r", f"v:{tx + 1}:{ty}", 0)
@@ -234,7 +286,7 @@ def _scan_gen(ts: int, W: int, eight: bool):
                         if not sel.any():
                             return
                         out.append((1, None, None, None, None, None, None,
-                                    None, ekey, side, [0],
+                                    None, None, ekey, side, [0],
                                     [float(a[r_, c_])],
                                     [int(lab[np.flatnonzero(sel)[0]])]))
 
@@ -243,7 +295,7 @@ def _scan_gen(ts: int, W: int, eight: bool):
                     corner(h - 1, 0, f"ce:{tx}:{ty + 1}", 0)          # TR of corner
                     corner(0, w - 1, f"ce:{tx + 1}:{ty}", 1)          # BL of corner
             cols = ["kind", "label", "value", "n", "x0", "y0", "x1", "y1",
-                    "ekey", "side", "pos", "vals", "labels"]
+                    "lb", "ekey", "side", "pos", "vals", "labels"]
             yield pd.DataFrame(out, columns=cols)
 
     return gen
@@ -302,6 +354,218 @@ def _strip_edges(scan: DataFrame, eight: bool) -> DataFrame:
     )
 
 
+def _strip_contacts(scan: DataFrame) -> DataFrame:
+    """ALL facing 4-adjacent pixel pairs across tile boundaries (no value
+    filter — different-value neighbors are exactly the contacts), one row
+    per pair on PROVISIONAL labels: ``(la, lb, w=1)``. Corner pseudo-keys
+    are excluded (diagonal pairs are not 4-contacts)."""
+    s = (
+        scan.where((F.col("kind") == 1) & ~F.col("ekey").startswith("c"))
+        .select("ekey", "side", F.arrays_zip("pos", "labels").alias("z"))
+        .select("ekey", "side", F.explode("z").alias("e"))
+        .select(
+            "ekey", "side",
+            F.col("e.pos").alias("pos"), F.col("e.labels").alias("lab"),
+        )
+    )
+    a = s.where(F.col("side") == 0).drop("side")
+    b = (
+        s.where(F.col("side") == 1).drop("side")
+        .withColumnRenamed("lab", "lab_b")
+    )
+    return a.join(b, ["ekey", "pos"]).select(
+        F.least("lab", "lab_b").alias("la"),
+        F.greatest("lab", "lab_b").alias("lb"),
+        F.lit(1).cast("long").alias("w"),
+    )
+
+
+def _resolved_regions(spark, path, z, connectivity, driver_resolve_max_edges,
+                      contacts: bool):
+    """Shared front half of the region family: scan (+optional in-tile
+    contacts), stitch edges, component resolve. Returns
+    ``(scan, comp, spec, lw, lh)``."""
+    from ..api import PyramidDataset
+    from ..operators.dedup import connected_components
+    from ..sources.catalog import read_level
+
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    eight = connectivity == 8
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z > spec.nlevels:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    lw, lh = level_shape((spec.base_w, spec.base_h), z)
+    scan = read_level(spark, path, z).mapInPandas(
+        _scan_gen(spec.tilesize, lw, eight, contacts=contacts), _SCAN_SCHEMA
+    ).localCheckpoint(eager=True)
+    comp = connected_components(
+        _strip_edges(scan, eight),
+        driver_resolve_max_edges=driver_resolve_max_edges,
+    )
+    return scan, comp, spec, lw, lh
+
+
+def _resolve_col(df, comp, col: str, out: str):
+    """LEFT-join a provisional-label column against the component map."""
+    c = comp.select(F.col("id").alias(f"__i_{col}"),
+                    F.col("component").alias(f"__c_{col}"))
+    return df.join(c, df[col] == c[f"__i_{col}"], "left").select(
+        *[x for x in df.columns if x != col],
+        F.coalesce(f"__c_{col}", col).alias(out),
+    )
+
+
+def region_adjacency(
+    spark,
+    path: str,
+    z: int = 0,
+    connectivity: int = 4,
+    driver_resolve_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Region adjacency graph (RAG): ``(rid_a, rid_b, contact)`` where
+    ``contact`` counts the 4-adjacent pixel pairs on the boundary between
+    the two regions (rid_a < rid_b; ids as in ``region_label``). Contact
+    is ALWAYS 4-edge-based — ``connectivity`` only controls how regions
+    themselves were formed (GDAL's sieve convention).
+
+    Plan: the region scan additionally folds per-tile contact pairs into
+    (la, lb, w) rows (O(runs) two-pointer sweep, aggregated in-tile);
+    cross-tile contacts ride the same strip join as the stitch edges
+    (without the value filter); both resolve to final labels and one hash
+    aggregate sums weights. Same-component pairs (merged same-value
+    neighbors) drop out after the resolve.
+    """
+    scan, comp, *_ = _resolved_regions(
+        spark, path, z, connectivity, driver_resolve_max_edges, contacts=True
+    )
+    incell = scan.where(F.col("kind") == 2).select(
+        F.col("label").alias("la"), F.col("lb"), F.col("n").alias("w")
+    )
+    cross = _strip_contacts(scan)
+    allc = incell.unionByName(cross)
+    allc = _resolve_col(allc, comp, "la", "fa")
+    allc = _resolve_col(allc, comp, "lb", "fb")
+    return (
+        allc.where(F.col("fa") != F.col("fb"))
+        .select(
+            F.least("fa", "fb").alias("rid_a"),
+            F.greatest("fa", "fb").alias("rid_b"),
+            "w",
+        )
+        .groupBy("rid_a", "rid_b")
+        .agg(F.sum("w").alias("contact"))
+    )
+
+
+def region_sieve(
+    spark,
+    path: str,
+    min_px: int,
+    z: int = 0,
+    connectivity: int = 4,
+    driver_resolve_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """GDAL ``gdal_sieve`` analog (single pass): regions smaller than
+    ``min_px`` that touch at least one region of ``>= min_px`` pixels are
+    rewritten to the VALUE of their max-contact such neighbor (contact =
+    4-adjacent boundary pairs; ties -> the neighbor with the smallest
+    region_id). Small regions whose neighbors are all small — and nodata
+    — are left unchanged (call again for a fixpoint; GDAL's iterative
+    smallest-first merge differs on chained small regions, documented).
+    Returns a NEW TILE_SCHEMA raster (sparse, like the input scan).
+
+    Plan: one region pass (scan + contacts + resolve as
+    ``region_adjacency``), the region table and the small->value mapping
+    are region-count-sized DataFrames; the rewrite joins run rows (runs,
+    not pixels) against the mapping and assembles per tile.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if min_px <= 0:
+        raise ValueError(f"min_px must be positive, got {min_px}")
+    eight = connectivity == 8
+    scan, comp, spec, lw, lh = _resolved_regions(
+        spark, path, z, connectivity, driver_resolve_max_edges, contacts=True
+    )
+    ts = spec.tilesize
+
+    partials = scan.where(F.col("kind") == 0).select("label", "value", "n")
+    partials = _resolve_col(partials, comp, "label", "rid")
+    regions = partials.groupBy("rid").agg(
+        F.min("value").alias("value"), F.sum("n").alias("n_px")
+    )
+
+    incell = scan.where(F.col("kind") == 2).select(
+        F.col("label").alias("la"), F.col("lb"), F.col("n").alias("w")
+    )
+    allc = incell.unionByName(_strip_contacts(scan))
+    allc = _resolve_col(allc, comp, "la", "fa")
+    allc = _resolve_col(allc, comp, "lb", "fb")
+    adj = (
+        allc.where(F.col("fa") != F.col("fb"))
+        .select(F.least("fa", "fb").alias("rid_a"),
+                F.greatest("fa", "fb").alias("rid_b"), "w")
+        .groupBy("rid_a", "rid_b")
+        .agg(F.sum("w").alias("contact"))
+    )
+    # symmetrize: one row per (small candidate, neighbor)
+    sym = adj.select(
+        F.col("rid_a").alias("rid"), F.col("rid_b").alias("nbr"), "contact"
+    ).unionByName(adj.select(
+        F.col("rid_b").alias("rid"), F.col("rid_a").alias("nbr"), "contact"
+    ))
+    small = regions.where(F.col("n_px") < min_px).select("rid")
+    large = regions.where(F.col("n_px") >= min_px).select(
+        F.col("rid").alias("nbr"), F.col("value").alias("nbr_value")
+    )
+    w_pick = Window.partitionBy("rid").orderBy(
+        F.col("contact").desc(), F.col("nbr").asc()
+    )
+    targets = (
+        sym.join(small, "rid")
+        .join(large, "nbr")  # inner: only large neighbors qualify
+        .withColumn("__rk", F.row_number().over(w_pick))
+        .where(F.col("__rk") == 1)
+        .select("rid", F.col("nbr_value").alias("new_value"))
+    )
+    value_map = regions.join(targets, "rid", "left").select(
+        "rid", F.coalesce("new_value", "value").alias("out_value")
+    )
+
+    runs = read_level(spark, path, z).mapInPandas(
+        _runs_gen(ts, lw, eight),
+        "tx int, ty int, r int, c0 int, c1 int, label long, v double",
+    )
+    runs = _resolve_col(runs, comp, "label", "rid")
+    resolved = runs.join(value_map, "rid").select(
+        "tx", "ty", "r", "c0", "c1", "out_value"
+    )
+    out_spec = PyramidSpec(lw, lh, ts)
+    # dtype policy mirrors warp: NaN background exists whenever the level
+    # has nodata pixels, so assemble float64 and cast back to the source
+    # dtype per tile only when the tile is fully covered
+    src_dtype = read_level(spark, path, z).select("dtype").first()["dtype"]
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..plans.grid import tile_pixel_window
+
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        _, _, w, h = tile_pixel_window((lw, lh), 0, tx, ty, ts)
+        plane = np.full((h, w), np.nan, dtype=np.float64)
+        for r_ in pdf.itertuples(index=False):
+            plane[r_.r, r_.c0:r_.c1] = r_.out_value
+        if not np.isnan(plane).any():
+            plane = plane.astype(src_dtype, copy=False)
+        return _rows_to_pdf([_tile_row(out_spec, 0, tx, ty, plane)])
+
+    return resolved.groupBy("tx", "ty").applyInPandas(assemble, TILE_SCHEMA)
+
+
 def _runs_gen(ts: int, W: int, eight: bool):
     """Second-pass scan for the labeled-raster output: re-derives each
     tile's runs + provisional labels (deterministic — same algorithm as
@@ -330,9 +594,10 @@ def _runs_gen(ts: int, W: int, eight: bool):
                         lab_of_root[rt] = g
                 for i in range(rr.shape[0]):
                     out.append((tx, ty, int(rr[i, 0]), int(rr[i, 1]),
-                                int(rr[i, 2]), lab_of_root[int(root[i])]))
+                                int(rr[i, 2]), lab_of_root[int(root[i])],
+                                float(a[rr[i, 0], rr[i, 1]])))
             yield pd.DataFrame(
-                out, columns=["tx", "ty", "r", "c0", "c1", "label"]
+                out, columns=["tx", "ty", "r", "c0", "c1", "label", "v"]
             )
 
     return gen
@@ -359,29 +624,17 @@ def region_label_raster(
     writes the label plane. Tiles with zero labeled pixels are dropped
     (sparse semantics).
     """
-    from ..api import PyramidDataset
     from ..operators.build import PyramidSpec, _rows_to_pdf, _tile_row
-    from ..operators.dedup import connected_components
     from ..sources.catalog import TILE_SCHEMA, read_level
 
-    if connectivity not in (4, 8):
-        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     eight = connectivity == 8
-    spec = PyramidDataset.open(spark, path).spec
-    if z < 0 or z > spec.nlevels:
-        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
-    lw, lh = level_shape((spec.base_w, spec.base_h), z)
-    ts = spec.tilesize
-
-    scan = read_level(spark, path, z).mapInPandas(
-        _scan_gen(ts, lw, eight), _SCAN_SCHEMA
-    ).localCheckpoint(eager=True)
-    comp = connected_components(
-        _strip_edges(scan, eight),
-        driver_resolve_max_edges=driver_resolve_max_edges,
+    scan, comp, spec, lw, lh = _resolved_regions(
+        spark, path, z, connectivity, driver_resolve_max_edges, contacts=False
     )
+    ts = spec.tilesize
     runs = read_level(spark, path, z).mapInPandas(
-        _runs_gen(ts, lw, eight), "tx int, ty int, r int, c0 int, c1 int, label long"
+        _runs_gen(ts, lw, eight),
+        "tx int, ty int, r int, c0 int, c1 int, label long, v double",
     )
     resolved = (
         runs.join(comp, runs["label"] == comp["id"], "left")
@@ -430,31 +683,11 @@ def region_label(
     driver traffic), which is the correct shape when the stitch graph
     itself is cluster-sized.
     """
-    from ..api import PyramidDataset
-    from ..operators.dedup import connected_components
-    from ..sources.catalog import read_level
-
-    if connectivity not in (4, 8):
-        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
-    eight = connectivity == 8
-    spec = PyramidDataset.open(spark, path).spec
-    if z < 0 or z > spec.nlevels:
-        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
-    W = level_shape((spec.base_w, spec.base_h), z)[0]
-
-    scan = read_level(spark, path, z).mapInPandas(
-        _scan_gen(spec.tilesize, W, eight), _SCAN_SCHEMA
+    scan, comp, *_ = _resolved_regions(
+        spark, path, z, connectivity, driver_resolve_max_edges, contacts=False
     )
-    # partials + strips are tiny (components + 2/tilesize of pixels); pin
-    # them so the two downstream branches don't re-decode every tile
-    scan = scan.localCheckpoint(eager=True)
-
     partials = scan.where(F.col("kind") == 0).select(
         "label", "value", "n", "x0", "y0", "x1", "y1"
-    )
-    edges = _strip_edges(scan, eight)
-    comp = connected_components(
-        edges, driver_resolve_max_edges=driver_resolve_max_edges
     )
     return (
         partials.join(comp, partials["label"] == comp["id"], "left")

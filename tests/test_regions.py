@@ -165,3 +165,96 @@ def test_region_label_raster_matches_bfs_plane(spark, plane, plane_path, conn):
         a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c)
         got[r.ty * 32 : r.ty * 32 + r.h, r.tx * 32 : r.tx * 32 + r.w] = a
     np.testing.assert_array_equal(got, want)
+
+
+def _brute_plane_labels(a: np.ndarray, conn: int) -> np.ndarray:
+    h, w = a.shape
+    lab = np.full((h, w), -1, dtype=np.int64)
+    seen = np.zeros((h, w), dtype=bool)
+    if conn == 4:
+        nbrs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+    else:
+        nbrs = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx)
+    for y in range(h):
+        for x in range(w):
+            if seen[y, x] or np.isnan(a[y, x]):
+                continue
+            v, rid = a[y, x], y * w + x
+            q = deque([(y, x)])
+            seen[y, x] = True
+            while q:
+                cy, cx = q.popleft()
+                lab[cy, cx] = rid
+                for dy, dx in nbrs:
+                    ny, nx = cy + dy, cx + dx
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] and a[ny, nx] == v:
+                        seen[ny, nx] = True
+                        q.append((ny, nx))
+    return lab
+
+
+def _brute_adjacency(lab: np.ndarray) -> dict:
+    """4-adjacent pixel-pair counts between different labeled regions."""
+    acc = {}
+    h, w = lab.shape
+    for (a, b) in (
+        (lab[:, :-1].ravel(), lab[:, 1:].ravel()),
+        (lab[:-1, :].ravel(), lab[1:, :].ravel()),
+    ):
+        m = (a != b) & (a >= 0) & (b >= 0)
+        for x, y in zip(a[m].tolist(), b[m].tolist()):
+            k = (min(x, y), max(x, y))
+            acc[k] = acc.get(k, 0) + 1
+    return acc
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_region_adjacency_matches_brute_force(spark, plane, plane_path, conn):
+    from pyramidscheme_jl_spark.operators.regions import region_adjacency
+
+    got = {
+        (int(r.rid_a), int(r.rid_b)): int(r.contact)
+        for r in region_adjacency(spark, plane_path, z=0, connectivity=conn).collect()
+    }
+    want = _brute_adjacency(_brute_plane_labels(plane, conn))
+    assert got == want
+
+
+def test_region_sieve_matches_replay(spark, plane, plane_path):
+    """Single-pass sieve rule replayed in python: small regions with a
+    large max-contact neighbor take that neighbor's value; others stay."""
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.regions import region_sieve
+
+    min_px = 60
+    lab = _brute_plane_labels(plane, 4)
+    adj = _brute_adjacency(lab)
+    sizes = {int(r): int((lab == r).sum()) for r in np.unique(lab) if r >= 0}
+    values = {int(r): float(plane[lab == r][0]) for r in sizes}
+    # replay the rule
+    nbr_best = {}
+    for (a, b), c in adj.items():
+        for me, other in ((a, b), (b, a)):
+            if sizes[me] < min_px and sizes[other] >= min_px:
+                cur = nbr_best.get(me)
+                if cur is None or (c, -other) > (cur[0], -cur[1]):
+                    nbr_best[me] = (c, other)
+    want = plane.astype(np.float64).copy()
+    for me, (_, other) in nbr_best.items():
+        want[lab == me] = values[other]
+
+    h, w = plane.shape
+    got = np.full((h, w), np.nan)
+    for r in region_sieve(spark, plane_path, min_px=min_px, z=0).collect():
+        a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+        got[r.ty * 32 : r.ty * 32 + r.h, r.tx * 32 : r.tx * 32 + r.w] = a
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want)
+    np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_region_sieve_validation(spark, plane_path):
+    from pyramidscheme_jl_spark.operators.regions import region_sieve
+
+    with pytest.raises(ValueError, match="min_px"):
+        region_sieve(spark, plane_path, min_px=0)
