@@ -548,7 +548,8 @@ def region_sieve(
     # dtype policy mirrors warp: NaN background exists whenever the level
     # has nodata pixels, so assemble float64 and cast back to the source
     # dtype per tile only when the tile is fully covered
-    src_dtype = read_level(spark, path, z).select("dtype").first()["dtype"]
+    first = read_level(spark, path, z).select("dtype").first()
+    src_dtype = first["dtype"] if first is not None else "float64"
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..plans.grid import tile_pixel_window
