@@ -1508,6 +1508,27 @@ def _ensure_regions_pyramid(spark: SparkSession) -> str:
     return path
 
 
+def q_zonal_cube_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(polygon, t) EXACT quantiles over the streamed (x, y, t) cube
+    (joins.zonal_quantiles_cube, r8): the time axis rides the refine
+    keys, the value-histogram aggregate, and the cumulative windows —
+    same type-1 rule as ``zonal_quantiles``, same all-integer
+    portability. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import zonal_quantiles_cube
+
+    path = _ensure_streamed_cube(spark)
+    res = zonal_quantiles_cube(spark, path, _ZONAL_POLYS, qs=(0.25, 0.5, 0.75), z=0)
+    return res.select(
+        "polygon_id",
+        F.col("t").cast("long").alias("t"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("q250").cast("long").alias("q250"),
+        F.col("q500").cast("long").alias("q500"),
+        F.col("q750").cast("long").alias("q750"),
+    )
+
+
 _SIEVE_ORACLE_DIR = "/dev/shm/psjl_sieve_oracle_v1"
 
 #: sieve fixture: A large; B small touching A (contact 20) AND C (contact
@@ -1779,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "zonal_cube_quantiles": q_zonal_cube_quantiles,
         "region_sieve": q_region_sieve,
         "region_label_hist": q_region_label_hist,
         "zonal_quantiles": q_zonal_quantiles,
@@ -2686,6 +2708,36 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY 1, 2
+        """,
+        # cube quantiles: same slices, the type-1 window rule per
+        # (polygon, t) — all integer counts + one exact ceil per quantile
+        "zonal_cube_quantiles": f"""
+            WITH px AS (
+              SELECT tt.t AS t, gx*256 + x AS px, gy*256 + y AS py,
+                     CASE WHEN tt.t = 1 AND gx = 0 AND gy = 0 THEN 9
+                          ELSE CAST(((16*(gx+gy) + xor(x, y)) % 256 + 7*tt.t) % 256 AS BIGINT) END AS v
+              FROM generate_series(0, 1) g1(gx), generate_series(0, 1) g2(gy),
+                   generate_series(0, 255) s1(x), generate_series(0, 255) s2(y),
+                   (VALUES (0), (1)) tt(t)),
+                 hits AS (
+                   SELECT 'p1' AS polygon_id, t, v FROM px WHERE {_zonal_halfplane_sql(_ZONAL_RING_P1)}
+                   UNION ALL
+                   SELECT 'p2' AS polygon_id, t, v FROM px WHERE {_zonal_halfplane_sql(_ZONAL_RING_P2)}
+                   UNION ALL
+                   SELECT 'p3' AS polygon_id, t, v FROM px WHERE {_zonal_halfplane_sql(_ZONAL_RING_P3)}),
+                 h AS (SELECT polygon_id, t, v, COUNT(*) AS n FROM hits GROUP BY 1, 2, 3),
+                 c AS (
+                   SELECT polygon_id, t, v, n,
+                          SUM(n) OVER (PARTITION BY polygon_id, t ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(n) OVER (PARTITION BY polygon_id, t) AS total
+                   FROM h)
+            SELECT polygon_id, CAST(t AS BIGINT) AS t,
+                   CAST(MAX(total) AS BIGINT) AS n_px,
+                   CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.25 * total) AS BIGINT) THEN v END) AS BIGINT) AS q250,
+                   CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * total) AS BIGINT) THEN v END) AS BIGINT) AS q500,
+                   CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.75 * total) AS BIGINT) THEN v END) AS BIGINT) AS q750
+            FROM c GROUP BY polygon_id, t
         """,
         "streamed_pyramid_stats": """
             WITH px AS (

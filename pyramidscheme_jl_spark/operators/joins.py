@@ -886,12 +886,49 @@ def zonal_quantiles(
     with error <= one bucket width, the 100-TB shape for continuous
     domains.
     """
-    from pyspark.sql import Window
-
     from ..api import PyramidDataset
-    from ..functions.codec import decode_tile
     from ..sources.catalog import read_level
 
+    qs, labels, bins, lo_b, hi_b = _validate_quantile_args(qs, bins, vmin, vmax)
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z >= spec.nlevels + 1:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    return _zonal_quantiles_over_tiles(
+        spark, read_level(spark, path, z), spec, polygons, spec.cell_res(z),
+        qs, labels, (), max_pushdown_ranges, bins, lo_b, hi_b,
+    )
+
+
+def zonal_quantiles_cube(
+    spark: SparkSession,
+    path: str,
+    polygons: list[dict],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    z: int = 0,
+    max_pushdown_ranges: int = 64,
+    bins: int | None = None,
+    vmin: float | None = None,
+    vmax: float | None = None,
+) -> DataFrame:
+    """Per-(polygon, t) quantiles over an (x, y, t) cube level — the cube
+    twin of ``zonal_quantiles`` exactly as ``zonal_cube`` twins
+    ``zonal_raster``: ``t`` rides the refine keys, the histogram
+    aggregate, and the per-partition windows; never extra scans."""
+    from ..api import PyramidDataset
+    from ..operators.cube import read_cube_level
+
+    qs, labels, bins, lo_b, hi_b = _validate_quantile_args(qs, bins, vmin, vmax)
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z >= spec.nlevels + 1:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    return _zonal_quantiles_over_tiles(
+        spark, read_cube_level(spark, path, z), spec, polygons,
+        spec.cell_res(z), qs, labels, ("t",), max_pushdown_ranges,
+        bins, lo_b, hi_b,
+    )
+
+
+def _validate_quantile_args(qs, bins, vmin, vmax):
     if not qs:
         raise ValueError("qs must be non-empty")
     for q in qs:
@@ -907,13 +944,20 @@ def zonal_quantiles(
         if bins <= 0:
             raise ValueError(f"bins must be positive, got {bins}")
     lo_b, hi_b = (float(vmin), float(vmax)) if bins is not None else (0.0, 0.0)
-    nb = bins
-    spec = PyramidDataset.open(spark, path).spec
-    if z < 0 or z >= spec.nlevels + 1:
-        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    return qs, labels, bins, lo_b, hi_b
 
+
+def _zonal_quantiles_over_tiles(
+    spark, tiles, spec, polygons, res_z, qs, labels,
+    extra_keys: tuple[str, ...], max_pushdown_ranges, nb, lo_b, hi_b,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.codec import decode_tile
+
+    keys = list(extra_keys)
     cand, rings = _zonal_candidates(
-        spark, read_level(spark, path, z), spec, polygons, spec.cell_res(z),
+        spark, tiles, spec, polygons, res_z, extra_keys,
         max_pushdown_ranges=max_pushdown_ranges,
     )
     ring_items = sorted(rings.items())
@@ -921,7 +965,7 @@ def zonal_quantiles(
     def refine(batches):
         ringmap = dict(ring_items)
         for pdf in batches:
-            acc: dict[tuple[str, int], int] = {}
+            acc: dict[tuple, int] = {}
             for row in pdf.itertuples(index=False):
                 if row.c != 1:
                     raise ValueError(
@@ -955,27 +999,30 @@ def zonal_quantiles(
                     idx[x == hi_b] = nb - 1  # the raster_histogram bucket rule
                     flat = idx[(idx >= 0) & (idx < nb)]
                 vals, cnts = np.unique(flat, return_counts=True)
+                kv = tuple(getattr(row, k) for k in keys)
                 for v, c in zip(vals.tolist(), cnts.tolist()):
-                    key = (row.polygon_id, int(v))
+                    key = (row.polygon_id, *kv, int(v))
                     acc[key] = acc.get(key, 0) + int(c)
             yield pd.DataFrame(
-                [(p, v, n) for (p, v), n in acc.items()],
-                columns=["polygon_id", "value", "n"],
+                [(*k, n) for k, n in acc.items()],
+                columns=["polygon_id", *keys, "value", "n"],
             )
 
+    key_schema = "".join(f", {k} int" for k in keys)
     parts = cand.select(
-        "polygon_id", "is_full", "bytes", "w", "h", "c", "dtype",
+        "polygon_id", *keys, "is_full", "bytes", "w", "h", "c", "dtype",
         "xmin", "ymin", "xmax", "ymax",
     ).repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
-        refine, "polygon_id string, value long, n long"
+        refine, f"polygon_id string{key_schema}, value long, n long"
     )
-    hist = parts.groupBy("polygon_id", "value").agg(F.sum("n").alias("n"))
+    grp = ["polygon_id", *keys]
+    hist = parts.groupBy(*grp, "value").agg(F.sum("n").alias("n"))
     cum_w = (
-        Window.partitionBy("polygon_id")
+        Window.partitionBy(*grp)
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot_w = Window.partitionBy("polygon_id")
+    tot_w = Window.partitionBy(*grp)
     h2 = hist.withColumn("cum", F.sum("n").over(cum_w)).withColumn(
         "total", F.sum("n").over(tot_w)
     )
@@ -989,12 +1036,12 @@ def zonal_quantiles(
         ).alias(lab)
         for q, lab in zip(qs, labels)
     ]
-    res = h2.groupBy("polygon_id").agg(F.max("total").alias("n_px"), *qaggs)
+    res = h2.groupBy(*grp).agg(F.max("total").alias("n_px"), *qaggs)
     if nb is None:
         return res
     w_b = (hi_b - lo_b) / nb
     return res.select(
-        "polygon_id",
+        *grp,
         "n_px",
         *[
             c

@@ -414,3 +414,36 @@ def test_zonal_quantiles_binned_float_level(spark, pyr_path):
         assert g["n_px"] == n, pid
         assert g["q500_bin"] == int(idx[k - 1]), pid
         assert g["q500"] == lo + int(idx[k - 1]) * (hi - lo) / nb, pid
+
+
+def test_zonal_quantiles_cube_matches_flat_on_single_t(spark, pyr_path, tmp_path):
+    """Cube twin pinned against the flat path: a one-slice cube built from
+    the same tiles gives identical quantiles with t riding through."""
+    import pyarrow.parquet as pq
+
+    from pyramidscheme_jl_spark.operators.joins import (
+        zonal_quantiles,
+        zonal_quantiles_cube,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import (
+        MULTISCALES_FILE,
+        read_level,
+        write_multiscales,
+    )
+
+    cube = str(tmp_path / "cube")
+    tiles = read_level(spark, pyr_path, 0).withColumn("t", F.lit(3))
+    (tiles.write.partitionBy("z").parquet(f"{cube}/tiles"))
+    import shutil
+    shutil.copy(f"{pyr_path}/{MULTISCALES_FILE}", f"{cube}/{MULTISCALES_FILE}")
+    flat = {
+        r["polygon_id"]: (r["n_px"], r["q250"], r["q500"], r["q750"])
+        for r in zonal_quantiles(spark, pyr_path, _polys(), z=0).collect()
+    }
+    got = {
+        r["polygon_id"]: (r["t"], r["n_px"], r["q250"], r["q500"], r["q750"])
+        for r in zonal_quantiles_cube(spark, cube, _polys(), z=0).collect()
+    }
+    assert set(got) == set(flat)
+    for pid, (t, n, a, b, c) in got.items():
+        assert t == 3 and (n, a, b, c) == flat[pid], pid
