@@ -32,12 +32,20 @@ def main() -> int:
         "embedding_ivfpq_indexed", # codes scan: NO arrow (LUT join is JVM)
         "prebuilt_extend_window",  # metadata projection: NO arrow
         "geo_radius_join",         # ring-grid cells (r8 wrap): pure JVM
+        "zonal_quantiles",         # refine Arrow stage by design
+        "zonal_cube_quantiles",    # same, t riding the keys
+        "region_sieve",            # runs-pass + assemble Arrow stages
+        "region_label_hist",       # histogram partials Arrow stage
     ]
-    arrow_ok = {"warp_affine_stats", "region_label", "raster_value_histogram"}
-    # region_label runs its Arrow stages EAGERLY inside the call (the scan
-    # is localCheckpointed and the CC loop executes there); the returned
-    # plan is legitimately arrow-free, so only forbid bad stages for it
-    eager_arrow = {"region_label"}
+    arrow_ok = {
+        "warp_affine_stats", "region_label", "raster_value_histogram",
+        "zonal_quantiles", "zonal_cube_quantiles", "region_sieve",
+        "region_label_hist",
+    }
+    # region_label & co run part of their Arrow work EAGERLY inside the
+    # call (the scan is localCheckpointed and the resolve executes there);
+    # a returned plan without visible arrow stages is legitimate for them
+    eager_arrow = {"region_label", "region_sieve", "region_label_hist"}
     rc = 0
     for name in names:
         df = qs[name](spark, sf)
