@@ -1508,6 +1508,49 @@ def _ensure_regions_pyramid(spark: SparkSession) -> str:
     return path
 
 
+_PROX_ORACLE_DIR = "/dev/shm/psjl_prox_oracle_v1"
+_PROX_R = 5
+_PROX_TARGET = 7.0
+
+
+def q_raster_proximity_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity raster (raster.raster_proximity, r8 — gdal_proximity
+    analog) composed with write_level + raster_histogram: exact per-value
+    counts of SQUARED distances to the nearest value-7 pixel of the zonal
+    mosaic within radius 5 (-1 = unreachable, counted only over emitted
+    tiles — tiles with at least one reached pixel). DuckDB replays the
+    exact minimum with a bounded offset join (121 offsets, dd <= 25) over
+    the closed-form target predicate. Fixed-size by design; ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import (
+        raster_histogram,
+        raster_proximity,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    src = _ensure_zonal_pyramid(spark)
+    path = f"{_PROX_ORACLE_DIR}/prox"
+    done = f"{_PROX_ORACLE_DIR}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(_PROX_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_PROX_ORACLE_DIR, exist_ok=True)
+        write_level(
+            raster_proximity(spark, src, _PROX_TARGET, _PROX_R, z=0), path, 0
+        )
+        write_multiscales(path, 0, 128, 512, 512, "proximity", "-")
+        open(done, "w").close()
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("d2"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_zonal_cube_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(polygon, t) EXACT quantiles over the streamed (x, y, t) cube
     (joins.zonal_quantiles_cube, r8): the time axis rides the refine
@@ -1800,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "raster_proximity_hist": q_raster_proximity_hist,
         "zonal_cube_quantiles": q_zonal_cube_quantiles,
         "region_sieve": q_region_sieve,
         "region_label_hist": q_region_label_hist,
@@ -2708,6 +2752,32 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY 1, 2
+        """,
+        # proximity histogram: per-pixel exact min over the bounded offset
+        # set (dd <= r^2 implies Chebyshev <= r, so 121 offsets is the
+        # complete candidate set) against the closed-form target predicate
+        "raster_proximity_hist": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS X),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS Y),
+                 os AS (SELECT UNNEST(range(-{_PROX_R}, {_PROX_R + 1})) AS o),
+                 off AS (
+                   SELECT a.o AS dx, b.o AS dy, a.o*a.o + b.o*b.o AS dd
+                   FROM os a CROSS JOIN os b
+                   WHERE a.o*a.o + b.o*b.o <= {_PROX_R * _PROX_R}),
+                 d AS (
+                   SELECT X, Y, X // 128 AS tx, Y // 128 AS ty,
+                          MIN(CASE WHEN X + dx BETWEEN 0 AND 511
+                                    AND Y + dy BETWEEN 0 AND 511
+                                    AND (16*(((X+dx)//128)+((Y+dy)//128))
+                                         + xor((X+dx)%128, (Y+dy)%128)) % 256 = {int(_PROX_TARGET)}
+                                   THEN dd END) AS d2
+                   FROM xs CROSS JOIN ys CROSS JOIN off
+                   GROUP BY X, Y),
+                 t AS (SELECT DISTINCT tx, ty FROM d WHERE d2 IS NOT NULL)
+            SELECT CAST(COALESCE(d2, -1) AS BIGINT) AS d2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d JOIN t USING (tx, ty)
+            GROUP BY 1
         """,
         # cube quantiles: same slices, the type-1 window rule per
         # (polygon, t) — all integer counts + one exact ceil per quantile

@@ -255,6 +255,36 @@ def _halo_gen(radius: int, with_t: bool = False):
     return gen
 
 
+def _assemble_pad(c, pdf, r: int):
+    """Shared halo assembly: decode the center tile and surround it with
+    the received strips. Returns ``(a, pad, valid, is_int)`` where ``pad``
+    is the (h+2r, w+2r) value plane (int64 for integer rasters, float64
+    otherwise; NaN zero-filled) and ``valid`` marks real finite pixels —
+    absent neighbors/strips stay invalid (borders SHRINK)."""
+    import numpy as np
+
+    from ..functions.codec import decode_tile
+
+    h, w = int(c["h"]), int(c["w"])
+    a = decode_tile(c["bytes"], h, w, c["dtype"])
+    is_int = a.dtype.kind in "ui"
+    acc_dt = np.int64 if is_int else np.float64
+    pad = np.zeros((h + 2 * r, w + 2 * r), dtype=acc_dt)
+    valid = np.zeros(pad.shape, dtype=bool)
+    pad[r:r + h, r:r + w] = np.nan_to_num(a) if not is_int else a
+    # NaN pixels are NODATA (the sparse-assembly convention), not
+    # values: they must neither poison neighbors' stats nor count
+    valid[r:r + h, r:r + w] = np.isfinite(a)
+    for row in pdf[(pdf["dx"] != 0) | (pdf["dy"] != 0)].itertuples():
+        p = decode_tile(row.bytes, row.h, row.w, row.dtype)
+        x0 = 0 if row.dx == -1 else (r if row.dx == 0 else r + w)
+        y0 = 0 if row.dy == -1 else (r if row.dy == 0 else r + h)
+        ph, pw = p.shape
+        pad[y0:y0 + ph, x0:x0 + pw] = np.nan_to_num(p)
+        valid[y0:y0 + ph, x0:x0 + pw] = np.isfinite(p)
+    return a, pad, valid, is_int
+
+
 def _focal_assemble(stat: str, radius: int, z: int, with_t: bool = False):
     """applyInPandas stage per (tx, ty): pad the center tile with the
     received strips (absent neighbors/strips -> invalid: the window
@@ -279,22 +309,7 @@ def _focal_assemble(stat: str, radius: int, z: int, with_t: bool = False):
             return pd.DataFrame(columns=out_cols)
         c = ctr.iloc[0]
         h, w, r = int(c["h"]), int(c["w"]), radius
-        a = decode_tile(c["bytes"], h, w, c["dtype"])
-        is_int = a.dtype.kind in "ui"
-        acc_dt = np.int64 if is_int else np.float64
-        pad = np.zeros((h + 2 * r, w + 2 * r), dtype=acc_dt)
-        valid = np.zeros(pad.shape, dtype=bool)
-        pad[r:r + h, r:r + w] = np.nan_to_num(a) if not is_int else a
-        # NaN pixels are NODATA (the sparse-assembly convention), not
-        # values: they must neither poison neighbors' stats nor count
-        valid[r:r + h, r:r + w] = np.isfinite(a)
-        for row in pdf[(pdf["dx"] != 0) | (pdf["dy"] != 0)].itertuples():
-            p = decode_tile(row.bytes, row.h, row.w, row.dtype)
-            x0 = 0 if row.dx == -1 else (r if row.dx == 0 else r + w)
-            y0 = 0 if row.dy == -1 else (r if row.dy == 0 else r + h)
-            ph, pw = p.shape
-            pad[y0:y0 + ph, x0:x0 + pw] = np.nan_to_num(p)
-            valid[y0:y0 + ph, x0:x0 + pw] = np.isfinite(p)
+        a, pad, valid, is_int = _assemble_pad(c, pdf, r)
 
         k = 2 * r + 1
 
@@ -418,6 +433,96 @@ def focal_stats(
     return halo.groupBy("tx", "ty").applyInPandas(
         _focal_assemble(stat, radius, z), TILE_SCHEMA
     )
+
+
+def raster_proximity(
+    spark,
+    path: str,
+    target_value: float,
+    max_radius: int,
+    z: int = 0,
+):
+    """Proximity raster (GDAL ``gdal_proximity`` analog): for every pixel
+    position, the EXACT SQUARED Euclidean distance (int64 — exact, hence
+    engine-portable; take sqrt downstream if meters are wanted) to the
+    nearest pixel whose value equals ``target_value``, searched within
+    ``max_radius``; positions with no target in reach hold ``-1``.
+    Distance is positional: a target at the pixel itself gives 0, and
+    source NaN/nodata at NON-target positions does not matter (GDAL
+    semantics — proximity is about where targets are, not what the other
+    pixels hold).
+
+    Plan: the focal halo exchange (strips of width ``max_radius``,
+    ~2r/tilesize of the pixel volume) followed by an exact SEPARABLE
+    two-stage EDT per padded tile: stage 1 takes, per column, the min
+    ``dy^2`` to a target within +-r rows (2r+1 vectorized row shifts);
+    stage 2 takes ``min_dx (dx^2 + stage1[y, x+dx])`` (2r+1 column
+    shifts) — the exact brute minimum in O(r) vector passes, never
+    O(r^2). Correctness bound: any target with Euclidean distance <= r
+    is within Chebyshev r, i.e. inside the halo. ``max_radius`` must not
+    exceed the tile size (halos reach adjacent tiles only — the
+    ``_halo_gen`` contract); for coarser reaches run against an overview
+    level, where radius shrinks by 2^z. Tiles with no reachable target
+    anywhere are dropped (sparse semantics).
+    """
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if max_radius < 1:
+        raise ValueError(f"max_radius must be >= 1, got {max_radius}")
+    tiles = read_level(spark, path, z)
+    if any(f.name == "t" for f in tiles.schema.fields):
+        raise ValueError("raster_proximity expects a flat (x, y) level")
+    halo = tiles.mapInPandas(_halo_gen(max_radius), _HALO_SCHEMA)
+    return halo.groupBy("tx", "ty").applyInPandas(
+        _proximity_assemble(float(target_value), max_radius, z), TILE_SCHEMA
+    )
+
+
+def _proximity_assemble(target: float, radius: int, z: int):
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codec import encode_tile
+
+    out_cols = ["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
+                "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
+                "xmax", "ymax"]
+    INF = 1 << 60
+
+    def fn(key, pdf):
+        ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if ctr.empty:
+            return pd.DataFrame(columns=out_cols)
+        c = ctr.iloc[0]
+        h, w, r = int(c["h"]), int(c["w"]), radius
+        _, pad, valid, _ = _assemble_pad(c, pdf, r)
+        tm = valid & (pad == target)
+        # stage 1: per padded column, min dy^2 to a target within +-r rows
+        d1 = np.full((h, w + 2 * r), INF, dtype=np.int64)
+        for dy in range(-r, r + 1):
+            np.minimum(
+                d1, np.where(tm[r + dy:r + dy + h, :], dy * dy, INF), out=d1
+            )
+        # stage 2: min over dx of dx^2 + stage1 shifted
+        best = np.full((h, w), INF, dtype=np.int64)
+        for dx in range(-r, r + 1):
+            np.minimum(best, dx * dx + d1[:, r + dx:r + dx + w], out=best)
+        out = np.where(best <= r * r, best, -1)
+        if (out < 0).all():
+            return pd.DataFrame(columns=out_cols)
+        reached = out[out >= 0]
+        return pd.DataFrame([{
+            "z": z, "tx": int(c["tx"]), "ty": int(c["ty"]),
+            "bytes": encode_tile(out), "w": w, "h": h, "c": 1,
+            "dtype": "int64",
+            "vmin": float(reached.min()), "vmax": float(reached.max()),
+            "vmean": float(reached.mean()),
+            "cell": None if c["cell"] is None else int(c["cell"]),
+            "xmin": float(c["xmin"]), "ymin": float(c["ymin"]),
+            "xmax": float(c["xmax"]), "ymax": float(c["ymax"]),
+        }])
+
+    return fn
 
 
 def focal_stats_cube(
