@@ -1459,6 +1459,211 @@ def q_warp_affine_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# temporal cube fixture (round 8): gap-fill + composite over a NON-UNIFORM t
+# domain. Closed-form pixels, closed-form missingness, one frame-tile dropped
+# from storage entirely (sparse-cube absent plane) — DuckDB regenerates all
+# of it and replays the fill/composite rules with window functions.
+# ---------------------------------------------------------------------------
+
+_TIMECUBE_ORACLE_DIR = "/dev/shm/psjl_timecube_oracle_v1"
+_TC_TS = (0, 1, 2, 4, 6)  # non-uniform: gap rules are t-unit, not index
+_TC_BASE, _TC_TILE = 256, 128
+_TC_DROPPED = (1, 0, 2)  # (tx, ty, t) frame-tile absent from storage
+
+
+def _ensure_timecube(spark: SparkSession) -> str:
+    """Memoized cube fixture: v = (3*px + 5*py + 11*t) % 97 (float64),
+    missing iff (px + 2*py + 3*t) % 5 == 0, plus one whole frame-tile
+    dropped. Every pixel (and every hole) is closed-form in DuckDB."""
+    path = f"{_TIMECUBE_ORACLE_DIR}/cube"
+    done = f"{_TIMECUBE_ORACLE_DIR}/_done"
+    if os.path.exists(done):
+        return path
+    import shutil
+
+    import numpy as np
+
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, _tile_row
+    from pyramidscheme_jl_spark.operators.cube import CUBE_TILE_SCHEMA, write_cube_level
+    from pyramidscheme_jl_spark.sources.catalog import write_multiscales
+
+    shutil.rmtree(_TIMECUBE_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(_TIMECUBE_ORACLE_DIR, exist_ok=True)
+    spec = PyramidSpec(_TC_BASE, _TC_BASE, _TC_TILE)
+    px = np.arange(_TC_BASE)[None, :]
+    py = np.arange(_TC_BASE)[:, None]
+    rows = []
+    for t in _TC_TS:
+        frame = ((3 * px + 5 * py + 11 * t) % 97).astype(np.float64)
+        frame[(px + 2 * py + 3 * t) % 5 == 0] = np.nan
+        for ty in range(2):
+            for tx in range(2):
+                if (tx, ty, t) == _TC_DROPPED:
+                    continue
+                a = frame[
+                    ty * _TC_TILE : (ty + 1) * _TC_TILE,
+                    tx * _TC_TILE : (tx + 1) * _TC_TILE,
+                ]
+                rows.append(dict(_tile_row(spec, 0, tx, ty, a), t=t))
+    write_cube_level(spark.createDataFrame(rows, CUBE_TILE_SCHEMA), path, 0)
+    write_multiscales(path, spec.nlevels, _TC_TILE, _TC_BASE, _TC_BASE, "mean", "-")
+    open(done, "w").close()
+    return path
+
+
+def _cube_px_stats(df: DataFrame, scale: int) -> DataFrame:
+    """Per-(t, tile) valid-pixel count + exact integer sum of
+    rint(v*scale). For integer-valued planes scale=1 is lossless; for
+    linear-fill planes the scale clears every rational denominator (lcm
+    of possible t spans), so the rounded product is EXACTLY the integer
+    DuckDB computes — portable (the warp vmean_u discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                m = np.isfinite(a)
+                rows.append({
+                    "t": int(r.t), "tx": int(r.tx), "ty": int(r.ty),
+                    "n_valid": int(m.sum()),
+                    "sum_u": int(np.rint(a[m] * scale).astype(np.int64).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, "t long, tx long, ty long, n_valid long, sum_u long")
+
+
+def _plane_px_stats(df: DataFrame, scale: int, with_minmax: bool = False) -> DataFrame:
+    """TILE-plane twin of ``_cube_px_stats`` (composites have no t)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                m = np.isfinite(a)
+                row = {
+                    "tx": int(r.tx), "ty": int(r.ty),
+                    "n_valid": int(m.sum()),
+                    "sum_u": int(np.rint(a[m] * scale).astype(np.int64).sum()),
+                }
+                if with_minmax:
+                    row["vmin_px"] = int(a[m].min()) if m.any() else -1
+                    row["vmax_px"] = int(a[m].max()) if m.any() else -1
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    ddl = "tx long, ty long, n_valid long, sum_u long"
+    if with_minmax:
+        ddl += ", vmin_px long, vmax_px long"
+    return df.mapInPandas(gen, ddl)
+
+
+def q_cube_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pixel LOCF along t over a stored cube (cube_time.cube_gap_fill,
+    r8): one groupBy(tx,ty) gather, vectorized numpy fill, absent frames
+    re-materialized over the collected t domain. Carried values are the
+    source integers, so per-(t,tile) sums are exact BIGINTs both engines.
+    Fixed-size by design (subsystem under test is the fill plan); ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.cube_time import cube_gap_fill
+
+    path = _ensure_timecube(spark)
+    return _cube_px_stats(cube_gap_fill(spark, path, method="locf"), 1)
+
+
+def q_cube_gapfill_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded linear interpolation along t (gap length <= 2 in t units)
+    through the CHUNKED halo-exchange path (t_chunk=2): chunk groups see
+    home frames + max_gap+1 halo frames each side and emit interiors only
+    — the scale shape for long series. Fill values are
+    (pv*(tn-t)+nv*(t-tp))/(tn-tp): exact integer products, one IEEE
+    division; sums portable via rint(v*60) (60 clears every t-span
+    denominator in [1,6]). Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.cube_time import cube_gap_fill
+
+    path = _ensure_timecube(spark)
+    return _cube_px_stats(
+        cube_gap_fill(spark, path, method="linear", max_gap=2, t_chunk=2), 60
+    )
+
+
+def q_cube_composite_max(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-value composite + winning-t provenance plane
+    (cube_time.cube_composite, r8 — the max-NDVI mosaic rule, ties to the
+    smallest t). Value-plane stats joined with the argt plane's exact
+    per-tile winning-t sum (integers, so both planes hash portably).
+    Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.cube_time import cube_composite
+
+    path = _ensure_timecube(spark)
+    val = _plane_px_stats(cube_composite(spark, path, stat="max"), 1, with_minmax=True)
+    argt = _plane_px_stats(
+        cube_composite(spark, path, stat="max", argt=True), 1
+    ).select("tx", "ty", F.col("sum_u").alias("t_sum"))
+    return val.join(argt, ["tx", "ty"])
+
+
+def q_cube_composite_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pixel skipmissing mean along t (cube_time.cube_composite): the
+    per-pixel mean is exact-int-sum / count (counts in [1,5]); rint(v*60)
+    clears every count denominator, so tile sums are exact BIGINTs both
+    engines. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.cube_time import cube_composite
+
+    path = _ensure_timecube(spark)
+    return _plane_px_stats(cube_composite(spark, path, stat="mean"), 60)
+
+
+def q_reclassify_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Class remap (read.reclassify, r8 — the gdal_calc/ESA-LC reclass
+    shape) composed through the store loop: reclassify the zonal mosaic's
+    base level into 8 int32 classes -> write_level -> raster_histogram
+    exact per-value counts. DuckDB rebins the closed-form mosaic.
+    Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import raster_histogram
+    from pyramidscheme_jl_spark.operators.read import reclassify
+    from pyramidscheme_jl_spark.sources.catalog import (
+        read_level,
+        write_level,
+        write_multiscales,
+    )
+
+    src = _ensure_zonal_pyramid(spark)
+    path = f"{_TIMECUBE_ORACLE_DIR}/reclass"
+    done = f"{_TIMECUBE_ORACLE_DIR}/_reclass_done"
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        bins = [(i * 32, (i + 1) * 32, 10 + i) for i in range(8)]
+        out = reclassify(read_level(spark, src, 0), bins, default=0, dtype="int32")
+        write_level(out, path, 0)
+        write_multiscales(path, 0, 128, 512, 512, "reclass", "-")
+        open(done, "w").close()
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("klass"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 _REGIONS_ORACLE_DIR = "/dev/shm/psjl_regions_oracle_v1"
 
 #: integer-rect burn list for the region fixture: A+B touch (one region
@@ -1843,6 +2048,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "cube_gapfill_locf": q_cube_gapfill_locf,
+        "cube_gapfill_linear": q_cube_gapfill_linear,
+        "cube_composite_max": q_cube_composite_max,
+        "cube_composite_mean": q_cube_composite_mean,
+        "reclassify_hist": q_reclassify_hist,
         "raster_proximity_hist": q_raster_proximity_hist,
         "zonal_cube_quantiles": q_zonal_cube_quantiles,
         "region_sieve": q_region_sieve,
@@ -2138,6 +2348,27 @@ def _sieve_oracle_sql() -> str:
                CAST(MAX(Y) AS BIGINT) AS ymax
         FROM hits GROUP BY rk, value
     """
+
+
+def _tc_base_cte() -> str:
+    """Shared closed-form pixel CTE for the temporal-cube fixture
+    (`_ensure_timecube`): non-uniform t domain, formula values, formula
+    missingness, plus the dropped frame-tile as NULLs."""
+    dx0 = _TC_DROPPED[0] * _TC_TILE
+    dy0 = _TC_DROPPED[1] * _TC_TILE
+    vals = ", ".join(f"({t})" for t in _TC_TS)
+    return f"""
+        ts(t) AS (VALUES {vals}),
+        xs AS (SELECT UNNEST(range(0, {_TC_BASE})) AS px),
+        ys AS (SELECT UNNEST(range(0, {_TC_BASE})) AS py),
+        base AS (
+          SELECT t, px, py,
+                 CASE WHEN (px + 2*py + 3*t) % 5 = 0 THEN NULL
+                      WHEN t = {_TC_DROPPED[2]}
+                           AND px >= {dx0} AND px < {dx0 + _TC_TILE}
+                           AND py >= {dy0} AND py < {dy0 + _TC_TILE} THEN NULL
+                      ELSE (3*px + 5*py + 11*t) % 97 END AS v
+          FROM ts CROSS JOIN xs CROSS JOIN ys)"""
 
 
 def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
@@ -2569,6 +2800,108 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # tile; out-of-range pixels are simply not generated (the engine
         # side holds NaN there, skipped by its nan-stats). w/h pinned
         # closed-form; vmean is exact-int-sum / count, one IEEE division.
+        # LOCF along t over the temporal-cube fixture: DuckDB carries the
+        # last non-NULL per pixel with a window, then aggregates per
+        # (t, tile). Carried values are source integers -> exact BIGINT sums.
+        "cube_gapfill_locf": f"""
+            WITH {_tc_base_cte()},
+                 f AS (
+                   SELECT t, px, py,
+                          LAST_VALUE(v IGNORE NULLS) OVER (
+                            PARTITION BY px, py ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+                   FROM base)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(px // {_TC_TILE} AS BIGINT) AS tx,
+                   CAST(py // {_TC_TILE} AS BIGINT) AS ty,
+                   CAST(COUNT(fv) AS BIGINT) AS n_valid,
+                   CAST(SUM(fv) AS BIGINT) AS sum_u
+            FROM f GROUP BY 1, 2, 3 HAVING COUNT(fv) > 0
+        """,
+        # bounded linear fill (gap length <= 2 t-units): prev/next obs via
+        # IGNORE-NULLS windows, fill = (pv*(tn-t)+nv*(t-tp))/(tn-tp) —
+        # exact integer products, ONE double division, then ROUND(v*60)
+        # (60 clears every span denominator) to exact BIGINTs.
+        "cube_gapfill_linear": f"""
+            WITH {_tc_base_cte()},
+                 f AS (
+                   SELECT t, px, py, v,
+                          LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                            PARTITION BY px, py ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+                          LAST_VALUE(v IGNORE NULLS) OVER (
+                            PARTITION BY px, py ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                          FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                            PARTITION BY px, py ORDER BY t
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+                          FIRST_VALUE(v IGNORE NULLS) OVER (
+                            PARTITION BY px, py ORDER BY t
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+                   FROM base),
+                 g AS (
+                   SELECT t, px, py,
+                          CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                               WHEN pt IS NOT NULL AND nt IS NOT NULL
+                                    AND nt - pt - 1 <= 2
+                               THEN (CAST(pv AS DOUBLE) * (nt - t)
+                                     + CAST(nv AS DOUBLE) * (t - pt))
+                                    / CAST(nt - pt AS DOUBLE)
+                          END AS fv
+                   FROM f)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(px // {_TC_TILE} AS BIGINT) AS tx,
+                   CAST(py // {_TC_TILE} AS BIGINT) AS ty,
+                   CAST(COUNT(fv) AS BIGINT) AS n_valid,
+                   CAST(SUM(CAST(ROUND(fv * 60) AS BIGINT)) AS BIGINT) AS sum_u
+            FROM g GROUP BY 1, 2, 3 HAVING COUNT(fv) > 0
+        """,
+        # max-value composite + winning-t (ties -> smallest t): per-pixel
+        # MAX then MIN(t) at the max, aggregated per tile — all integers.
+        "cube_composite_max": f"""
+            WITH {_tc_base_cte()},
+                 m AS (SELECT px, py, MAX(v) AS vm FROM base GROUP BY px, py),
+                 a AS (
+                   SELECT b.px AS px, b.py AS py, ANY_VALUE(m.vm) AS vm,
+                          MIN(CASE WHEN b.v = m.vm THEN b.t END) AS tt
+                   FROM base b JOIN m USING (px, py)
+                   WHERE m.vm IS NOT NULL
+                   GROUP BY b.px, b.py)
+            SELECT CAST(px // {_TC_TILE} AS BIGINT) AS tx,
+                   CAST(py // {_TC_TILE} AS BIGINT) AS ty,
+                   CAST(COUNT(vm) AS BIGINT) AS n_valid,
+                   CAST(SUM(vm) AS BIGINT) AS sum_u,
+                   CAST(MIN(vm) AS BIGINT) AS vmin_px,
+                   CAST(MAX(vm) AS BIGINT) AS vmax_px,
+                   CAST(SUM(tt) AS BIGINT) AS t_sum
+            FROM a GROUP BY 1, 2
+        """,
+        # mean composite: per-pixel exact-int-sum / count (one double
+        # division), ROUND(v*60) clears every count denominator in [1,5]
+        "cube_composite_mean": f"""
+            WITH {_tc_base_cte()},
+                 a AS (SELECT px, py, SUM(v) AS s, COUNT(v) AS n
+                       FROM base GROUP BY px, py)
+            SELECT CAST(px // {_TC_TILE} AS BIGINT) AS tx,
+                   CAST(py // {_TC_TILE} AS BIGINT) AS ty,
+                   CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_valid,
+                   CAST(SUM(CASE WHEN n > 0 THEN
+                     CAST(ROUND((CAST(s AS DOUBLE) / n) * 60) AS BIGINT) END)
+                     AS BIGINT) AS sum_u
+            FROM a GROUP BY 1, 2
+        """,
+        # reclassify over the zonal mosaic: DuckDB rebins the closed-form
+        # pixels through the same half-open [lo, hi) -> class map
+        "reclassify_hist": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 v AS (
+                   SELECT (16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS val
+                   FROM xs CROSS JOIN ys)
+            SELECT CAST(10 + val // 32 AS BIGINT) AS klass,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY 1
+        """,
         "warp_affine_stats": """
             WITH xs AS (SELECT UNNEST(range(0, 320)) AS X),
                  ys AS (SELECT UNNEST(range(0, 288)) AS Y),

@@ -154,6 +154,13 @@ def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFra
     else:
         raise KeyError(f"unknown op {op!r}; unary={sorted(UNARY_OPS)} binary={sorted(BINARY_OPS)}")
 
+    return _map_tiles_with(tiles, fn)
+
+
+def _map_tiles_with(tiles: DataFrame, fn) -> DataFrame:
+    """Shared elementwise-map stage: decode -> fn(array) -> re-encode with
+    fresh stats. One narrow mapInPandas, no shuffle; every level at once."""
+
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -174,6 +181,47 @@ def map_tiles(tiles: DataFrame, op: str, scalar: float | None = None) -> DataFra
                 yield _rows_to_pdf(rows)
 
     return tiles.mapInPandas(gen, TILE_SCHEMA)
+
+
+def reclassify(
+    tiles: DataFrame,
+    bins: list[tuple[float, float, float]],
+    default: float = np.nan,
+    dtype: str = "float64",
+) -> DataFrame:
+    """Reclassify pixel values through half-open ``[lo, hi) -> out`` bins
+    (the GDAL ``gdal_calc``/QGIS reclass / ESA land-cover class-remap
+    shape — the reference's ESALCMode reducer exists precisely to
+    downsample such class rasters, src/PyramidScheme.jl:302-318). Values
+    matching no bin — including NaN nodata — become ``default`` (NaN by
+    default, preserving nodata semantics through the remap).
+
+    Bins must be non-overlapping; later bins win is therefore never
+    observable, and the remap is order-independent (validated here).
+    Same plan shape as ``map_tiles``: one narrow mapInPandas, no shuffle,
+    stats refreshed per tile so downstream stats-based tile skipping
+    (F4) keeps working on the reclassified raster.
+    """
+    parsed = [(float(lo), float(hi), float(out)) for lo, hi, out in bins]
+    for lo, hi, _ in parsed:
+        if not lo < hi:
+            raise ValueError(f"empty bin [{lo}, {hi})")
+    for i, (lo, hi, _) in enumerate(parsed):
+        for lo2, hi2, _ in parsed[i + 1 :]:
+            if lo < hi2 and lo2 < hi:
+                raise ValueError(f"bins overlap: [{lo},{hi}) and [{lo2},{hi2})")
+    np_dtype = np.dtype(dtype)
+    if np_dtype.kind in "iu" and (np.isnan(default) if isinstance(default, float) else False):
+        raise ValueError(f"integer dtype {dtype} cannot hold NaN default")
+
+    def remap(a: np.ndarray) -> np.ndarray:
+        af = a.astype(np.float64, copy=False)
+        out = np.full(af.shape, default, dtype=np.float64)
+        for lo, hi, val in parsed:
+            out[(af >= lo) & (af < hi)] = val
+        return out.astype(np_dtype, copy=False)
+
+    return _map_tiles_with(tiles, remap)
 
 
 #: stats predicate per threshold op: which tiles CAN contain a hit.
