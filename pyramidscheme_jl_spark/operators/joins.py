@@ -928,6 +928,58 @@ def zonal_quantiles_cube(
     )
 
 
+def zonal_categorical(
+    spark: SparkSession,
+    path: str,
+    polygons: list[dict],
+    z: int = 0,
+    max_pushdown_ranges: int = 64,
+) -> DataFrame:
+    """Per-polygon CATEGORICAL statistics over an integer pyramid level —
+    the ArcGIS/``exactextract`` majority/minority/variety family that
+    ``zonal_raster``'s scalar aggregates cannot express:
+
+    - ``variety``: number of distinct pixel values inside the polygon,
+    - ``majority`` / ``majority_n``: the most frequent value and its
+      count — ties break to the LOWEST value (the engine's ESALC-mode
+      reducer convention, ``functions/reducers.py``),
+    - ``minority`` / ``minority_n``: the least frequent, same tie rule,
+    - ``n_px``: total pixels.
+
+    Plan: the shared ``_zonal_value_hist`` refine (pruned scan, per-
+    (polygon, value) count partials — shuffle bounded by occupied values
+    x tiles), then ONE hash aggregate: majority = argmax over (n, -value)
+    structs, minority = argmin over (n, value) structs — no window pass
+    at all (cheaper than the quantile twin). Integer single-channel
+    rasters only (categorical semantics); floats raise in the refine.
+
+    Reference parity note: PyramidScheme.jl's ESALCMode reducer
+    (ext/PyramidSchemeArchGDALExt.jl) IS per-block majority — this is
+    the vector-zone generalization, north-rule surface.
+    """
+    from ..api import PyramidDataset
+    from ..sources.catalog import read_level
+
+    spec = PyramidDataset.open(spark, path).spec
+    if z < 0 or z >= spec.nlevels + 1:
+        raise ValueError(f"level {z} out of range for {spec.nlevels + 1}-level pyramid")
+    hist = _zonal_value_hist(
+        spark, read_level(spark, path, z), spec, polygons, spec.cell_res(z),
+        (), max_pushdown_ranges, None, 0.0, 0.0,
+    )
+    # majority: lexicographic max of (n, -value) -> highest count, lowest
+    # value on ties; minority: min of (n, value). Struct min/max keeps it
+    # a single codegen'd aggregate (no window, no second shuffle).
+    return hist.groupBy("polygon_id").agg(
+        F.sum("n").alias("n_px"),
+        F.count("value").alias("variety"),
+        F.expr("max(struct(n, -value AS nv)).nv * -1").alias("majority"),
+        F.expr("max(struct(n, -value AS nv)).n").alias("majority_n"),
+        F.expr("min(struct(n, value)).value").alias("minority"),
+        F.expr("min(struct(n, value)).n").alias("minority_n"),
+    )
+
+
 def _validate_quantile_args(qs, bins, vmin, vmax):
     if not qs:
         raise ValueError("qs must be non-empty")
@@ -947,12 +999,15 @@ def _validate_quantile_args(qs, bins, vmin, vmax):
     return qs, labels, bins, lo_b, hi_b
 
 
-def _zonal_quantiles_over_tiles(
-    spark, tiles, spec, polygons, res_z, qs, labels,
+def _zonal_value_hist(
+    spark, tiles, spec, polygons, res_z,
     extra_keys: tuple[str, ...], max_pushdown_ranges, nb, lo_b, hi_b,
 ) -> DataFrame:
-    from pyspark.sql import Window
-
+    """Shared refine core for the order/frequency statistics zonal ops
+    (``zonal_quantiles``, ``zonal_categorical``): per-(polygon[, t],
+    value) pixel COUNTS over a pruned tile scan — shuffle bounded by
+    occupied values x tiles, never pixels. ``nb``/``lo_b``/``hi_b``
+    switch on the raster_histogram bucket rule for float rasters."""
     from ..functions.codec import decode_tile
 
     keys = list(extra_keys)
@@ -1016,7 +1071,21 @@ def _zonal_quantiles_over_tiles(
         refine, f"polygon_id string{key_schema}, value long, n long"
     )
     grp = ["polygon_id", *keys]
-    hist = parts.groupBy(*grp, "value").agg(F.sum("n").alias("n"))
+    return parts.groupBy(*grp, "value").agg(F.sum("n").alias("n"))
+
+
+def _zonal_quantiles_over_tiles(
+    spark, tiles, spec, polygons, res_z, qs, labels,
+    extra_keys: tuple[str, ...], max_pushdown_ranges, nb, lo_b, hi_b,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    keys = list(extra_keys)
+    grp = ["polygon_id", *keys]
+    hist = _zonal_value_hist(
+        spark, tiles, spec, polygons, res_z, extra_keys,
+        max_pushdown_ranges, nb, lo_b, hi_b,
+    )
     cum_w = (
         Window.partitionBy(*grp)
         .orderBy("value")

@@ -435,6 +435,67 @@ def focal_stats(
     )
 
 
+_MORPH_OPS = {
+    "erode": ("min",),
+    "dilate": ("max",),
+    "open": ("min", "max"),
+    "close": ("max", "min"),
+}
+
+
+def morphology(
+    spark,
+    path: str,
+    op: str = "erode",
+    radius: int = 1,
+    z: int = 0,
+    workdir: str | None = None,
+) -> DataFrame:
+    """Grayscale morphology with a square (2r+1)^2 structuring element
+    over a stored pyramid level — erosion (window min), dilation (window
+    max), opening (erode∘dilate) and closing (dilate∘erode): the
+    classical image-cleanup pass (despeckle before ``region_label``, gap
+    bridging before ``rasterize`` overlays). On a 0/1 mask these are
+    exactly binary morphology.
+
+    Each pass IS ``focal_stats`` (same halo-exchange shuffle, separable
+    min/max, shrinking windows at raster borders — equivalently:
+    reflect-free edge handling where out-of-raster is +inf for erosion
+    and -inf for dilation, the scipy ``grey_erosion(mode='constant')``
+    convention). Two-pass ops materialize the intermediate as a stored
+    single-level pyramid under ``workdir`` (required for open/close;
+    eager write, the ``region_label`` precedent) because the second halo
+    exchange needs the FIRST pass's values across tile seams — at 100 TB
+    that intermediate is exactly the thing you want checkpointed anyway.
+
+    Returns TILE_SCHEMA rows; dtype follows ``focal_stats`` (int in, int
+    out for min/max). Reference parity: none (PyramidScheme.jl has no
+    focal ops) — north-rule image-axis surface.
+    """
+    from ..api import PyramidDataset
+    from ..sources.catalog import write_level, write_multiscales
+
+    if op not in _MORPH_OPS:
+        raise ValueError(f"op must be one of {sorted(_MORPH_OPS)}, got {op!r}")
+    seq = _MORPH_OPS[op]
+    if len(seq) == 1:
+        return focal_stats(spark, path, z=z, stat=seq[0], radius=radius)
+    if workdir is None:
+        raise ValueError(
+            f"morphology op={op!r} is two-pass and needs `workdir` for the "
+            "intermediate level"
+        )
+    spec = PyramidDataset.open(spark, path).spec
+    w_z = ((spec.base_w - 1) >> z) + 1
+    h_z = ((spec.base_h - 1) >> z) + 1
+    inter = focal_stats(spark, path, z=z, stat=seq[0], radius=radius)
+    write_level(inter, workdir, 0)
+    write_multiscales(
+        workdir, 0, spec.tilesize, w_z, h_z, f"morph-{seq[0]}", "-"
+    )
+    return focal_stats(spark, workdir, z=0, stat=seq[1], radius=radius)
+
+
 def raster_proximity(
     spark,
     path: str,
@@ -807,6 +868,88 @@ def _rational(s) -> tuple[int, int]:
     return num, den
 
 
+def _warp_bilinear_tile(pdf, X, Y, vx, vy, c, nx, dx, ox, ny, dy, oy,
+                        L, ts, bw, bh):
+    """Bilinear gather for one output tile: paste the joined source tiles
+    into a (window + valid-mask) pair, then one vectorized 4-neighbor
+    blend. Weights are exact rationals with denominators ``Qx = 2*dx*2^L``
+    / ``Qy = 2*dy*2^L``: integer sources accumulate the 4-term numerator
+    in int64 and divide ONCE (bit-portable, the focal-mean discipline);
+    float sources blend in float64 (NaN nodata propagates). Neighbor
+    indices clamp to the level extent (edge replicate); a pixel is valid
+    iff its NEAREST neighbor is in-extent AND all 4 (clamped) window
+    cells hold stored data."""
+    from ..functions.codec import decode_tile
+
+    lw = ((bw - 1) >> L) + 1
+    lh = ((bh - 1) >> L) + 1
+    QX = (2 * dx) << L
+    QY = (2 * dy) << L
+    # continuous sample pos minus half a level pixel, as PX/QX (exact)
+    PX = (2 * X + 1) * nx + 2 * ox * dx - (dx << L)
+    PY = (2 * Y + 1) * ny + 2 * oy * dy - (dy << L)
+    i0x = PX // QX  # numpy floor division (left edge goes negative)
+    i0y = PY // QY
+    rx = PX - i0x * QX
+    ry = PY - i0y * QY
+    jx0 = np.clip(i0x, 0, lw - 1)
+    jx1 = np.clip(i0x + 1, 0, lw - 1)
+    jy0 = np.clip(i0y, 0, lh - 1)
+    jy1 = np.clip(i0y + 1, 0, lh - 1)
+    wx0, wx1 = int(jx0.min()), int(jx1.max())
+    wy0, wy1 = int(jy0.min()), int(jy1.max())
+    ww, wh = wx1 - wx0 + 1, wy1 - wy0 + 1
+    src_dtype = str(pdf["dtype"].iloc[0])
+    is_int = not src_dtype.startswith("float")
+    wshape = (wh, ww) if c == 1 else (wh, ww, c)
+    W = np.zeros(wshape, dtype=np.int64 if is_int else np.float64)
+    V = np.zeros((wh, ww), dtype=bool)
+    vmax_abs = 0
+    for row in pdf.itertuples(index=False):
+        a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+        sx0, sy0 = int(row.stx) * ts, int(row.sty) * ts
+        cx0 = max(sx0, wx0)
+        cx1 = min(sx0 + int(row.w) - 1, wx1)
+        cy0 = max(sy0, wy0)
+        cy1 = min(sy0 + int(row.h) - 1, wy1)
+        if cx0 > cx1 or cy0 > cy1:
+            continue
+        blk = a[cy0 - sy0 : cy1 - sy0 + 1, cx0 - sx0 : cx1 - sx0 + 1]
+        W[cy0 - wy0 : cy1 - wy0 + 1, cx0 - wx0 : cx1 - wx0 + 1] = blk
+        V[cy0 - wy0 : cy1 - wy0 + 1, cx0 - wx0 : cx1 - wx0 + 1] = True
+        if is_int and blk.size:
+            vmax_abs = max(vmax_abs, int(np.abs(blk).max()))
+    if is_int and vmax_abs * QX * QY > (1 << 53):
+        # numerator must stay exactly representable as float64 for the
+        # single-division contract; past 2^53 fall back to float64
+        # accumulation (precision note in the warp_affine docstring)
+        W = W.astype(np.float64)
+        is_int = False
+    ax0, ax1 = jx0 - wx0, jx1 - wx0
+    ay0, ay1 = jy0 - wy0, jy1 - wy0
+    v00 = W[ay0[:, None], ax0[None, :]]
+    v10 = W[ay0[:, None], ax1[None, :]]
+    v01 = W[ay1[:, None], ax0[None, :]]
+    v11 = W[ay1[:, None], ax1[None, :]]
+    ok = (
+        vx[None, :] & vy[:, None]
+        & V[ay0[:, None], ax0[None, :]] & V[ay0[:, None], ax1[None, :]]
+        & V[ay1[:, None], ax0[None, :]] & V[ay1[:, None], ax1[None, :]]
+    )
+    wxl, wxr = (QX - rx), rx            # left/right column weights
+    wyt, wyb = (QY - ry), ry            # top/bottom row weights
+    w00 = wyt[:, None] * wxl[None, :]
+    w10 = wyt[:, None] * wxr[None, :]
+    w01 = wyb[:, None] * wxl[None, :]
+    w11 = wyb[:, None] * wxr[None, :]
+    if c > 1:
+        w00, w10, w01, w11 = (w[..., None] for w in (w00, w10, w01, w11))
+    num = v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
+    out = num.astype(np.float64) / float(QX * QY)
+    mask = ok if c == 1 else ok[..., None]
+    return np.where(mask, out, np.nan)
+
+
 def warp_affine(
     spark,
     path: str,
@@ -816,6 +959,7 @@ def warp_affine(
     offset: tuple[int, int] = (0, 0),
     z: int | str = "auto",
     tilesize: int = 256,
+    resampling: str = "nearest",
 ) -> DataFrame:
     """Regrid a stored pyramid onto a new ``out_shape = (out_w, out_h)``
     pixel grid by an axis-aligned affine map (scale + translate — GDAL
@@ -862,6 +1006,21 @@ def warp_affine(
     nodata, uniformly (no per-tile dtype mixing). All-nodata tiles are
     dropped (sparse-raster semantics, as rasterize/zonal).
 
+    ``resampling="bilinear"`` (GDAL ``-r bilinear``) interpolates the 4
+    level-pixel neighbors of the continuous sample position ``gx =
+    (X + 0.5) * scale + off`` (pixel centers at ``i + 0.5``), edge
+    neighbors CLAMPED to the raster (replicate). The weights are exact
+    rationals with denominator ``Q = 2 * den * 2^L``: for integer
+    sources the 4-term numerator is accumulated in int64 and divided
+    ONCE by ``Qx*Qy`` — engine-portable bit-for-bit (the focal-mean
+    discipline; the DuckDB oracle replays the identical integer
+    arithmetic). Output dtype is always float64 (interpolated values
+    are fractional); a pixel is valid iff its NEAREST source pixel is
+    in-extent (the NN validity rule, so nearest and bilinear agree on
+    the nodata footprint). Int64 sources whose ``|v| * Qx * Qy`` could
+    overflow fall back to float64 accumulation (documented precision,
+    not silence).
+
     Returns TILE_SCHEMA rows at ``z=0`` of a NEW pyramid base of
     ``out_shape`` — compose with ``write_level`` + ``write_multiscales``
     + ``build_overviews`` to re-pyramid the warped raster.
@@ -878,6 +1037,10 @@ def warp_affine(
     out_w, out_h = int(out_shape[0]), int(out_shape[1])
     if out_w <= 0 or out_h <= 0:
         raise ValueError(f"out_shape must be positive, got {out_shape}")
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(
+            f"resampling must be 'nearest' or 'bilinear', got {resampling!r}"
+        )
     numx, denx = _rational(scale)
     numy, deny = _rational(scale_y if scale_y is not None else scale)
     offx, offy = int(offset[0]), int(offset[1])
@@ -930,12 +1093,17 @@ def warp_affine(
     y0s = f"(CAST(oty AS BIGINT) * {tilesize})"
     y1s = f"(LEAST(CAST({out_h} AS BIGINT), (CAST(oty AS BIGINT) + 1) * {tilesize}) - 1)"
 
+    # bilinear touches at most the level pixel one step either side of
+    # the NN pixel: widen the base-pixel gather bounds by one LEVEL
+    # pixel (2^lvl base px) before the clamp — the tile fan-out below is
+    # unchanged math over the wider rectangle
+    pad = (1 << lvl) if resampling == "bilinear" else 0
     bounds = grid.select(
         "otx", "oty",
-        F.expr(f"GREATEST({_bsql(x0s, numx, denx, offx)}, 0)").alias("bx0"),
-        F.expr(f"LEAST({_bsql(x1s, numx, denx, offx)}, {bw - 1})").alias("bx1"),
-        F.expr(f"GREATEST({_bsql(y0s, numy, deny, offy)}, 0)").alias("by0"),
-        F.expr(f"LEAST({_bsql(y1s, numy, deny, offy)}, {bh - 1})").alias("by1"),
+        F.expr(f"GREATEST({_bsql(x0s, numx, denx, offx)} - {pad}, 0)").alias("bx0"),
+        F.expr(f"LEAST({_bsql(x1s, numx, denx, offx)} + {pad}, {bw - 1})").alias("bx1"),
+        F.expr(f"GREATEST({_bsql(y0s, numy, deny, offy)} - {pad}, 0)").alias("by0"),
+        F.expr(f"LEAST({_bsql(y1s, numy, deny, offy)} + {pad}, {bh - 1})").alias("by1"),
     ).where((F.col("bx0") <= F.col("bx1")) & (F.col("by0") <= F.col("by1")))
     # generators can't nest in one select (r7 lesson): explode per axis
     pairs = bounds.select(
@@ -963,10 +1131,11 @@ def warp_affine(
     joined = pairs.join(src, ["stx", "sty"])
 
     consts = (numx, denx, offx, numy, deny, offy, lvl, ts_src, tilesize,
-              out_w, out_h, bw, bh, covered)
+              out_w, out_h, bw, bh, covered, resampling)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        (nx, dx, ox, ny, dy, oy, L, ts, ots, ow_all, oh_all, bw_, bh_, cov) = consts
+        (nx, dx, ox, ny, dy, oy, L, ts, ots, ow_all, oh_all, bw_, bh_, cov,
+         rs) = consts
         if pdf.empty:
             return _rows_to_pdf([])
         otx = int(pdf["otx"].iloc[0])
@@ -978,12 +1147,24 @@ def warp_affine(
         by = ((2 * Y + 1) * ny) // (2 * dy) + oy
         vx = (bx >= 0) & (bx < bw_)
         vy = (by >= 0) & (by < bh_)
+        c = int(pdf["c"].iloc[0])
+        src_dtype = str(pdf["dtype"].iloc[0])
+        if rs == "bilinear":
+            out = _warp_bilinear_tile(
+                pdf, X, Y, vx, vy, c, nx, dx, ox, ny, dy, oy, L, ts, bw_, bh_)
+            if cov and not str(src_dtype).startswith("float") \
+                    and np.isnan(out).any():
+                raise ValueError(
+                    f"warp output tile ({otx},{oty}) has unsampled pixels in "
+                    "a fully-covered warp — source level is missing tiles"
+                )
+            if np.isnan(out).all():
+                return _rows_to_pdf([])
+            return _rows_to_pdf([_tile_row(out_spec, 0, otx, oty, out)])
         lx = bx >> L
         ly = by >> L
-        c = int(pdf["c"].iloc[0])
         shape = (oh, ow) if c == 1 else (oh, ow, c)
         out = np.full(shape, np.nan, dtype=np.float64)
-        src_dtype = str(pdf["dtype"].iloc[0])
         for row in pdf.itertuples(index=False):
             a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
             sx0, sy0 = int(row.stx) * ts, int(row.sty) * ts
@@ -1011,6 +1192,7 @@ def render_viewport(
     extent: tuple[int, int, int, int],
     out_size: tuple[int, int],
     tilesize: int = 256,
+    resampling: str = "nearest",
 ) -> DataFrame:
     """The tile-server shape (GDAL ``ReadAsArray(buf_xsize=, buf_ysize=)``):
     render an integer world-pixel ``extent = (xmin, ymin, xmax, ymax)`` of
@@ -1028,5 +1210,5 @@ def render_viewport(
     ow, oh = int(out_size[0]), int(out_size[1])
     return warp_affine(
         spark, path, (ow, oh), (x1 - x0, ow), (y1 - y0, oh),
-        offset=(x0, y0), z="auto", tilesize=tilesize,
+        offset=(x0, y0), z="auto", tilesize=tilesize, resampling=resampling,
     )

@@ -322,3 +322,90 @@ def test_aspect_degrees(spark, pyr):
     flat[1:-1, 1:-1] = 7.0
     fx, fy = _horn_gradients(flat, 1.0)
     assert ((fx == 0) & (fy == 0)).all()
+
+
+# ---------------------------------------------------------------------------
+# morphology (r8): erode/dilate/open/close as focal min/max compositions
+# ---------------------------------------------------------------------------
+
+
+def _grey_morph(full, seq, r):
+    cur = full.astype(np.float64)
+    for stat in seq:
+        cur = _replay(cur, stat, r)
+    return cur
+
+
+def _collect_plane(rows, ts=32, n=128):
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+
+    got = np.zeros((n, n), dtype=np.float64)
+    for r in rows:
+        a = decode_tile(r["bytes"], r["h"], r["w"], r["dtype"])
+        got[r["ty"] * ts:(r["ty"] + 1) * ts, r["tx"] * ts:(r["tx"] + 1) * ts] = a
+    return got
+
+
+@pytest.mark.parametrize("op,seq", [("erode", ("min",)), ("dilate", ("max",))])
+def test_morphology_single_pass(spark, pyr, op, seq):
+    from pyramidscheme_jl_spark.operators.raster import morphology
+
+    root, full = pyr
+    got = _collect_plane(morphology(spark, root, op=op, radius=1).collect())
+    np.testing.assert_array_equal(got, _grey_morph(full, seq, 1))
+
+
+@pytest.mark.parametrize("op,seq", [("open", ("min", "max")), ("close", ("max", "min"))])
+def test_morphology_two_pass(spark, pyr, tmp_path, op, seq):
+    from pyramidscheme_jl_spark.operators.raster import morphology
+
+    root, full = pyr
+    wd = str(tmp_path / f"morph-{op}")
+    got = _collect_plane(morphology(spark, root, op=op, radius=1, workdir=wd).collect())
+    np.testing.assert_array_equal(got, _grey_morph(full, seq, 1))
+
+
+def test_morphology_binary_mask_semantics(spark, tmp_path):
+    """On a 0/1 mask, opening removes speckles smaller than the element
+    and closing fills pinholes — the classical binary contracts."""
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+    from pyramidscheme_jl_spark.operators.raster import morphology
+    from pyramidscheme_jl_spark.sources.catalog import (
+        TILE_SCHEMA, write_level, write_multiscales,
+    )
+
+    n, ts = 64, 32
+    mask = np.zeros((n, n), dtype=np.int32)
+    mask[10:30, 8:40] = 1     # a solid blob
+    mask[18, 20] = 0          # pinhole inside the blob -> close fills it
+    mask[50, 50] = 1          # isolated speckle -> open removes it
+    spec = PyramidSpec(n, n, ts)
+    rows = [
+        _tile_row(spec, 0, tx, ty, mask[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts])
+        for ty in range(2) for tx in range(2)
+    ]
+    path = str(tmp_path / "mask")
+    write_level(spark.createDataFrame(_rows_to_pdf(rows), TILE_SCHEMA), path, 0)
+    write_multiscales(path, 0, ts, n, n, "mask", "-")
+
+    opened = _collect_plane(
+        morphology(spark, path, "open", 1, workdir=str(tmp_path / "w1")).collect(),
+        ts=ts, n=n)
+    closed = _collect_plane(
+        morphology(spark, path, "close", 1, workdir=str(tmp_path / "w2")).collect(),
+        ts=ts, n=n)
+    assert opened[50, 50] == 0          # speckle gone
+    assert opened[15, 20] == 1          # blob interior survives
+    assert closed[18, 20] == 1          # pinhole filled
+    assert closed[50, 50] == 1          # speckle survives closing
+    assert opened.min() >= 0 and closed.max() <= 1
+
+
+def test_morphology_validation(spark, pyr):
+    from pyramidscheme_jl_spark.operators.raster import morphology
+
+    root, _ = pyr
+    with pytest.raises(ValueError, match="op must be"):
+        morphology(spark, root, op="skeletonize")
+    with pytest.raises(ValueError, match="workdir"):
+        morphology(spark, root, op="open")

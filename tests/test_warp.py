@@ -191,3 +191,128 @@ def test_render_viewport_validation(spark, pyr_path):
 
     with pytest.raises(ValueError, match="empty extent"):
         render_viewport(spark, pyr_path, (10, 10, 10, 40), (8, 8))
+
+
+# ---------------------------------------------------------------------------
+# bilinear resampling (r8): 4-neighbor blend at the center-rule sample
+# position, exact rational weights, edge clamp, NN validity footprint
+# ---------------------------------------------------------------------------
+
+
+def _replay_bilinear(src, out_w, out_h, nx, dx, ny, dy, ox, oy, L):
+    """Independent float replay of the documented bilinear contract over a
+    level-L plane ``src``. Test configs keep sample positions off float
+    rounding hazards (dyadic or knot-free rationals), so float floor ==
+    exact-int floor."""
+    lh, lw = src.shape
+    X = np.arange(out_w, dtype=np.float64)
+    Y = np.arange(out_h, dtype=np.float64)
+    gx = (X + 0.5) * (nx / dx) + ox
+    gy = (Y + 0.5) * (ny / dy) + oy
+    fx = gx / (1 << L) - 0.5
+    fy = gy / (1 << L) - 0.5
+    i0x = np.floor(fx).astype(np.int64)
+    i0y = np.floor(fy).astype(np.int64)
+    rx = fx - i0x
+    ry = fy - i0y
+    jx0 = np.clip(i0x, 0, lw - 1)
+    jx1 = np.clip(i0x + 1, 0, lw - 1)
+    jy0 = np.clip(i0y, 0, lh - 1)
+    jy1 = np.clip(i0y + 1, 0, lh - 1)
+    v00 = src[jy0[:, None], jx0[None, :]]
+    v10 = src[jy0[:, None], jx1[None, :]]
+    v01 = src[jy1[:, None], jx0[None, :]]
+    v11 = src[jy1[:, None], jx1[None, :]]
+    out = ((1 - ry)[:, None] * ((1 - rx)[None, :] * v00 + rx[None, :] * v10)
+           + ry[:, None] * ((1 - rx)[None, :] * v01 + rx[None, :] * v11))
+    vx = (np.floor(gx) >= 0) & (np.floor(gx) < BASE)  # NN validity rule
+    vy = (np.floor(gy) >= 0) & (np.floor(gy) < BASE)
+    out[:, ~vx] = np.nan
+    out[~vy, :] = np.nan
+    return out
+
+
+def test_bilinear_identity_equals_base(spark, pyr_path):
+    # scale 1: sample positions land ON pixel centers -> zero-weight
+    # neighbors, output == base values exactly, but dtype float64
+    df = warp_affine(
+        spark, pyr_path, (BASE, BASE), (1, 1), z=0, tilesize=64,
+        resampling="bilinear",
+    )
+    got, dtypes = _collect_warp(df, BASE, BASE, 64)
+    assert dtypes == {"float64"}
+    np.testing.assert_array_equal(got, _base())
+
+
+def test_bilinear_matches_replay_with_nodata_edges(spark, pyr_path):
+    out_w, out_h = 160, 140
+    df = warp_affine(
+        spark, pyr_path, (out_w, out_h), (8, 5), (7, 4), offset=(-3, 5),
+        z=0, tilesize=64, resampling="bilinear",
+    )
+    got, dtypes = _collect_warp(df, out_w, out_h, 64)
+    assert dtypes == {"float64"}
+    want = _replay_bilinear(_base(), out_w, out_h, 8, 5, 7, 4, -3, 5, 0)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want)
+    np.testing.assert_allclose(got[m], want[m], rtol=0, atol=1e-9)
+
+
+def test_bilinear_values_are_exact_rationals(spark, pyr_path):
+    # the int64-numerator contract: out * Qx * Qy must be exact integers
+    out_w, out_h = 64, 64
+    nx, dx, ny, dy = 8, 5, 7, 4
+    df = warp_affine(
+        spark, pyr_path, (out_w, out_h), (nx, dx), (ny, dy), offset=(3, 2),
+        z=0, tilesize=64, resampling="bilinear",
+    )
+    got, _ = _collect_warp(df, out_w, out_h, 64)
+    q = got[~np.isnan(got)] * (2 * dx) * (2 * dy)
+    np.testing.assert_array_equal(q, np.rint(q))
+
+
+def test_bilinear_from_overview_level(spark, pyr_path):
+    # dyadic config (all float ops exact): scale 4, z=1, odd offset
+    out = BASE // 4
+    df = warp_affine(
+        spark, pyr_path, (out, out), (4, 1), offset=(3, 5), z=1,
+        tilesize=64, resampling="bilinear",
+    )
+    got, _ = _collect_warp(df, out, out, 64)
+    want = _replay_bilinear(
+        _level_mosaic(spark, pyr_path, 1), out, out, 4, 1, 4, 1, 3, 5, 1
+    )
+    m = ~np.isnan(want)
+    np.testing.assert_array_equal(np.isnan(got), ~m)
+    np.testing.assert_allclose(got[m], want[m], rtol=0, atol=1e-9)
+
+
+def test_bilinear_upscale_interpolates_between_centers(spark, pyr_path):
+    # 4x zoom-in: 3 of 4 output pixels between source centers get blends
+    out_w, out_h = 128, 128
+    df = warp_affine(
+        spark, pyr_path, (out_w, out_h), (1, 4), offset=(40, 40), z=0,
+        tilesize=64, resampling="bilinear",
+    )
+    got, _ = _collect_warp(df, out_w, out_h, 64)
+    want = _replay_bilinear(_base(), out_w, out_h, 1, 4, 1, 4, 40, 40, 0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+    # and it genuinely interpolates: fractional values exist
+    assert np.any(got != np.rint(got))
+
+
+def test_bilinear_validation(spark, pyr_path):
+    with pytest.raises(ValueError, match="resampling"):
+        warp_affine(spark, pyr_path, (8, 8), (1, 1), resampling="cubic")
+
+
+def test_render_viewport_bilinear_passthrough(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.raster import render_viewport
+
+    ext = (10, 20, 74, 84)  # native scale -> bilinear == crop exactly
+    df = render_viewport(
+        spark, pyr_path, ext, (64, 64), tilesize=64, resampling="bilinear"
+    )
+    got, dtypes = _collect_warp(df, 64, 64, 64)
+    assert dtypes == {"float64"}
+    np.testing.assert_array_equal(got, _base()[20:84, 10:74])

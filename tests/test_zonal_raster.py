@@ -447,3 +447,77 @@ def test_zonal_quantiles_cube_matches_flat_on_single_t(spark, pyr_path, tmp_path
     assert set(got) == set(flat)
     for pid, (t, n, a, b, c) in got.items():
         assert t == 3 and (n, a, b, c) == flat[pid], pid
+
+
+# ---------------------------------------------------------------------------
+# zonal_categorical (r8): majority / minority / variety per polygon
+# ---------------------------------------------------------------------------
+
+
+def _brute_categorical(plane: np.ndarray, ring) -> dict:
+    h, w = plane.shape
+    cx = (np.arange(w) + 0.5)
+    cy = (np.arange(h) + 0.5)
+    gx, gy = np.meshgrid(cx, cy)
+    m = points_in_polygon(gx.ravel(), gy.ravel(), np.asarray(ring, dtype=np.float64))
+    v = plane.ravel()[m].astype(np.int64)
+    vals, cnts = np.unique(v, return_counts=True)
+    # majority: highest count, ties -> LOWEST value (vals ascending, so
+    # argmax takes the first = lowest); minority: lowest count, same rule
+    return {
+        "n_px": int(v.size),
+        "variety": int(vals.size),
+        "majority": int(vals[np.argmax(cnts)]),
+        "majority_n": int(cnts.max()),
+        "minority": int(vals[np.argmin(cnts)]),
+        "minority_n": int(cnts.min()),
+    }
+
+
+def test_zonal_categorical_matches_brute_force(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.joins import zonal_categorical
+
+    got = {r["polygon_id"]: r for r in
+           zonal_categorical(spark, pyr_path, _polys(), z=0).collect()}
+    base = _base()
+    assert set(got) == set(RINGS)
+    for pid, ring in RINGS.items():
+        want = _brute_categorical(base, ring)
+        g = got[pid]
+        for k, expected in want.items():
+            assert g[k] == expected, (pid, k, g[k], expected)
+
+
+def test_zonal_categorical_tie_breaks_to_lowest_value(spark, tmp_path):
+    """Constructed level where two values tie for majority AND minority:
+    the reported value must be the LOWEST of the tied set (ESALC-mode
+    convention)."""
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+    from pyramidscheme_jl_spark.operators.joins import zonal_categorical
+    from pyramidscheme_jl_spark.sources.catalog import (
+        TILE_SCHEMA, write_level, write_multiscales,
+    )
+
+    n, ts = 32, 32
+    a = np.zeros((n, n), dtype=np.int32)
+    a[:, :16] = 7       # 512 px of 7
+    a[:, 16:] = 3       # 512 px of 3  -> 3 and 7 tie everywhere
+    spec = PyramidSpec(n, n, ts)
+    path = str(tmp_path / "tie")
+    write_level(
+        spark.createDataFrame(_rows_to_pdf([_tile_row(spec, 0, 0, 0, a)]), TILE_SCHEMA),
+        path, 0,
+    )
+    write_multiscales(path, 0, ts, n, n, "tie", "-")
+    polys = [{"polygon_id": "all", "ring": [[0.0, 0.0], [32.0, 0.0], [32.0, 32.0], [0.0, 32.0]]}]
+    row = zonal_categorical(spark, path, polys, z=0).collect()[0]
+    assert row["variety"] == 2 and row["n_px"] == 1024
+    assert row["majority"] == 3 and row["majority_n"] == 512
+    assert row["minority"] == 3 and row["minority_n"] == 512
+
+
+def test_zonal_categorical_float_level_raises(spark, pyr_path):
+    from pyramidscheme_jl_spark.operators.joins import zonal_categorical
+
+    with pytest.raises(Exception, match="integer raster"):
+        zonal_categorical(spark, pyr_path, _polys(), z=1).collect()
