@@ -1459,6 +1459,105 @@ def q_warp_affine_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_warp_bilinear_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Bilinear warp (raster.warp_affine resampling='bilinear', r8): same
+    320x288 regrid as `warp_affine_stats` but 4-neighbor interpolated.
+    Every output value is an exact rational num/80 (Qx=10, Qy=8) whose
+    int64 numerator both engines accumulate identically — per-tile stats
+    are integer sums/extremes of rint(v*80), no float hashing anywhere.
+    DuckDB replays the floor-division + pmod neighbor/weight arithmetic
+    closed-form from the mosaic formula (clamped edges, NN validity
+    footprint). Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.raster import warp_affine
+
+    path = _ensure_zonal_pyramid(spark)
+    df = warp_affine(
+        spark, path, (320, 288), (8, 5), (7, 4), offset=(-3, 5), z=0,
+        tilesize=256, resampling="bilinear",
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                m = np.isfinite(a)
+                u = np.rint(a[m] * 80).astype(np.int64)
+                rows.append({
+                    "otx": int(r.tx), "oty": int(r.ty),
+                    "n_valid": int(m.sum()),
+                    "sum_u": int(u.sum()), "min_u": int(u.min()),
+                    "max_u": int(u.max()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        gen, "otx long, oty long, n_valid long, sum_u long, min_u long, max_u long"
+    )
+
+
+def q_zonal_categorical(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-polygon majority/minority/variety (joins.zonal_categorical,
+    r8): the shared per-(polygon, value) count refine + ONE struct-agg
+    (ties to the LOWEST value, the ESALC-mode rule). DuckDB recomputes
+    from closed-form pixels + half-plane tests, encoding the argmax/argmin
+    tie rule as integer keys n*4096 +- v. Fixed-size by design; ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.joins import zonal_categorical
+
+    path = _ensure_zonal_pyramid(spark)
+    res = zonal_categorical(spark, path, _ZONAL_POLYS, z=0)
+    return res.select(
+        "polygon_id",
+        *[F.col(c).cast("long").alias(c) for c in (
+            "n_px", "variety", "majority", "majority_n",
+            "minority", "minority_n")],
+    )
+
+
+_MORPH_ORACLE_DIR = "/dev/shm/psjl_morph_oracle_v1"
+
+
+def q_morphology_open_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Morphological OPENING (raster.morphology, r8 — erode∘dilate focal
+    min/max with the shrinking-border rule) composed through the store
+    loop: open the zonal mosaic -> write_level -> raster_histogram exact
+    per-value counts. DuckDB replays the separable window construction —
+    4 chained 1-D window MIN/MIN/MAX/MAX passes over the closed-form
+    pixels (the focal-stats twin, order-irrelevant for min/max).
+    Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import morphology, raster_histogram
+    from pyramidscheme_jl_spark.sources.catalog import write_level, write_multiscales
+
+    src = _ensure_zonal_pyramid(spark)
+    path = f"{_MORPH_ORACLE_DIR}/opened"
+    done = f"{_MORPH_ORACLE_DIR}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(_MORPH_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_MORPH_ORACLE_DIR, exist_ok=True)
+        out = morphology(
+            spark, src, op="open", radius=1,
+            workdir=f"{_MORPH_ORACLE_DIR}/inter",
+        )
+        write_level(out, path, 0)
+        write_multiscales(path, 0, 128, 512, 512, "morph-open", "-")
+        open(done, "w").close()
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("value"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal cube fixture (round 8): gap-fill + composite over a NON-UNIFORM t
 # domain. Closed-form pixels, closed-form missingness, one frame-tile dropped
@@ -2048,6 +2147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "warp_bilinear_stats": q_warp_bilinear_stats,
+        "zonal_categorical": q_zonal_categorical,
+        "morphology_open_hist": q_morphology_open_hist,
         "cube_gapfill_locf": q_cube_gapfill_locf,
         "cube_gapfill_linear": q_cube_gapfill_linear,
         "cube_composite_max": q_cube_composite_max,
@@ -2902,6 +3004,71 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM v GROUP BY 1
         """,
+        # bilinear warp: floor-division (pmod-corrected — DuckDB // truncates
+        # toward zero, numpy floors) neighbor indices + exact rational
+        # weights; num = 4-term int64 blend numerator, denominator 80
+        "warp_bilinear_stats": """
+            WITH xs AS (SELECT UNNEST(range(0, 320)) AS X),
+                 ys AS (SELECT UNNEST(range(0, 288)) AS Y),
+                 m AS (
+                   SELECT X, Y,
+                          ((2*X+1)*8)//10 - 3 AS bx,
+                          ((2*Y+1)*7)//8 + 5 AS by,
+                          (2*X+1)*8 - 35 AS px_,
+                          (2*Y+1)*7 + 36 AS py_
+                   FROM xs CROSS JOIN ys),
+                 i AS (
+                   SELECT X, Y,
+                          (px_ - ((px_ % 10) + 10) % 10) // 10 AS i0x,
+                          ((px_ % 10) + 10) % 10 AS rx,
+                          (py_ - ((py_ % 8) + 8) % 8) // 8 AS i0y,
+                          ((py_ % 8) + 8) % 8 AS ry
+                   FROM m
+                   WHERE bx BETWEEN 0 AND 511 AND by BETWEEN 0 AND 511),
+                 nb AS (
+                   SELECT X, Y, rx, ry,
+                          LEAST(GREATEST(i0x, 0), 511) AS jx0,
+                          LEAST(GREATEST(i0x + 1, 0), 511) AS jx1,
+                          LEAST(GREATEST(i0y, 0), 511) AS jy0,
+                          LEAST(GREATEST(i0y + 1, 0), 511) AS jy1
+                   FROM i),
+                 v AS (
+                   SELECT X//256 AS otx, Y//256 AS oty,
+                          CAST((16*((jx0//128)+(jy0//128)) + xor(jx0%128, jy0%128)) % 256 AS BIGINT) * (10-rx) * (8-ry)
+                        + CAST((16*((jx1//128)+(jy0//128)) + xor(jx1%128, jy0%128)) % 256 AS BIGINT) * rx * (8-ry)
+                        + CAST((16*((jx0//128)+(jy1//128)) + xor(jx0%128, jy1%128)) % 256 AS BIGINT) * (10-rx) * ry
+                        + CAST((16*((jx1//128)+(jy1//128)) + xor(jx1%128, jy1%128)) % 256 AS BIGINT) * rx * ry
+                          AS num
+                   FROM nb)
+            SELECT CAST(otx AS BIGINT) AS otx,
+                   CAST(oty AS BIGINT) AS oty,
+                   CAST(COUNT(*) AS BIGINT) AS n_valid,
+                   CAST(SUM(num) AS BIGINT) AS sum_u,
+                   CAST(MIN(num) AS BIGINT) AS min_u,
+                   CAST(MAX(num) AS BIGINT) AS max_u
+            FROM v GROUP BY otx, oty
+        """,
+        # morphological opening: separable erode (2 chained 1-D window MINs)
+        # then dilate (2 chained MAXes) with the shrinking-border frame rule,
+        # histogram of the opened plane
+        "morphology_open_hist": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS v
+                   FROM xs CROSS JOIN ys),
+                 e1 AS (SELECT px, py, MIN(v) OVER (PARTITION BY py ORDER BY px
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM pix),
+                 e2 AS (SELECT px, py, MIN(v) OVER (PARTITION BY px ORDER BY py
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM e1),
+                 d1 AS (SELECT px, py, MAX(v) OVER (PARTITION BY py ORDER BY px
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM e2),
+                 d2 AS (SELECT px, py, MAX(v) OVER (PARTITION BY px ORDER BY py
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM d1)
+            SELECT CAST(v AS BIGINT) AS value, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d2 GROUP BY v
+        """,
         "warp_affine_stats": """
             WITH xs AS (SELECT UNNEST(range(0, 320)) AS X),
                  ys AS (SELECT UNNEST(range(0, 288)) AS Y),
@@ -2943,6 +3110,32 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY polygon_id
+        """,
+        # categorical zonal stats: majority/minority with the lowest-value
+        # tie rule encoded as integer argmax/argmin keys (n*4096 -+ v,
+        # v < 4096) — no engine-specific arg_max tie semantics relied on
+        "zonal_categorical": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS v
+                   FROM xs CROSS JOIN ys),
+                 hits AS ({zr_union}),
+                 h AS (SELECT polygon_id, v, COUNT(*) AS n FROM hits GROUP BY 1, 2),
+                 k AS (
+                   SELECT polygon_id,
+                          CAST(SUM(n) AS BIGINT) AS n_px,
+                          CAST(COUNT(*) AS BIGINT) AS variety,
+                          MAX(n*4096 + (4095 - v)) AS kmaj,
+                          MIN(n*4096 + v) AS kmin
+                   FROM h GROUP BY polygon_id)
+            SELECT polygon_id, n_px, variety,
+                   CAST(4095 - (kmaj % 4096) AS BIGINT) AS majority,
+                   CAST(kmaj // 4096 AS BIGINT) AS majority_n,
+                   CAST(kmin % 4096 AS BIGINT) AS minority,
+                   CAST(kmin // 4096 AS BIGINT) AS minority_n
+            FROM k
         """,
         # exact zonal quantiles over the same fixture: identical type-1
         # window construction (smallest v with cum >= ceil(q*n)) — all
