@@ -1522,6 +1522,40 @@ def q_zonal_categorical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EQ_ORACLE_DIR = "/dev/shm/psjl_eq_oracle_v1"
+
+
+def q_equalize_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Global histogram equalization (raster.histogram_equalize, r8)
+    composed through the store loop: equalize the zonal mosaic's base
+    level -> write_level -> raster_histogram. The LUT is exact integer
+    round-half-up of the cumulative counts, so DuckDB rebuilds it with
+    one window cumsum over the closed-form per-value histogram.
+    Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import (
+        histogram_equalize,
+        raster_histogram,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import write_level, write_multiscales
+
+    src = _ensure_zonal_pyramid(spark)
+    path = f"{_EQ_ORACLE_DIR}/eq"
+    done = f"{_EQ_ORACLE_DIR}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(_EQ_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_EQ_ORACLE_DIR, exist_ok=True)
+        write_level(histogram_equalize(spark, src, z=0), path, 0)
+        write_multiscales(path, 0, 128, 512, 512, "equalize", "-")
+        open(done, "w").close()
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("value"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 _MORPH_ORACLE_DIR = "/dev/shm/psjl_morph_oracle_v1"
 
 
@@ -1728,6 +1762,39 @@ def q_cube_composite_mean(spark: SparkSession, sf: str) -> DataFrame:
 
     path = _ensure_timecube(spark)
     return _plane_px_stats(cube_composite(spark, path, stat="mean"), 60)
+
+
+def q_cube_trend_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pixel OLS slope along t (cube_time.cube_trend, r8): moment sums
+    are exact integers, the slope is ONE IEEE division — both engines
+    produce bit-identical doubles (pytest pins bitwise equality), so
+    FLOOR(slope*2^20 + 0.5) quantizes identically and per-tile integer
+    sums hash portably. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.cube_time import cube_trend
+
+    path = _ensure_timecube(spark)
+    df = cube_trend(spark, path, stat="slope")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                m = np.isfinite(a)
+                u = np.floor(a[m] * 1048576 + 0.5).astype(np.int64)
+                rows.append({
+                    "tx": int(r.tx), "ty": int(r.ty),
+                    "n_valid": int(m.sum()), "slope_u_sum": int(u.sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, "tx long, ty long, n_valid long, slope_u_sum long")
 
 
 def q_reclassify_hist(spark: SparkSession, sf: str) -> DataFrame:
@@ -2150,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_bilinear_stats": q_warp_bilinear_stats,
         "zonal_categorical": q_zonal_categorical,
         "morphology_open_hist": q_morphology_open_hist,
+        "equalize_hist": q_equalize_hist,
+        "cube_trend_stats": q_cube_trend_stats,
         "cube_gapfill_locf": q_cube_gapfill_locf,
         "cube_gapfill_linear": q_cube_gapfill_linear,
         "cube_composite_max": q_cube_composite_max,
@@ -2905,6 +2974,29 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # LOCF along t over the temporal-cube fixture: DuckDB carries the
         # last non-NULL per pixel with a window, then aggregates per
         # (t, tile). Carried values are source integers -> exact BIGINT sums.
+        # per-pixel OLS slope: exact integer moment sums, ONE double
+        # division (bit-identical across engines), FLOOR(x*2^20+0.5)
+        # quantization, per-tile integer sums
+        "cube_trend_stats": f"""
+            WITH {_tc_base_cte()},
+                 m AS (
+                   SELECT px, py,
+                          COUNT(v) AS n,
+                          CAST(SUM(CASE WHEN v IS NOT NULL THEN t END) AS BIGINT) AS st,
+                          CAST(SUM(CASE WHEN v IS NOT NULL THEN t*t END) AS BIGINT) AS stt,
+                          CAST(SUM(v) AS BIGINT) AS sv,
+                          CAST(SUM(t*v) AS BIGINT) AS stv
+                   FROM base GROUP BY px, py),
+                 s AS (
+                   SELECT px, py,
+                          CAST(n*stv - st*sv AS DOUBLE) / (n*stt - st*st) AS slope
+                   FROM m WHERE n >= 2)
+            SELECT CAST(px // {_TC_TILE} AS BIGINT) AS tx,
+                   CAST(py // {_TC_TILE} AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_valid,
+                   CAST(SUM(CAST(FLOOR(slope * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS slope_u_sum
+            FROM s GROUP BY 1, 2
+        """,
         "cube_gapfill_locf": f"""
             WITH {_tc_base_cte()},
                  f AS (
@@ -3047,6 +3139,29 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MIN(num) AS BIGINT) AS min_u,
                    CAST(MAX(num) AS BIGINT) AS max_u
             FROM v GROUP BY otx, oty
+        """,
+        # histogram equalization: window cumsum over the closed-form value
+        # histogram + the exact round-half-up LUT, regrouped by mapped value
+        "equalize_hist": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT (16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS v
+                   FROM xs CROSS JOIN ys),
+                 h AS (SELECT v, COUNT(*) AS n FROM pix GROUP BY v),
+                 c AS (
+                   SELECT v, n,
+                          SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cdf,
+                          SUM(n) OVER () AS tot
+                   FROM h),
+                 e AS (
+                   SELECT n,
+                          (2*(cdf - (SELECT MIN(cdf) FROM c))*255
+                           + (tot - (SELECT MIN(cdf) FROM c)))
+                          // (2*(tot - (SELECT MIN(cdf) FROM c))) AS eq
+                   FROM c)
+            SELECT CAST(eq AS BIGINT) AS value, CAST(SUM(n) AS BIGINT) AS n
+            FROM e GROUP BY eq
         """,
         # morphological opening: separable erode (2 chained 1-D window MINs)
         # then dilate (2 chained MAXes) with the shrinking-border frame rule,

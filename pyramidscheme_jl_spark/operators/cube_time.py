@@ -329,3 +329,72 @@ def cube_composite(
         return _rows_to_pdf([_tile_row(spec, zz, tx, ty, val)])
 
     return tiles.groupBy("tx", "ty").applyInPandas(reduce_t, TILE_SCHEMA)
+
+
+def cube_trend(
+    spark: SparkSession,
+    path: str,
+    stat: str = "slope",
+    z: int = 0,
+    t_domain=None,
+) -> DataFrame:
+    """Per-pixel ORDINARY-LEAST-SQUARES trend along t over a stored cube
+    level — the change-detection plane (NDVI greening/browning, land-
+    surface-temperature trend): fit ``v ~ a + b*t`` per pixel over its
+    VALID observations only and return
+
+    - ``stat="slope"``:     ``b = (n*Stv - St*Sv) / (n*Stt - St^2)``,
+    - ``stat="intercept"``: ``a = (Stt*Sv - St*Stv) / (n*Stt - St^2)``,
+    - ``stat="nobs"``:      the per-pixel observation count ``n``,
+
+    each as a single-division closed form over the moment sums — for
+    integer-valued observations and t domains every moment is an exactly-
+    representable integer, so slope/intercept are bit-portable (ONE IEEE
+    division, the warp/focal discipline). Pixels with fewer than 2
+    observations are NaN (no line through <2 points).
+
+    Same plan shape as ``cube_composite`` (one ``groupBy(tx, ty)``
+    gather; the moment sums are decomposable along t, so a T-too-big
+    stack tree-reduces by t buckets). Returns TILE_SCHEMA rows — an
+    ordinary raster plane (write_level / zonal / histogram compose).
+
+    Reference parity: none (PyramidScheme.jl has no time axis) —
+    north-rule cube-analytics surface.
+    """
+    if stat not in ("slope", "intercept", "nobs"):
+        raise ValueError(
+            f"stat must be slope|intercept|nobs, got {stat!r}"
+        )
+    ts = _t_domain(spark, path, z, t_domain)
+    spec = _open_spec(spark, path)
+    tiles = read_cube_level(spark, path, z)
+    zz = int(z)
+
+    def reduce_t(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _rows_to_pdf([])
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        stack = _decode_group(pdf, ts)
+        obs = ~np.isnan(stack)
+        tcol = ts.astype(np.float64)[:, None, None]
+        n = obs.sum(axis=0).astype(np.float64)
+        if stat == "nobs":
+            val = np.where(n > 0, n, np.nan)
+            if not np.isfinite(val).any():
+                return _rows_to_pdf([])
+            return _rows_to_pdf([_tile_row(spec, zz, tx, ty, val)])
+        v0 = np.where(obs, stack, 0.0)
+        st = (tcol * obs).sum(axis=0)
+        stt = (tcol * tcol * obs).sum(axis=0)
+        sv = v0.sum(axis=0)
+        stv = (tcol * v0).sum(axis=0)
+        den = n * stt - st * st  # > 0 iff n >= 2 (distinct t per frame)
+        num = (n * stv - st * sv) if stat == "slope" else (stt * sv - st * stv)
+        val = np.divide(
+            num, den, out=np.full(den.shape, np.nan), where=den > 0
+        )
+        if not np.isfinite(val).any():
+            return _rows_to_pdf([])
+        return _rows_to_pdf([_tile_row(spec, zz, tx, ty, val)])
+
+    return tiles.groupBy("tx", "ty").applyInPandas(reduce_t, TILE_SCHEMA)

@@ -854,6 +854,94 @@ def raster_histogram(
     )
 
 
+def histogram_equalize(
+    spark,
+    path: str,
+    z: int = 0,
+    levels: int = 256,
+    max_distinct: int = 65536,
+) -> DataFrame:
+    """Global histogram equalization of an INTEGER pyramid level (the
+    classical contrast stretch; GDAL ``gdal_translate -scale`` territory,
+    scikit-image ``equalize_hist`` discrete twin): every pixel value
+    ``v`` maps to
+
+        ``eq(v) = round((cdf(v) - cdf_min) * (levels-1) / (n - cdf_min))``
+
+    where ``cdf`` is the cumulative pixel count and ``cdf_min`` is the
+    cdf of the smallest occupied value — carried out in EXACT integer
+    arithmetic (round-half-up: ``(2*num + den) DIV (2*den)``), so the
+    mapping is engine-portable bit-for-bit. A constant raster maps to 0.
+
+    Plan: one ``raster_histogram`` pass (map-side ``np.unique``
+    partials, shuffle bounded by occupied values x partitions — never
+    pixels), a DIMS-SIZED driver gather of the value->count table
+    (gated: > ``max_distinct`` occupied values raises — the
+    ``connected_components`` driver-tier discipline; at 100 TB an int
+    raster's value domain is the small side by construction), then one
+    broadcast-LUT ``mapInPandas`` remap of the tiles (``np.searchsorted``
+    per Arrow batch, no Python per pixel). Output dtype uint8 when
+    ``levels <= 256`` else int32; TILE_SCHEMA rows — compose with
+    ``write_level`` / ``build_overviews`` to re-pyramid.
+
+    Reference parity: none (PyramidScheme.jl has no histogram ops) —
+    north-rule image-axis surface.
+    """
+    from ..api import PyramidDataset
+    from ..functions.codec import decode_tile, encode_tile
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    spec = PyramidDataset.open(spark, path).spec
+    hist = (
+        raster_histogram(spark, path, z=z)
+        .orderBy("value")
+        .limit(max_distinct + 1)
+        .collect()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"level {z} has more than max_distinct={max_distinct} occupied "
+            "values; histogram equalization needs the value domain driver-"
+            "sized (raise max_distinct or reclassify/bin first)"
+        )
+    if not hist:
+        return spark.createDataFrame([], TILE_SCHEMA)
+    vals = np.array([r["value"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["n"] for r in hist], dtype=np.int64)
+    cdf = np.cumsum(cnts)
+    n = int(cdf[-1])
+    cmin = int(cdf[0])
+    den = n - cmin
+    if den == 0:  # constant raster
+        lut = np.zeros(len(vals), dtype=np.int64)
+    else:
+        num = (cdf - cmin) * (levels - 1)
+        lut = (2 * num + den) // (2 * den)  # round-half-up, exact ints
+    out_dtype = "uint8" if levels <= 256 else "int32"
+    vals_l, lut_l = vals.tolist(), lut.tolist()  # literals, tiny broadcast
+
+    def remap(batches):
+        v = np.asarray(vals_l, dtype=np.int64)
+        m = np.asarray(lut_l, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if not str(row.dtype).startswith(("int", "uint")):
+                    raise ValueError(
+                        "histogram_equalize needs an integer level, got "
+                        f"dtype={row.dtype!r}"
+                    )
+                a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+                idx = np.searchsorted(v, a.astype(np.int64))
+                eq = m[idx].astype(out_dtype)
+                out.append(_tile_row(spec, z, int(row.tx), int(row.ty), eq))
+            yield _rows_to_pdf(out)
+
+    return read_level(spark, path, z).mapInPandas(remap, TILE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # warp: axis-aligned affine regrid (GDAL ``gdalwarp`` without rotation) —
 # nearest-neighbor resampling on an EXACT rational pixel mapping, reading

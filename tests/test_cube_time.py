@@ -237,3 +237,79 @@ def test_reclassify_validation(spark):
         reclassify(None, [(10, 10, 1)])
     with pytest.raises(ValueError, match="NaN"):
         reclassify(None, [(0, 10, 1)], dtype="int32")
+
+
+# ---------------------------------------------------------------------------
+# cube_trend (r8): per-pixel OLS slope / intercept / nobs along t
+# ---------------------------------------------------------------------------
+
+
+def _ref_trend(stat: str) -> np.ndarray:
+    stored = _stored_stack()
+    out = np.full((BASE, BASE), np.nan)
+    for py in range(BASE):
+        for px in range(BASE):
+            obs = [(TS[i], stored[i, py, px]) for i in range(len(TS))
+                   if not np.isnan(stored[i, py, px])]
+            if stat == "nobs":
+                if obs:
+                    out[py, px] = float(len(obs))
+                continue
+            if len(obs) < 2:
+                continue
+            t = np.array([o[0] for o in obs], dtype=np.float64)
+            v = np.array([o[1] for o in obs], dtype=np.float64)
+            # independent route: numpy polyfit (QR-based, not the moment
+            # closed form the engine uses)
+            b, a = np.polyfit(t, v, 1)
+            out[py, px] = b if stat == "slope" else a
+    return out
+
+
+@pytest.mark.parametrize("stat", ["slope", "intercept", "nobs"])
+def test_cube_trend_matches_polyfit(spark, cube_path, stat):
+    from pyramidscheme_jl_spark.operators.cube_time import cube_trend
+
+    got = _collect_plane(cube_trend(spark, cube_path, stat=stat))
+    ref = _ref_trend(stat)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    m = ~np.isnan(ref)
+    if stat == "nobs":
+        np.testing.assert_array_equal(got[m], ref[m])
+    else:
+        np.testing.assert_allclose(got[m], ref[m], rtol=1e-9, atol=1e-9)
+
+
+def test_cube_trend_single_division_bitwise(spark, cube_path):
+    """The portability contract: the slope must be BIT-IDENTICAL to one
+    IEEE division of the exact integer moment sums (what the DuckDB twin
+    computes) — not merely close."""
+    from pyramidscheme_jl_spark.operators.cube_time import cube_trend
+
+    got = _collect_plane(cube_trend(spark, cube_path, stat="slope"))
+    stored = _stored_stack()
+    ref = np.full((BASE, BASE), np.nan)
+    for py in range(BASE):
+        for px in range(BASE):
+            obs = [(TS[i], int(stored[i, py, px])) for i in range(len(TS))
+                   if not np.isnan(stored[i, py, px])]
+            if len(obs) < 2:
+                continue
+            n = len(obs)
+            st = sum(t for t, _ in obs)
+            stt = sum(t * t for t, _ in obs)
+            sv = sum(v for _, v in obs)
+            stv = sum(t * v for t, v in obs)
+            num = n * stv - st * sv          # exact python ints
+            den = n * stt - st * st
+            ref[py, px] = float(num) / float(den)  # ONE IEEE division
+    m = ~np.isnan(ref)
+    np.testing.assert_array_equal(np.isnan(got), ~m)
+    np.testing.assert_array_equal(got[m], ref[m])  # bitwise
+
+
+def test_cube_trend_validation(spark, cube_path):
+    from pyramidscheme_jl_spark.operators.cube_time import cube_trend
+
+    with pytest.raises(ValueError, match="stat must be"):
+        cube_trend(spark, cube_path, stat="variance")

@@ -409,3 +409,64 @@ def test_morphology_validation(spark, pyr):
         morphology(spark, root, op="skeletonize")
     with pytest.raises(ValueError, match="workdir"):
         morphology(spark, root, op="open")
+
+
+# ---------------------------------------------------------------------------
+# histogram_equalize (r8): global CDF contrast stretch, exact integer LUT
+# ---------------------------------------------------------------------------
+
+
+def _eq_replay(full, levels):
+    vals, cnts = np.unique(full.astype(np.int64), return_counts=True)
+    cdf = np.cumsum(cnts)
+    n, cmin = int(cdf[-1]), int(cdf[0])
+    den = n - cmin
+    if den == 0:
+        lut = np.zeros(len(vals), dtype=np.int64)
+    else:
+        lut = (2 * (cdf - cmin) * (levels - 1) + den) // (2 * den)
+    return lut[np.searchsorted(vals, full.astype(np.int64))]
+
+
+def test_histogram_equalize_matches_replay(spark, pyr):
+    from pyramidscheme_jl_spark.operators.raster import histogram_equalize
+
+    root, full = pyr
+    got = _collect_plane(histogram_equalize(spark, root, z=0).collect())
+    np.testing.assert_array_equal(got, _eq_replay(full, 256))
+    rows = histogram_equalize(spark, root, z=0).collect()
+    assert {r["dtype"] for r in rows} == {"uint8"}
+
+
+def test_histogram_equalize_levels_16(spark, pyr):
+    from pyramidscheme_jl_spark.operators.raster import histogram_equalize
+
+    root, full = pyr
+    got = _collect_plane(histogram_equalize(spark, root, z=0, levels=16).collect())
+    np.testing.assert_array_equal(got, _eq_replay(full, 16))
+    assert got.max() == 15 and got.min() == 0
+
+
+def test_histogram_equalize_constant_and_errors(spark, tmp_path, pyr):
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, _rows_to_pdf, _tile_row
+    from pyramidscheme_jl_spark.operators.raster import histogram_equalize
+    from pyramidscheme_jl_spark.sources.catalog import (
+        TILE_SCHEMA, write_level, write_multiscales,
+    )
+
+    n = ts = 32
+    a = np.full((n, n), 9, dtype=np.int32)
+    path = str(tmp_path / "const")
+    write_level(
+        spark.createDataFrame(_rows_to_pdf([_tile_row(PyramidSpec(n, n, ts), 0, 0, 0, a)]), TILE_SCHEMA),
+        path, 0,
+    )
+    write_multiscales(path, 0, ts, n, n, "c", "-")
+    got = _collect_plane(histogram_equalize(spark, path, z=0).collect(), ts=ts, n=n)
+    np.testing.assert_array_equal(got, np.zeros((n, n)))
+
+    root, _ = pyr
+    with pytest.raises(ValueError, match="levels"):
+        histogram_equalize(spark, root, levels=1)
+    with pytest.raises(ValueError, match="max_distinct"):
+        histogram_equalize(spark, root, max_distinct=10)
