@@ -2087,6 +2087,29 @@ def q_region_label(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_region_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygonize attribute table (regions.region_stats, r8): region_label
+    plus exact first-moment sums from the run rows — sum_x via the
+    consecutive-integer closed form per run, all JVM integer exprs.
+    DuckDB recomputes SUM(X)/SUM(Y) per declared region. Fixed-size by
+    design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.regions import region_stats
+
+    path = _ensure_regions_pyramid(spark)
+    return region_stats(spark, path, z=0).select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("value").cast("long").alias("value"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("xmin").cast("long").alias("xmin"),
+        F.col("ymin").cast("long").alias("ymin"),
+        F.col("xmax").cast("long").alias("xmax"),
+        F.col("ymax").cast("long").alias("ymax"),
+        F.col("sum_x").cast("long").alias("sum_x"),
+        F.col("sum_y").cast("long").alias("sum_y"),
+    )
+
+
 def q_embedding_ivfpq_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ top-k served from the PERSISTED index (round 8): the query
     path opens the manifest (trained centroids/codebooks/row count — no
@@ -2219,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphology_open_hist": q_morphology_open_hist,
         "equalize_hist": q_equalize_hist,
         "cube_trend_stats": q_cube_trend_stats,
+        "region_stats": q_region_stats,
         "cube_gapfill_locf": q_cube_gapfill_locf,
         "cube_gapfill_linear": q_cube_gapfill_linear,
         "cube_composite_max": q_cube_composite_max,
@@ -2958,6 +2982,20 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # declared in _region_oracle_sql, all aggregates recomputed from
         # the shared rect constants
         "region_label": _region_oracle_sql(),
+        # attribute-table twin with exact first-moment sums
+        "region_stats": f"""
+            {_region_hits_cte()}
+            SELECT CAST(MIN(Y * 512 + X) AS BIGINT) AS region_id,
+                   CAST(value AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(MIN(X) AS BIGINT) AS xmin,
+                   CAST(MIN(Y) AS BIGINT) AS ymin,
+                   CAST(MAX(X) AS BIGINT) AS xmax,
+                   CAST(MAX(Y) AS BIGINT) AS ymax,
+                   CAST(SUM(X) AS BIGINT) AS sum_x,
+                   CAST(SUM(Y) AS BIGINT) AS sum_y
+            FROM hits GROUP BY rk, value
+        """,
         # per-pixel labeled-raster twin: rasterize -> region_label_raster
         # -> write_level -> raster_histogram, every pixel closed-form
         "region_label_hist": _region_hist_oracle_sql(),

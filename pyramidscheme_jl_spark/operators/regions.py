@@ -660,6 +660,65 @@ def region_label_raster(
     return resolved.groupBy("tx", "ty").applyInPandas(assemble, TILE_SCHEMA)
 
 
+def region_stats(
+    spark,
+    path: str,
+    z: int = 0,
+    connectivity: int = 4,
+    driver_resolve_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """The full polygonize ATTRIBUTE TABLE: ``region_label``'s columns
+    plus exact first-moment sums and the centroid — ``(region_id, value,
+    n_px, xmin, ymin, xmax, ymax, sum_x, sum_y, centroid_x,
+    centroid_y)`` in level pixel coords (centroid at pixel INDEX
+    coordinates; add 0.5 for pixel-center world coords).
+
+    Plan: the shared stitch resolve, then the RUN rows (skinny — runs,
+    not pixels, the ``region_label_raster`` discipline) aggregated once:
+    a run ``[c0, c1)`` on global row ``gy`` contributes ``len = c1-c0``
+    pixels, ``sum_x = len*gx0 + (c0+c1-1)*len/2`` (exact: consecutive-
+    integer sum, always even product) and ``sum_y = len*gy`` — all JVM
+    integer expressions, one hash aggregate. ``centroid_* = sum_* /
+    n_px`` is ONE IEEE division of exact int64s — engine-portable
+    (the focal-mean discipline).
+    """
+    from ..sources.catalog import read_level
+
+    eight = connectivity == 8
+    scan, comp, spec, lw, lh = _resolved_regions(
+        spark, path, z, connectivity, driver_resolve_max_edges, contacts=False
+    )
+    ts = spec.tilesize
+    runs = read_level(spark, path, z).mapInPandas(
+        _runs_gen(ts, lw, eight),
+        "tx int, ty int, r int, c0 int, c1 int, label long, v double",
+    )
+    resolved = runs.join(comp, runs["label"] == comp["id"], "left").select(
+        F.coalesce("component", "label").alias("region_id"),
+        "v",
+        F.expr(f"CAST(c1 - c0 AS BIGINT)").alias("len"),
+        F.expr(f"CAST(tx AS BIGINT) * {ts} + c0").alias("gx0"),
+        F.expr(f"CAST(tx AS BIGINT) * {ts} + c1 - 1").alias("gx1"),
+        F.expr(f"CAST(ty AS BIGINT) * {ts} + r").alias("gy"),
+    )
+    agg = resolved.groupBy("region_id").agg(
+        F.min("v").alias("value"),
+        F.sum("len").alias("n_px"),
+        F.min("gx0").alias("xmin"),
+        F.min("gy").alias("ymin"),
+        F.max("gx1").alias("xmax"),
+        F.max("gy").alias("ymax"),
+        # sum over the run of global column indexes: len*gx0 + 0+1+..+(len-1)
+        F.sum(F.expr("len * gx0 + (len * (len - 1)) DIV 2")).alias("sum_x"),
+        F.sum(F.expr("len * gy")).alias("sum_y"),
+    )
+    return agg.select(
+        "*",
+        (F.col("sum_x").cast("double") / F.col("n_px")).alias("centroid_x"),
+        (F.col("sum_y").cast("double") / F.col("n_px")).alias("centroid_y"),
+    )
+
+
 def region_label(
     spark,
     path: str,

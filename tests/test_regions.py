@@ -258,3 +258,54 @@ def test_region_sieve_validation(spark, plane_path):
 
     with pytest.raises(ValueError, match="min_px"):
         region_sieve(spark, plane_path, min_px=0)
+
+
+# ---------------------------------------------------------------------------
+# region_stats (r8): polygonize attribute table with exact centroids
+# ---------------------------------------------------------------------------
+
+
+def _brute_region_stats(a: np.ndarray, connectivity: int = 4):
+    h, w = a.shape
+    lab = _brute_plane_labels(a, connectivity)
+    out = {}
+    for rid in np.unique(lab[lab >= 0]):
+        ys, xs = np.where(lab == rid)
+        n = int(ys.size)
+        out[int(rid)] = (
+            float(a[ys[0], xs[0]]), n,
+            int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max()),
+            int(xs.sum()), int(ys.sum()),
+            float(int(xs.sum())) / n, float(int(ys.sum())) / n,
+        )
+    return out
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_region_stats_matches_bfs(spark, plane, plane_path, conn):
+    from pyramidscheme_jl_spark.operators.regions import region_stats
+
+    rows = region_stats(spark, plane_path, z=0, connectivity=conn).collect()
+    got = {
+        int(r.region_id): (
+            float(r.value), int(r.n_px),
+            int(r.xmin), int(r.ymin), int(r.xmax), int(r.ymax),
+            int(r.sum_x), int(r.sum_y),
+            float(r.centroid_x), float(r.centroid_y),
+        )
+        for r in rows
+    }
+    want = _brute_region_stats(plane, conn)
+    assert set(got) == set(want)
+    for rid in want:
+        assert got[rid] == want[rid], (rid, got[rid], want[rid])  # exact incl. centroid
+
+
+def test_region_stats_consistent_with_region_label(spark, plane_path):
+    from pyramidscheme_jl_spark.operators.regions import region_stats
+
+    lbl = _collect(region_label(spark, plane_path, z=0))
+    rows = region_stats(spark, plane_path, z=0).collect()
+    assert {int(r.region_id): (
+        float(r.value), int(r.n_px), int(r.xmin), int(r.ymin),
+        int(r.xmax), int(r.ymax)) for r in rows} == lbl
