@@ -1764,6 +1764,19 @@ def q_cube_composite_mean(spark: SparkSession, sf: str) -> DataFrame:
     return _plane_px_stats(cube_composite(spark, path, stat="mean"), 60)
 
 
+def q_cube_anomaly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pixel climatology anomaly cube (cube_time.cube_anomaly, r8):
+    anomaly = (n*v - Sv)/n, exact integer numerator + ONE IEEE division;
+    rint(a*60) is exact both engines (60 clears every count denominator
+    n in [1,5]), so per-(t, tile) integer sums hash portably. Fixed-size
+    by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.cube_time import cube_anomaly
+
+    path = _ensure_timecube(spark)
+    return _cube_px_stats(cube_anomaly(spark, path), 60)
+
+
 def q_cube_trend_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-pixel OLS slope along t (cube_time.cube_trend, r8): moment sums
     are exact integers, the slope is ONE IEEE division — both engines
@@ -2243,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equalize_hist": q_equalize_hist,
         "cube_trend_stats": q_cube_trend_stats,
         "region_stats": q_region_stats,
+        "cube_anomaly_stats": q_cube_anomaly_stats,
         "cube_gapfill_locf": q_cube_gapfill_locf,
         "cube_gapfill_linear": q_cube_gapfill_linear,
         "cube_composite_max": q_cube_composite_max,
@@ -3012,6 +3026,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # LOCF along t over the temporal-cube fixture: DuckDB carries the
         # last non-NULL per pixel with a window, then aggregates per
         # (t, tile). Carried values are source integers -> exact BIGINT sums.
+        # per-pixel anomaly: (n*v - Sv) * (60//n) is the exact BIGINT both
+        # engines agree on (rint(a*60) on the engine side)
+        "cube_anomaly_stats": f"""
+            WITH {_tc_base_cte()},
+                 m AS (
+                   SELECT px, py, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sv
+                   FROM base GROUP BY px, py),
+                 a AS (
+                   SELECT b.t, b.px, b.py,
+                          (m.n * b.v - m.sv) * (60 // m.n) AS u
+                   FROM base b JOIN m USING (px, py)
+                   WHERE b.v IS NOT NULL)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(px // {_TC_TILE} AS BIGINT) AS tx,
+                   CAST(py // {_TC_TILE} AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_valid,
+                   CAST(SUM(u) AS BIGINT) AS sum_u
+            FROM a GROUP BY 1, 2, 3
+        """,
         # per-pixel OLS slope: exact integer moment sums, ONE double
         # division (bit-identical across engines), FLOOR(x*2^20+0.5)
         # quantization, per-tile integer sums

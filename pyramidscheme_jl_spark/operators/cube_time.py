@@ -331,6 +331,53 @@ def cube_composite(
     return tiles.groupBy("tx", "ty").applyInPandas(reduce_t, TILE_SCHEMA)
 
 
+def cube_anomaly(
+    spark: SparkSession,
+    path: str,
+    z: int = 0,
+    t_domain=None,
+) -> DataFrame:
+    """Per-pixel ANOMALY cube: every observation minus its pixel's
+    skipmissing mean along t (the xarray ``groupby('pixel') - mean('t')``
+    climatology-deviation shape that precedes any trend/extreme
+    analysis). Output is a CUBE (t preserved) with value
+    ``v - Sv/n = (n*v - Sv)/n`` — exact integer numerator for integer-
+    valued observations and ONE IEEE division, so anomalies are engine-
+    portable bit-for-bit. NaN observations stay NaN; pixels observed
+    once anomalize to exactly 0.
+
+    Same single ``groupBy(tx, ty)`` gather as ``cube_composite`` — the
+    mean is decomposable, so a T-too-big stack splits into a partial-
+    sums pass plus a map pass (not needed at the in-group sizes this
+    serves). Returns CUBE_TILE_SCHEMA rows; all-NaN frames drop.
+    """
+    ts = _t_domain(spark, path, z, t_domain)
+    spec = _open_spec(spark, path)
+    tiles = read_cube_level(spark, path, z)
+    zz = int(z)
+
+    def anom(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _cube_rows_to_pdf([])
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        stack = _decode_group(pdf, ts)
+        obs = ~np.isnan(stack)
+        n = obs.sum(axis=0).astype(np.float64)
+        sv = np.where(obs, stack, 0.0).sum(axis=0)
+        out = []
+        with np.errstate(invalid="ignore"):
+            for i in range(stack.shape[0]):
+                plane = (n * stack[i] - sv) / n  # one division, exact num
+                if not np.isfinite(plane).any():
+                    continue
+                out.append(
+                    dict(_tile_row(spec, zz, tx, ty, plane), t=int(ts[i]))
+                )
+        return _cube_rows_to_pdf(out)
+
+    return tiles.groupBy("tx", "ty").applyInPandas(anom, CUBE_TILE_SCHEMA)
+
+
 def cube_trend(
     spark: SparkSession,
     path: str,

@@ -313,3 +313,31 @@ def test_cube_trend_validation(spark, cube_path):
 
     with pytest.raises(ValueError, match="stat must be"):
         cube_trend(spark, cube_path, stat="variance")
+
+
+# ---------------------------------------------------------------------------
+# cube_anomaly (r8): per-pixel climatology deviation, t preserved
+# ---------------------------------------------------------------------------
+
+
+def test_cube_anomaly_matches_replay(spark, cube_path):
+    from pyramidscheme_jl_spark.operators.cube_time import cube_anomaly
+
+    rows = cube_anomaly(spark, cube_path).collect()
+    got = np.full((len(TS), BASE, BASE), np.nan)
+    for r in rows:
+        a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+        got[TS.index(r.t), r.ty * TILE : r.ty * TILE + r.h,
+            r.tx * TILE : r.tx * TILE + r.w] = a
+    stored = _stored_stack()
+    obs = ~np.isnan(stored)
+    mean = np.nanmean(np.where(obs, stored, np.nan), axis=0)
+    ref = stored - mean[None, :, :]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-12, atol=1e-12)
+    # single-observation pixels anomalize to EXACTLY zero
+    single = obs.sum(axis=0) == 1
+    for i in range(len(TS)):
+        sm = single & obs[i]
+        assert np.all(got[i][sm] == 0.0)
