@@ -36,11 +36,22 @@ def main() -> int:
         "zonal_cube_quantiles",    # same, t riding the keys
         "region_sieve",            # runs-pass + assemble Arrow stages
         "region_label_hist",       # histogram partials Arrow stage
+        # -- late-r8 wave ----------------------------------------------------
+        "warp_bilinear_stats",     # bilinear gather + stats Arrow stages
+        "zonal_categorical",       # shared refine Arrow stage, struct-agg JVM
+        "morphology_open_hist",    # stored-open histogram partials Arrow
+        "equalize_hist",           # stored-equalized histogram partials Arrow
+        "cube_trend_stats",        # cube gather + stats Arrow stages
+        "cube_anomaly_stats",      # same
+        "region_stats",            # runs pass + JVM moment agg
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
         "zonal_quantiles", "zonal_cube_quantiles", "region_sieve",
         "region_label_hist",
+        "warp_bilinear_stats", "zonal_categorical", "morphology_open_hist",
+        "equalize_hist", "cube_trend_stats", "cube_anomaly_stats",
+        "region_stats",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from focal_scaling_bench import ensure_pyramid, steal_read  # noqa: E402
 
 
-def run_one(path: str, g: int, cores: int, reps: int) -> dict:
+def run_one(path: str, g: int, cores: int, reps: int, resampling: str = "nearest") -> dict:
     from pyramidscheme_jl_spark.operators.raster import warp_affine
     from pyramidscheme_jl_spark.session import get_spark
 
@@ -36,17 +36,20 @@ def run_one(path: str, g: int, cores: int, reps: int) -> dict:
     n = g * 256
     out_w = (n * 2) // 3  # 3/2 downscale; offset keeps full coverage
     expect = (-(-out_w // 256)) ** 2
-    warp_affine(spark, path, (512, 512), (3, 2), offset=(8, 8), z=0).count()  # warm
+    warp_affine(spark, path, (512, 512), (3, 2), offset=(8, 8), z=0,
+                resampling=resampling).count()  # warm
     walls, steals = [], []
     for _ in range(reps):
         s0, t0 = steal_read(), time.time()
-        cnt = warp_affine(spark, path, (out_w, out_w), (3, 2), offset=(8, 8), z=0).count()
+        cnt = warp_affine(spark, path, (out_w, out_w), (3, 2), offset=(8, 8),
+                          z=0, resampling=resampling).count()
         walls.append(round(time.time() - t0, 3))
         s1 = steal_read()
         steals.append(round(100 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1]), 2))
         assert cnt == expect, f"output tiles {cnt} != closed form {expect}"
     spark.stop()
-    return {"cores": cores, "walls": walls, "best": min(walls),
+    return {"cores": cores, "resampling": resampling,
+            "walls": walls, "best": min(walls),
             "steal_pct": steals, "out_tiles": expect,
             "out_px": out_w * out_w}
 
@@ -56,6 +59,7 @@ def main() -> int:
     ap.add_argument("--cores", type=int, nargs="+", default=[2, 8])
     ap.add_argument("--g", type=int, default=64)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--resampling", default="nearest")
     args = ap.parse_args()
     path = ensure_pyramid(args.g, 256)
     splits = len(glob.glob(f"{path}/tiles/z=0/*.parquet"))
@@ -65,7 +69,7 @@ def main() -> int:
     out = {"g": args.g, "src_px": (args.g * 256) ** 2, "splits": splits,
            "runs": []}
     for c in args.cores:
-        r = run_one(path, args.g, c, args.reps)
+        r = run_one(path, args.g, c, args.reps, args.resampling)
         out["runs"].append(r)
         print(json.dumps(r))
     if len(out["runs"]) >= 2:
