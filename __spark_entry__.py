@@ -1556,6 +1556,42 @@ def q_equalize_hist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dem_roughness_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """gdaldem roughness (raster.roughness, r8): 3x3 window max-min with
+    edge replication == shrinking-window focal max - focal min exactly
+    (pytest-pinned identity), so DuckDB replays it as two chained 1-D
+    window MAX passes minus two MIN passes over the closed-form mosaic —
+    integer-exact. Per-tile stats rows. Fixed-size by design; ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.raster import roughness
+
+    path = _ensure_zonal_pyramid(spark)
+    df = roughness(spark, path, z=0)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                u = a[np.isfinite(a)].astype(np.int64)
+                rows.append({
+                    "tx": int(r.tx), "ty": int(r.ty),
+                    "n_px": int(u.size), "sum_r": int(u.sum()),
+                    "min_r": int(u.min()), "max_r": int(u.max()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        gen, "tx long, ty long, n_px long, sum_r long, min_r long, max_r long"
+    )
+
+
 _MORPH_ORACLE_DIR = "/dev/shm/psjl_morph_oracle_v1"
 
 
@@ -2257,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_trend_stats": q_cube_trend_stats,
         "region_stats": q_region_stats,
         "cube_anomaly_stats": q_cube_anomaly_stats,
+        "dem_roughness_stats": q_dem_roughness_stats,
         "cube_gapfill_locf": q_cube_gapfill_locf,
         "cube_gapfill_linear": q_cube_gapfill_linear,
         "cube_composite_max": q_cube_composite_max,
@@ -3233,6 +3270,34 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    FROM c)
             SELECT CAST(eq AS BIGINT) AS value, CAST(SUM(n) AS BIGINT) AS n
             FROM e GROUP BY eq
+        """,
+        # gdaldem roughness: window max - min via chained 1-D passes
+        "dem_roughness_stats": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS px),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS py),
+                 pix AS (
+                   SELECT px, py,
+                          CAST((16*((px//128)+(py//128)) + xor(px%128, py%128)) % 256 AS BIGINT) AS v
+                   FROM xs CROSS JOIN ys),
+                 x1 AS (SELECT px, py,
+                          MAX(v) OVER (PARTITION BY py ORDER BY px
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mx,
+                          MIN(v) OVER (PARTITION BY py ORDER BY px
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mn
+                        FROM pix),
+                 x2 AS (SELECT px, py,
+                          MAX(mx) OVER (PARTITION BY px ORDER BY py
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                        - MIN(mn) OVER (PARTITION BY px ORDER BY py
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS rough
+                        FROM x1)
+            SELECT CAST(px // 128 AS BIGINT) AS tx,
+                   CAST(py // 128 AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(rough) AS BIGINT) AS sum_r,
+                   CAST(MIN(rough) AS BIGINT) AS min_r,
+                   CAST(MAX(rough) AS BIGINT) AS max_r
+            FROM x2 GROUP BY 1, 2
         """,
         # morphological opening: separable erode (2 chained 1-D window MINs)
         # then dilate (2 chained MAXes) with the shrinking-border frame rule,

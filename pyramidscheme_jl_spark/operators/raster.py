@@ -771,6 +771,104 @@ def hillshade(
     return focal_apply(spark, path, kern, z=z, radius=1)
 
 
+def _edge_replicate(pad):
+    """Fill the NaN halo ring by edge replication (two passes settle the
+    corners) — the GDAL ``-compute_edges`` convention shared by the Horn
+    kernels. Interior NaNs (missing tiles / nodata) are preserved."""
+    import numpy as np
+
+    p = pad.copy()
+    for _ in range(2):
+        for sl_to, sl_from in (
+            (np.s_[0, :], np.s_[1, :]), (np.s_[-1, :], np.s_[-2, :]),
+            (np.s_[:, 0], np.s_[:, 1]), (np.s_[:, -1], np.s_[:, -2]),
+        ):
+            row = p[sl_to]
+            src = p[sl_from]
+            fill = np.isnan(row) & ~np.isnan(src)
+            row[fill] = src[fill]
+            p[sl_to] = row
+    return p
+
+
+def _shifts3x3(p):
+    """The nine 3x3-window slices of a 1-padded plane, center last."""
+    h, w = p.shape[0] - 2, p.shape[1] - 2
+    out = [p[dy:dy + h, dx:dx + w]
+           for dy in (0, 1, 2) for dx in (0, 1, 2) if not (dy == 1 and dx == 1)]
+    out.append(p[1:-1, 1:-1])
+    return out
+
+
+def tpi(spark, path: str, z: int = 0):
+    """Topographic Position Index (GDAL ``gdaldem TPI``): center minus
+    the mean of its 8 neighbors, edge-replicated borders (the
+    ``-compute_edges`` convention the Horn family uses). Positive =
+    ridge, negative = valley. Arithmetic only — no trig — but border
+    replication duplicates neighbors, so the pinned contract is the
+    pytest full-mosaic replay (the roughness row is this plan's
+    oracle-gated representative)."""
+    import numpy as np
+
+    def kern(pad, valid, r):
+        p = _edge_replicate(pad)
+        *nb, ctr = _shifts3x3(p)
+        s = nb[0].copy()
+        for q in nb[1:]:
+            s = s + q
+        return ctr - s / 8.0
+
+    return focal_apply(spark, path, kern, z=z, radius=1)
+
+
+def tri(spark, path: str, z: int = 0, alg: str = "riley"):
+    """Terrain Ruggedness Index (GDAL ``gdaldem TRI``): per pixel over
+    the 8 neighbors, ``alg="riley"`` (GDAL >= 3.3 default) is
+    ``sqrt(sum (center - nb)^2)``; ``alg="wilson"`` is
+    ``mean |center - nb|``. Edge-replicated borders."""
+    import numpy as np
+
+    if alg not in ("riley", "wilson"):
+        raise ValueError(f"alg must be riley|wilson, got {alg!r}")
+
+    def kern(pad, valid, r):
+        p = _edge_replicate(pad)
+        *nb, ctr = _shifts3x3(p)
+        if alg == "riley":
+            s = (ctr - nb[0]) ** 2
+            for q in nb[1:]:
+                s = s + (ctr - q) ** 2
+            return np.sqrt(s)
+        s = np.abs(ctr - nb[0])
+        for q in nb[1:]:
+            s = s + np.abs(ctr - q)
+        return s / 8.0
+
+    return focal_apply(spark, path, kern, z=z, radius=1)
+
+
+def roughness(spark, path: str, z: int = 0):
+    """Roughness (GDAL ``gdaldem roughness``): 3x3 window max minus min,
+    center included. With edge replication this equals the shrinking-
+    window ``focal max - focal min`` exactly (replicated values duplicate
+    in-window values, never change extremes), so the DuckDB oracle is
+    two chained 1-D window MAX passes minus two MIN passes — integer-
+    exact on integer rasters."""
+    import numpy as np
+
+    def kern(pad, valid, r):
+        p = _edge_replicate(pad)
+        parts = _shifts3x3(p)
+        mx = parts[0].copy()
+        mn = parts[0].copy()
+        for q in parts[1:]:
+            mx = np.maximum(mx, q)  # NaN (interior nodata) propagates
+            mn = np.minimum(mn, q)
+        return mx - mn
+
+    return focal_apply(spark, path, kern, z=z, radius=1)
+
+
 def raster_histogram(
     spark,
     path: str,

@@ -470,3 +470,65 @@ def test_histogram_equalize_constant_and_errors(spark, tmp_path, pyr):
         histogram_equalize(spark, root, levels=1)
     with pytest.raises(ValueError, match="max_distinct"):
         histogram_equalize(spark, root, max_distinct=10)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem trio (r8): TPI / TRI / roughness, edge-replicated borders
+# ---------------------------------------------------------------------------
+
+
+def _dem_replay(full, which, alg="riley"):
+    H, W = full.shape
+    p = np.pad(full.astype(np.float64), 1, mode="edge")
+    out = np.zeros((H, W))
+    for y in range(H):
+        for x in range(W):
+            win = p[y:y + 3, x:x + 3]
+            ctr = win[1, 1]
+            nb = np.delete(win.ravel(), 4)
+            if which == "tpi":
+                out[y, x] = ctr - nb.mean()
+            elif which == "tri" and alg == "riley":
+                out[y, x] = np.sqrt(((ctr - nb) ** 2).sum())
+            elif which == "tri":
+                out[y, x] = np.abs(ctr - nb).mean()
+            else:
+                out[y, x] = win.max() - win.min()
+    return out
+
+
+@pytest.mark.parametrize("which,alg", [
+    ("tpi", None), ("tri", "riley"), ("tri", "wilson"), ("roughness", None),
+])
+def test_gdaldem_trio_matches_replay(spark, pyr, which, alg):
+    from pyramidscheme_jl_spark.operators.raster import roughness, tpi, tri
+
+    root, full = pyr
+    if which == "tpi":
+        df = tpi(spark, root, z=0)
+    elif which == "tri":
+        df = tri(spark, root, z=0, alg=alg)
+    else:
+        df = roughness(spark, root, z=0)
+    got = _collect_plane(df.collect())
+    want = _dem_replay(full, which, alg or "riley")
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_roughness_equals_dilate_minus_erode(spark, pyr):
+    """The oracle claim: roughness == shrinking-window focal max - min."""
+    from pyramidscheme_jl_spark.operators.raster import focal_stats, roughness
+
+    root, full = pyr
+    got = _collect_plane(roughness(spark, root, z=0).collect())
+    mx = _collect_plane(focal_stats(spark, root, z=0, stat="max").collect())
+    mn = _collect_plane(focal_stats(spark, root, z=0, stat="min").collect())
+    np.testing.assert_array_equal(got, mx - mn)
+
+
+def test_tri_validation(spark, pyr):
+    from pyramidscheme_jl_spark.operators.raster import tri
+
+    root, _ = pyr
+    with pytest.raises(ValueError, match="alg"):
+        tri(spark, root, alg="mad")
