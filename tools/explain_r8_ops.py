@@ -44,6 +44,7 @@ def main() -> int:
         "cube_trend_stats",        # cube gather + stats Arrow stages
         "cube_anomaly_stats",      # same
         "region_stats",            # runs pass + JVM moment agg
+        "dem_roughness_stats",     # halo exchange + kernel Arrow stages
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -51,7 +52,7 @@ def main() -> int:
         "region_label_hist",
         "warp_bilinear_stats", "zonal_categorical", "morphology_open_hist",
         "equalize_hist", "cube_trend_stats", "cube_anomaly_stats",
-        "region_stats",
+        "region_stats", "dem_roughness_stats",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
