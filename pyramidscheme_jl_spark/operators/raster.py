@@ -586,6 +586,114 @@ def _proximity_assemble(target: float, radius: int, z: int):
     return fn
 
 
+def fillnodata(
+    spark,
+    path: str,
+    nodata: float,
+    max_radius: int,
+    z: int = 0,
+):
+    """Nodata interpolation (GDAL ``gdal_fillnodata`` analog, nearest-
+    valid mode): every pixel equal to ``nodata`` takes the VALUE of its
+    nearest valid pixel within ``max_radius`` (exact squared-Euclidean
+    metric); out-of-reach pixels keep ``nodata``; valid pixels pass
+    through untouched. Ties (two valid pixels at the same distance)
+    break to the SMALLER value — a total, engine-portable order, which
+    is what makes this oracle-exact where GDAL's inverse-distance
+    smoothing variant could never be (IDW needs a float divide per
+    neighbor; run ``focal_stats(mean)`` after this fill if smoothing is
+    wanted — the documented GDAL recipe is exactly that pair).
+
+    Plan: the ``raster_proximity`` halo exchange (r-wide strips, ~2r/
+    tilesize of pixel volume) + the same separable two-stage exact EDT,
+    here carrying ``(d^2, value)`` TUPLES through both min passes. The
+    lexicographic tuple-min composes across the stages: within one
+    column two seeds only tie in final distance when their ``dy^2``
+    ties (same ``dx^2``), and stage 1 already broke that tie by value;
+    across columns stage 2 compares full tuples. So two O(r) shift
+    passes reproduce the global argmin, never O(r^2) scans. Same
+    ``max_radius <= tilesize`` halo contract as proximity; run against
+    an overview level for coarser reaches.
+
+    Returns TILE_SCHEMA rows (the filled raster level, dtype preserved).
+    Reference parity: none — north-rule raster-repair surface (the
+    ingest-side companion of ``cube_time.gap_fill``'s temporal LOCF).
+    """
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    if max_radius < 1:
+        raise ValueError(f"max_radius must be >= 1, got {max_radius}")
+    tiles = read_level(spark, path, z)
+    if any(f.name == "t" for f in tiles.schema.fields):
+        raise ValueError("fillnodata expects a flat (x, y) level")
+    halo = tiles.mapInPandas(_halo_gen(max_radius), _HALO_SCHEMA)
+    return halo.groupBy("tx", "ty").applyInPandas(
+        _fill_assemble(float(nodata), max_radius, z), TILE_SCHEMA
+    )
+
+
+def _fill_assemble(nodata: float, radius: int, z: int):
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codec import encode_tile
+
+    out_cols = ["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
+                "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
+                "xmax", "ymax"]
+    INF = 1 << 60
+
+    def fn(key, pdf):
+        ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if ctr.empty:
+            return pd.DataFrame(columns=out_cols)
+        c = ctr.iloc[0]
+        h, w, r = int(c["h"]), int(c["w"]), radius
+        a, pad, valid, _ = _assemble_pad(c, pdf, r)
+        vm = valid & (pad != nodata)
+        # stage 1 per padded column: lexicographic (dy^2, value) min to a
+        # valid pixel within +-r rows
+        d1 = np.full((h, w + 2 * r), INF, dtype=np.int64)
+        v1 = np.zeros((h, w + 2 * r), dtype=pad.dtype)
+        for dy in range(-r, r + 1):
+            ok = vm[r + dy:r + dy + h, :]
+            cd = np.where(ok, dy * dy, INF)
+            cv = pad[r + dy:r + dy + h, :]
+            upd = (cd < d1) | (ok & (cd == d1) & (cv < v1))
+            d1[upd] = cd[upd]
+            v1[upd] = cv[upd]
+        # stage 2: lexicographic min over dx of (dx^2 + stage1, value)
+        bd = np.full((h, w), INF, dtype=np.int64)
+        bv = np.zeros((h, w), dtype=pad.dtype)
+        for dx in range(-r, r + 1):
+            s = d1[:, r + dx:r + dx + w]
+            ok = s < INF
+            cd = np.where(ok, dx * dx + s, INF)
+            cv = v1[:, r + dx:r + dx + w]
+            upd = (cd < bd) | (ok & (cd == bd) & (cv < bv))
+            bd[upd] = cd[upd]
+            bv[upd] = cv[upd]
+        keep = np.isfinite(a) & (a != nodata)
+        reach = bd <= r * r
+        out = np.where(keep, a,
+                       np.where(reach, bv.astype(a.dtype), a))
+        out = np.ascontiguousarray(out.astype(a.dtype, copy=False))
+        finite = out[np.isfinite(out.astype(np.float64))]
+        return pd.DataFrame([{
+            "z": z, "tx": int(c["tx"]), "ty": int(c["ty"]),
+            "bytes": encode_tile(out), "w": w, "h": h, "c": 1,
+            "dtype": str(out.dtype),
+            "vmin": float(finite.min()) if finite.size else float("nan"),
+            "vmax": float(finite.max()) if finite.size else float("nan"),
+            "vmean": float(finite.mean()) if finite.size else float("nan"),
+            "cell": None if c["cell"] is None else int(c["cell"]),
+            "xmin": float(c["xmin"]), "ymin": float(c["ymin"]),
+            "xmax": float(c["xmax"]), "ymax": float(c["ymax"]),
+        }])
+
+    return fn
+
+
 def focal_stats_cube(
     spark,
     path: str,
@@ -867,6 +975,157 @@ def roughness(spark, path: str, z: int = 0):
         return mx - mn
 
     return focal_apply(spark, path, kern, z=z, radius=1)
+
+
+#: one row per contour SEGMENT: the owning 2x2 cell (global top-left
+#: corner pixel position) plus the linearly interpolated endpoints.
+_CONTOUR_SCHEMA = (
+    "level double, cx bigint, cy bigint, "
+    "x0 double, y0 double, x1 double, y1 double"
+)
+
+#: marching-squares segment count per 4-bit corner code
+#: (tl<<3 | tr<<2 | br<<1 | bl): 0/15 empty, 5/10 saddles (2 segments)
+_MS_SEG_COUNT = (0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0)
+
+
+def contour_segments(spark, path: str, levels, z: int = 0):
+    """Contour extraction (GDAL ``gdal_contour`` analog): marching
+    squares over the pixel-center lattice — every 2x2 pixel cell whose
+    corners straddle a contour ``level`` emits one line segment (two for
+    saddle cells), endpoints linearly interpolated along the crossed
+    cell edges. "Above" is ``value >= level``; saddle cells pair their
+    four crossings by the center-mean rule (the GDAL/skimage
+    disambiguation). Returns one row per segment: ``(level, cx, cy, x0,
+    y0, x1, y1)`` with ``(cx, cy)`` the GLOBAL top-left corner pixel of
+    the owning cell — stitch downstream per level if closed polylines
+    are wanted (segment endpoints on shared cell edges are bit-identical
+    because both cells interpolate the same two corner values).
+
+    Plan: the radius-1 focal halo exchange (strips only — a cell on a
+    tile seam needs just the E/S/SE corner pixels), then one Arrow stage
+    per tile classifying all cells for all ``levels`` vectorized. Each
+    cell is owned by exactly ONE tile (its top-left corner's tile), so
+    no dedup shuffle; cells missing a corner (raster border, absent
+    tile) emit nothing. Scale: the shuffle is O(perimeter), the emit is
+    O(contour length) — both linear in pixel volume worst-case.
+
+    Exactness contract: segment COUNTS, owning-cell positions and
+    crossing-edge structure are pure integer comparisons (oracle-exact
+    in DuckDB); interpolated endpoints are one IEEE divide per crossing.
+    Reference parity: none (PyramidScheme.jl has no vectorization ops) —
+    north-rule raster→vector surface, the inverse of ``rasterize``.
+    """
+    from ..api import PyramidDataset
+    from ..sources.catalog import read_level
+
+    lvls = tuple(float(v) for v in levels)
+    if not lvls:
+        raise ValueError("levels must be non-empty")
+    ts = PyramidDataset.open(spark, path).spec.tilesize
+    tiles = read_level(spark, path, z)
+    if any(f.name == "t" for f in tiles.schema.fields):
+        raise ValueError("contour_segments expects a flat (x, y) level")
+    halo = tiles.mapInPandas(_halo_gen(1), _HALO_SCHEMA)
+    return halo.groupBy("tx", "ty").applyInPandas(
+        _contour_assemble(lvls, int(ts)), _CONTOUR_SCHEMA
+    )
+
+
+def _contour_assemble(levels: tuple, ts: int):
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["level", "cx", "cy", "x0", "y0", "x1", "y1"]
+    empty = pd.DataFrame(columns=out_cols)
+
+    def fn(key, pdf):
+        ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if ctr.empty:
+            return empty
+        c = ctr.iloc[0]
+        h, w = int(c["h"]), int(c["w"])
+        gx0, gy0 = int(c["tx"]) * ts, int(c["ty"]) * ts
+        _, pad, valid, _ = _assemble_pad(c, pdf, 1)
+        pad = pad.astype(np.float64, copy=False)
+        # corner grid: local corner (i, j) = global pixel (gy0+i, gx0+j);
+        # this tile owns cells with top-left corner inside it (i<h, j<w),
+        # so cell ownership is a partition of the lattice — no dedup
+        cg = pad[1:h + 2, 1:w + 2]
+        cv = valid[1:h + 2, 1:w + 2]
+        exists = (cv[:-1, :-1] & cv[:-1, 1:] & cv[1:, :-1] & cv[1:, 1:])
+        seg_lut = np.asarray(_MS_SEG_COUNT)
+        out = []
+        for L in levels:
+            b = cg >= L
+            code = ((b[:-1, :-1].astype(np.int8) << 3)
+                    | (b[:-1, 1:].astype(np.int8) << 2)
+                    | (b[1:, 1:].astype(np.int8) << 1)
+                    | b[1:, :-1].astype(np.int8))
+            nseg = np.where(exists, seg_lut[code], 0)
+            ys, xs = np.nonzero(nseg)
+            if ys.size == 0:
+                continue
+            tl, tr = cg[ys, xs], cg[ys, xs + 1]
+            bl, br = cg[ys + 1, xs], cg[ys + 1, xs + 1]
+            fx = (gx0 + xs).astype(np.float64)
+            fy = (gy0 + ys).astype(np.float64)
+            # crossing points per cell edge, canonical order
+            # [top, right, bottom, left]; NaN where not crossed
+            n = ys.size
+            pts = np.full((n, 4, 2), np.nan)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                m = (tl >= L) != (tr >= L)
+                pts[m, 0, 0] = fx[m] + ((L - tl) / (tr - tl))[m]
+                pts[m, 0, 1] = fy[m]
+                m = (tr >= L) != (br >= L)
+                pts[m, 1, 0] = fx[m] + 1.0
+                pts[m, 1, 1] = fy[m] + ((L - tr) / (br - tr))[m]
+                m = (bl >= L) != (br >= L)
+                pts[m, 2, 0] = fx[m] + ((L - bl) / (br - bl))[m]
+                pts[m, 2, 1] = fy[m] + 1.0
+                m = (tl >= L) != (bl >= L)
+                pts[m, 3, 0] = fx[m]
+                pts[m, 3, 1] = fy[m] + ((L - tl) / (bl - tl))[m]
+            crossed = ~np.isnan(pts[:, :, 0])
+            one = nseg[ys, xs] == 1
+            # single-segment cells: join their (exactly two) crossed edges
+            e1 = np.argmax(crossed, axis=1)
+            e2 = 3 - np.argmax(crossed[:, ::-1], axis=1)
+            p0 = pts[np.arange(n), e1]
+            p1 = pts[np.arange(n), e2]
+            recs = [(L, gx0 + xs[one], gy0 + ys[one],
+                     p0[one, 0], p0[one, 1], p1[one, 0], p1[one, 1])]
+            # saddles (all four edges crossed): center-mean rule — when
+            # the cell center is "above", the above-diagonal corners own
+            # the center, so crossings pair around the BELOW corners
+            sad = ~one
+            if sad.any():
+                si = np.nonzero(sad)[0]
+                ctr_above = (tl[si] + tr[si] + bl[si] + br[si]) / 4.0 >= L
+                tl_above = tl[si] >= L
+                # center sides with tl's diagonal -> that diagonal is
+                # connected through the center, so the contour wraps the
+                # OTHER two corners: (top,right) + (bottom,left); else
+                # tl/br are isolated: (top,left) + (bottom,right)
+                with_tl = ctr_above == tl_above
+                a0 = pts[si, 0]
+                a1 = np.where(with_tl[:, None], pts[si, 1], pts[si, 3])
+                b0 = pts[si, 2]
+                b1 = np.where(with_tl[:, None], pts[si, 3], pts[si, 1])
+                recs.append((L, gx0 + xs[si], gy0 + ys[si],
+                             a0[:, 0], a0[:, 1], a1[:, 0], a1[:, 1]))
+                recs.append((L, gx0 + xs[si], gy0 + ys[si],
+                             b0[:, 0], b0[:, 1], b1[:, 0], b1[:, 1]))
+            for L_, rcx, rcy, x0, y0, x1, y1 in recs:
+                if rcx.size:
+                    out.append(pd.DataFrame({
+                        "level": L_, "cx": rcx.astype(np.int64),
+                        "cy": rcy.astype(np.int64),
+                        "x0": x0, "y0": y0, "x1": x1, "y1": y1}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return fn
 
 
 def raster_histogram(
