@@ -1971,6 +1971,164 @@ def q_raster_proximity_hist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FILL_ORACLE_DIR = "/dev/shm/psjl_fill_oracle_v1"
+_FILL_R = 5
+_FILL_NODATA = 7.0
+
+
+def q_fillnodata_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Nodata interpolation (raster.fillnodata, r8 — gdal_fillnodata
+    nearest-valid analog) composed with write_level + raster_histogram:
+    every value-7 pixel of the zonal mosaic takes the VALUE of its
+    nearest non-7 pixel within radius 5 (exact squared-Euclidean,
+    smaller-value tiebreak), unreachable pixels keep 7; exact per-value
+    counts of the filled raster. DuckDB replays the lexicographic
+    (d^2, value) argmin as MIN(dd*256 + v) over the bounded offset set
+    (dd <= 25 implies Chebyshev <= 5) — all-integer, hence exact.
+    Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import (
+        fillnodata,
+        raster_histogram,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    src = _ensure_zonal_pyramid(spark)
+    path = f"{_FILL_ORACLE_DIR}/fill"
+    done = f"{_FILL_ORACLE_DIR}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(_FILL_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_FILL_ORACLE_DIR, exist_ok=True)
+        write_level(
+            fillnodata(spark, src, _FILL_NODATA, _FILL_R, z=0), path, 0
+        )
+        write_multiscales(path, 0, 128, 512, 512, "fillnodata", "-")
+        open(done, "w").close()
+    return raster_histogram(spark, path, z=0).select(
+        F.col("value").cast("long").alias("value"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_CONTOUR_LEVELS = (127.5, 200.25)
+
+
+def q_contour_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Contour extraction (raster.contour_segments, r8 — gdal_contour
+    marching-squares analog) over the zonal mosaic: per-level segment
+    count, quantized endpoint-coordinate sums, and the pairing-sensitive
+    symmetric term sum(qx0*qy1 + qx1*qy0) — which distinguishes the
+    center-mean saddle rule (plain endpoint sums cannot: a saddle uses
+    all four crossings under either pairing). Every endpoint is one
+    exactly-rounded IEEE divide + adds (no libm), so the 2^10
+    quantization is bit-portable; levels are dyadic rationals so corner
+    comparisons are exact. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.raster import contour_segments
+
+    src = _ensure_zonal_pyramid(spark)
+    segs = contour_segments(spark, src, _CONTOUR_LEVELS, z=0)
+
+    def q(col):
+        return F.floor(col * F.lit(1024.0) + F.lit(0.5)).cast("long")
+
+    qd = segs.select(
+        F.floor(F.col("level") * F.lit(4.0) + F.lit(0.5))
+        .cast("long")
+        .alias("level_q"),
+        q(F.col("x0")).alias("qx0"),
+        q(F.col("y0")).alias("qy0"),
+        q(F.col("x1")).alias("qx1"),
+        q(F.col("y1")).alias("qy1"),
+    )
+    return qd.groupBy("level_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum(F.col("qx0") + F.col("qx1")).cast("long").alias("sum_qx"),
+        F.sum(F.col("qy0") + F.col("qy1")).cast("long").alias("sum_qy"),
+        F.sum(
+            F.col("qx0") * F.col("qy1") + F.col("qx1") * F.col("qy0")
+        ).cast("long").alias("pair_term"),
+    )
+
+
+def _contour_oracle_sql() -> str:
+    """DuckDB marching-squares replay over the closed-form mosaic.
+
+    Per 2x2 cell: corner values from the pixel formula, crossing
+    coordinates via the engine's exact op order (one exactly-rounded
+    divide, then the add, then *1024 + 0.5, then FLOOR). The symmetric
+    pair term for a 2-crossing cell uses the identity
+    (qxa+qxb)(qya+qyb) - (qxa*qya + qxb*qyb) = qxa*qyb + qxb*qya; only
+    saddles (4 crossings) need the explicit center-mean pairing CASE."""
+
+    def val(xe: str, ye: str) -> str:
+        return (
+            f"CAST((16*((({xe})//128)+(({ye})//128))"
+            f" + xor(({xe})%128, ({ye})%128)) % 256 AS DOUBLE)"
+        )
+
+    levels = ", ".join(f"({v!r})" for v in _CONTOUR_LEVELS)
+    return f"""
+        WITH cs AS (SELECT UNNEST(range(0, 511)) AS i),
+             lv AS (SELECT * FROM (VALUES {levels}) t(L)),
+             cell AS (
+               SELECT a.i AS cx, b.i AS cy,
+                      {val('a.i', 'b.i')} AS tl,
+                      {val('a.i + 1', 'b.i')} AS tr,
+                      {val('a.i', 'b.i + 1')} AS bl,
+                      {val('a.i + 1', 'b.i + 1')} AS br
+               FROM cs a CROSS JOIN cs b),
+             cl AS (
+               SELECT cx, cy, L, tl, tr, bl, br,
+                      (tl >= L) <> (tr >= L) AS ct,
+                      (tr >= L) <> (br >= L) AS cr,
+                      (bl >= L) <> (br >= L) AS cb,
+                      (tl >= L) <> (bl >= L) AS ce,
+                      ((tl + tr + bl + br)/4.0 >= L) = (tl >= L) AS with_tl
+               FROM cell CROSS JOIN lv),
+             pts AS (
+               SELECT cx, cy, L, ct, cr, cb, ce, with_tl,
+                      CASE WHEN ct THEN CAST(FLOOR((cx + (L - tl)/(tr - tl))*1024.0 + 0.5) AS BIGINT) END AS qtx,
+                      CAST(FLOOR(CAST(cy AS DOUBLE)*1024.0 + 0.5) AS BIGINT) AS qty,
+                      CAST(FLOOR((cx + 1.0)*1024.0 + 0.5) AS BIGINT) AS qrx,
+                      CASE WHEN cr THEN CAST(FLOOR((cy + (L - tr)/(br - tr))*1024.0 + 0.5) AS BIGINT) END AS qry,
+                      CASE WHEN cb THEN CAST(FLOOR((cx + (L - bl)/(br - bl))*1024.0 + 0.5) AS BIGINT) END AS qbx,
+                      CAST(FLOOR((cy + 1.0)*1024.0 + 0.5) AS BIGINT) AS qby,
+                      CAST(FLOOR(CAST(cx AS DOUBLE)*1024.0 + 0.5) AS BIGINT) AS qlx,
+                      CASE WHEN ce THEN CAST(FLOOR((cy + (L - tl)/(bl - tl))*1024.0 + 0.5) AS BIGINT) END AS qly
+               FROM cl),
+             agg AS (
+               SELECT cx, cy, L,
+                      (CASE WHEN ct THEN 1 ELSE 0 END + CASE WHEN cr THEN 1 ELSE 0 END
+                       + CASE WHEN cb THEN 1 ELSE 0 END + CASE WHEN ce THEN 1 ELSE 0 END) AS ncross,
+                      (CASE WHEN ct THEN qtx ELSE 0 END + CASE WHEN cr THEN qrx ELSE 0 END
+                       + CASE WHEN cb THEN qbx ELSE 0 END + CASE WHEN ce THEN qlx ELSE 0 END) AS sqx,
+                      (CASE WHEN ct THEN qty ELSE 0 END + CASE WHEN cr THEN qry ELSE 0 END
+                       + CASE WHEN cb THEN qby ELSE 0 END + CASE WHEN ce THEN qly ELSE 0 END) AS sqy,
+                      (CASE WHEN ct THEN qtx*qty ELSE 0 END + CASE WHEN cr THEN qrx*qry ELSE 0 END
+                       + CASE WHEN cb THEN qbx*qby ELSE 0 END + CASE WHEN ce THEN qlx*qly ELSE 0 END) AS selfxy,
+                      with_tl, qtx, qty, qrx, qry, qbx, qby, qlx, qly
+               FROM pts),
+             seg AS (
+               SELECT L, ncross // 2 AS nseg, sqx, sqy,
+                      CASE WHEN ncross = 2 THEN sqx*sqy - selfxy
+                           WHEN with_tl THEN qtx*qry + qrx*qty + qbx*qly + qlx*qby
+                           ELSE qtx*qly + qlx*qty + qbx*qry + qrx*qby END AS pair
+               FROM agg WHERE ncross > 0)
+        SELECT CAST(FLOOR(L*4.0 + 0.5) AS BIGINT) AS level_q,
+               CAST(SUM(nseg) AS BIGINT) AS n_seg,
+               CAST(SUM(sqx) AS BIGINT) AS sum_qx,
+               CAST(SUM(sqy) AS BIGINT) AS sum_qy,
+               CAST(SUM(pair) AS BIGINT) AS pair_term
+        FROM seg GROUP BY 1
+    """
+
+
 def q_zonal_cube_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(polygon, t) EXACT quantiles over the streamed (x, y, t) cube
     (joins.zonal_quantiles_cube, r8): the time axis rides the refine
@@ -2286,6 +2444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "contour_stats": q_contour_stats,
+        "fillnodata_hist": q_fillnodata_hist,
         "warp_bilinear_stats": q_warp_bilinear_stats,
         "zonal_categorical": q_zonal_categorical,
         "morphology_open_hist": q_morphology_open_hist,
@@ -3530,6 +3690,50 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY 1, 2
         """,
+        # nearest-valid fill: lexicographic (d^2, value) argmin packed as
+        # MIN(dd*256 + v) over the bounded offset set (89 offsets, dd <=
+        # 25); fill value = packed % 256; unreachable keeps the nodata
+        "fillnodata_hist": f"""
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS X),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS Y),
+                 px AS (
+                   SELECT X, Y,
+                          (16*((X//128)+(Y//128)) + xor(X%128, Y%128)) % 256 AS v
+                   FROM xs CROSS JOIN ys),
+                 os AS (SELECT UNNEST(range(-{_FILL_R}, {_FILL_R + 1})) AS o),
+                 off AS (
+                   SELECT a.o AS dx, b.o AS dy, a.o*a.o + b.o*b.o AS dd
+                   FROM os a CROSS JOIN os b
+                   WHERE a.o*a.o + b.o*b.o <= {_FILL_R * _FILL_R}),
+                 fill AS (
+                   SELECT p.X, p.Y,
+                          MIN(CASE WHEN p.X + dx BETWEEN 0 AND 511
+                                    AND p.Y + dy BETWEEN 0 AND 511
+                                    AND (16*(((p.X+dx)//128)+((p.Y+dy)//128))
+                                         + xor((p.X+dx)%128, (p.Y+dy)%128)) % 256
+                                        <> {int(_FILL_NODATA)}
+                                   THEN dd*256
+                                        + (16*(((p.X+dx)//128)+((p.Y+dy)//128))
+                                           + xor((p.X+dx)%128, (p.Y+dy)%128)) % 256
+                              END) AS packed
+                   FROM px p CROSS JOIN off
+                   WHERE p.v = {int(_FILL_NODATA)}
+                   GROUP BY p.X, p.Y),
+                 outv AS (
+                   SELECT CASE WHEN packed IS NULL THEN {int(_FILL_NODATA)}
+                               ELSE packed % 256 END AS value
+                   FROM fill
+                   UNION ALL
+                   SELECT v AS value FROM px WHERE v <> {int(_FILL_NODATA)})
+            SELECT CAST(value AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM outv GROUP BY 1
+        """,
+        # marching squares: per-cell corner values closed-form; crossing
+        # coordinates are one exactly-rounded divide each; the symmetric
+        # pair term uses (sum_x * sum_y - self terms) for 2-crossing
+        # cells and the center-mean pairing CASE for saddles
+        "contour_stats": _contour_oracle_sql(),
         # proximity histogram: per-pixel exact min over the bounded offset
         # set (dd <= r^2 implies Chebyshev <= r, so 121 offsets is the
         # complete candidate set) against the closed-form target predicate
