@@ -45,6 +45,8 @@ def main() -> int:
         "cube_anomaly_stats",      # same
         "region_stats",            # runs pass + JVM moment agg
         "dem_roughness_stats",     # halo exchange + kernel Arrow stages
+        "contour_stats",           # halo + marching-squares Arrow stages
+        "fillnodata_hist",         # stored-fill histogram partials Arrow
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -53,6 +55,7 @@ def main() -> int:
         "warp_bilinear_stats", "zonal_categorical", "morphology_open_hist",
         "equalize_hist", "cube_trend_stats", "cube_anomaly_stats",
         "region_stats", "dem_roughness_stats",
+        "contour_stats", "fillnodata_hist",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
