@@ -2015,6 +2015,123 @@ def q_fillnodata_hist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_GRID_SHAPE = (256, 256)
+_GRID_TS = 64
+_GRID_R = 3
+
+
+def _grid_points_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sf-SCALED point cloud from customer keys (the
+    radius-join precedent): integer lattice arithmetic + one exactly-
+    rounded /10.0, so both engines bin identically; values are small
+    ints, so every disc sum is exact."""
+    return _t(spark, sf, "customer").select(
+        (((F.col("c_custkey") * 13) % 2560) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 29) % 2560) / 10.0).alias("y"),
+        (F.col("c_custkey") % 97).cast("double").alias("value"),
+    )
+
+
+def _grid_tile_stats(df: DataFrame, quantize: bool) -> DataFrame:
+    """Per-tile (n_filled, sum) over a gridded TILE_SCHEMA result:
+    integer sums when values are ints (``quantize=False``), else
+    order-insensitive FLOOR(v * 2^20 + 0.5) quantization per pixel."""
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                m = np.isfinite(a)
+                if quantize:
+                    u = np.floor(a[m] * 1048576.0 + 0.5).astype(np.int64)
+                else:
+                    u = a[m].astype(np.int64)
+                rows.append({
+                    "tx": int(r.tx), "ty": int(r.ty),
+                    "n_filled": int(m.sum()), "sum_u": int(u.sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, "tx long, ty long, n_filled long, sum_u long")
+
+
+def q_grid_points_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Point gridding (gridding.grid_points, r8 — gdal_grid ``average``
+    analog, lattice-snapped disc): per-tile filled-pixel counts + the
+    2^20-quantized sum of disc means over a 256x256 grid of customer-key
+    points. The disc sums are integer (int-valued points), the mean is
+    ONE exactly-rounded divide, so the quantized sums are bit-portable.
+    Scales with ``sf`` (real table input)."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.gridding import grid_points
+
+    res = grid_points(
+        spark, _grid_points_df(spark, sf), _GRID_SHAPE, method="mean",
+        radius=_GRID_R, tilesize=_GRID_TS,
+    )
+    return _grid_tile_stats(res, quantize=True)
+
+
+def q_grid_points_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-point gridding (gridding.grid_points ``nearest``, r8 —
+    the value-carrying EDT shared with ``fillnodata``): per-tile filled
+    counts + INTEGER value sums (values are small ints — no quantization
+    at all). DuckDB replays the lexicographic (d^2, min-value) argmin as
+    MIN(dd*128 + v) over the bounded offsets. Scales with ``sf``."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.gridding import grid_points
+
+    res = grid_points(
+        spark, _grid_points_df(spark, sf), _GRID_SHAPE, method="nearest",
+        radius=_GRID_R, tilesize=_GRID_TS,
+    )
+    return _grid_tile_stats(res, quantize=False)
+
+
+_XTAB_ORACLE_DIR = "/dev/shm/psjl_xtab_oracle_v1"
+
+
+def q_crosstab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-raster contingency table (raster.raster_crosstab, r8): the
+    zonal mosaic crossed with its own stored 3x3 erosion (morphology
+    min) — a genuinely 2-D integer table, not a function of one margin.
+    DuckDB recomputes both planes closed-form (vb = MIN over the 9
+    in-bounds offsets) and counts pairs. Fixed-size by design; ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from pyramidscheme_jl_spark.operators.raster import (
+        morphology,
+        raster_crosstab,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    src = _ensure_zonal_pyramid(spark)
+    path = f"{_XTAB_ORACLE_DIR}/erode"
+    done = f"{_XTAB_ORACLE_DIR}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(_XTAB_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_XTAB_ORACLE_DIR, exist_ok=True)
+        write_level(morphology(spark, src, op="erode", radius=1, z=0), path, 0)
+        write_multiscales(path, 0, 128, 512, 512, "erode", "-")
+        open(done, "w").close()
+    return raster_crosstab(spark, src, path).select(
+        F.col("va").cast("long").alias("va"),
+        F.col("vb").cast("long").alias("vb"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 _CONTOUR_LEVELS = (127.5, 200.25)
 
 
@@ -2444,6 +2561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "grid_points_stats": q_grid_points_stats,
+        "grid_points_nearest": q_grid_points_nearest,
+        "crosstab_stats": q_crosstab_stats,
         "contour_stats": q_contour_stats,
         "fillnodata_hist": q_fillnodata_hist,
         "warp_bilinear_stats": q_warp_bilinear_stats,
@@ -3689,6 +3809,97 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY 1, 2
+        """,
+        # gridding: customer-key points binned to the lattice; disc sums
+        # via the bounded offset join; mean = one exactly-rounded divide
+        "grid_points_stats": f"""
+            WITH pts AS (
+              SELECT CAST(FLOOR(((c_custkey * 13) % 2560) / 10.0) AS BIGINT) AS px,
+                     CAST(FLOOR(((c_custkey * 29) % 2560) / 10.0) AS BIGINT) AS py,
+                     c_custkey % 97 AS v
+              FROM customer),
+                 b AS (
+                   SELECT px, py, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS s
+                   FROM pts
+                   WHERE px BETWEEN 0 AND {_GRID_SHAPE[0] - 1}
+                     AND py BETWEEN 0 AND {_GRID_SHAPE[1] - 1}
+                   GROUP BY 1, 2),
+                 os AS (SELECT UNNEST(range(-{_GRID_R}, {_GRID_R + 1})) AS o),
+                 off AS (
+                   SELECT a.o AS dx, b.o AS dy
+                   FROM os a CROSS JOIN os b
+                   WHERE a.o*a.o + b.o*b.o <= {_GRID_R * _GRID_R}),
+                 d AS (
+                   SELECT g.px, g.py,
+                          CAST(SUM(b.cnt) AS BIGINT) AS dc,
+                          CAST(SUM(b.s) AS BIGINT) AS ds
+                   FROM (SELECT x.X AS px, y.Y AS py
+                         FROM (SELECT UNNEST(range(0, {_GRID_SHAPE[0]})) AS X) x
+                         CROSS JOIN (SELECT UNNEST(range(0, {_GRID_SHAPE[1]})) AS Y) y) g
+                   CROSS JOIN off
+                   JOIN b ON b.px = g.px + off.dx AND b.py = g.py + off.dy
+                   GROUP BY 1, 2)
+            SELECT CAST(px // {_GRID_TS} AS BIGINT) AS tx,
+                   CAST(py // {_GRID_TS} AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM(CAST(FLOOR((CAST(ds AS DOUBLE) / CAST(dc AS DOUBLE))
+                                       * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+            FROM d GROUP BY 1, 2
+        """,
+        # nearest gridding: lexicographic (d^2, pixel-min-value) argmin
+        # packed as MIN(dd*128 + mv); all-integer
+        "grid_points_nearest": f"""
+            WITH pts AS (
+              SELECT CAST(FLOOR(((c_custkey * 13) % 2560) / 10.0) AS BIGINT) AS px,
+                     CAST(FLOOR(((c_custkey * 29) % 2560) / 10.0) AS BIGINT) AS py,
+                     c_custkey % 97 AS v
+              FROM customer),
+                 b AS (
+                   SELECT px, py, MIN(v) AS mv
+                   FROM pts
+                   WHERE px BETWEEN 0 AND {_GRID_SHAPE[0] - 1}
+                     AND py BETWEEN 0 AND {_GRID_SHAPE[1] - 1}
+                   GROUP BY 1, 2),
+                 os AS (SELECT UNNEST(range(-{_GRID_R}, {_GRID_R + 1})) AS o),
+                 off AS (
+                   SELECT a.o AS dx, b.o AS dy, a.o*a.o + b.o*b.o AS dd
+                   FROM os a CROSS JOIN os b
+                   WHERE a.o*a.o + b.o*b.o <= {_GRID_R * _GRID_R}),
+                 d AS (
+                   SELECT g.px, g.py, MIN(off.dd*128 + b.mv) AS packed
+                   FROM (SELECT x.X AS px, y.Y AS py
+                         FROM (SELECT UNNEST(range(0, {_GRID_SHAPE[0]})) AS X) x
+                         CROSS JOIN (SELECT UNNEST(range(0, {_GRID_SHAPE[1]})) AS Y) y) g
+                   CROSS JOIN off
+                   JOIN b ON b.px = g.px + off.dx AND b.py = g.py + off.dy
+                   GROUP BY 1, 2)
+            SELECT CAST(px // {_GRID_TS} AS BIGINT) AS tx,
+                   CAST(py // {_GRID_TS} AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM(packed % 128) AS BIGINT) AS sum_u
+            FROM d GROUP BY 1, 2
+        """,
+        # crosstab: mosaic x its 3x3 erosion, both planes closed-form
+        "crosstab_stats": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS X),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS Y),
+                 px AS (
+                   SELECT X, Y,
+                          (16*((X//128)+(Y//128)) + xor(X%128, Y%128)) % 256 AS va
+                   FROM xs CROSS JOIN ys),
+                 os AS (SELECT UNNEST(range(-1, 2)) AS o),
+                 er AS (
+                   SELECT p.X, p.Y, p.va,
+                          MIN(CASE WHEN p.X + a.o BETWEEN 0 AND 511
+                                    AND p.Y + b.o BETWEEN 0 AND 511
+                                   THEN (16*(((p.X+a.o)//128)+((p.Y+b.o)//128))
+                                         + xor((p.X+a.o)%128, (p.Y+b.o)%128)) % 256
+                              END) AS vb
+                   FROM px p CROSS JOIN os a CROSS JOIN os b
+                   GROUP BY 1, 2, 3)
+            SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM er GROUP BY 1, 2
         """,
         # nearest-valid fill: lexicographic (d^2, value) argmin packed as
         # MIN(dd*256 + v) over the bounded offset set (89 offsets, dd <=

@@ -632,6 +632,43 @@ def fillnodata(
     )
 
 
+_EDT_INF = 1 << 60
+
+
+def _lex_edt(vm, pad, h: int, w: int, r: int):
+    """Separable exact EDT carrying (d^2, value) lexicographic tuples.
+
+    ``vm``: boolean seed mask over the padded plane; ``pad``: the value
+    plane (same shape). Stage 1 per padded column takes the
+    lexicographic (dy^2, value) min to a seed within +-r rows; stage 2
+    the min over dx of (dx^2 + stage1, value). The tuple-min composes
+    across stages (two seeds only tie in final distance at equal dx^2
+    AND equal dy^2, and stage 1 already broke the dy^2 tie by value),
+    so two O(r) shift passes reproduce the global argmin. Returns
+    ``(bd, bv)``: int64 squared distances (_EDT_INF = unreached) and
+    the argmin values, both (h, w)."""
+    d1 = np.full((h, w + 2 * r), _EDT_INF, dtype=np.int64)
+    v1 = np.zeros((h, w + 2 * r), dtype=pad.dtype)
+    for dy in range(-r, r + 1):
+        ok = vm[r + dy:r + dy + h, :]
+        cd = np.where(ok, dy * dy, _EDT_INF)
+        cv = pad[r + dy:r + dy + h, :]
+        upd = (cd < d1) | (ok & (cd == d1) & (cv < v1))
+        d1[upd] = cd[upd]
+        v1[upd] = cv[upd]
+    bd = np.full((h, w), _EDT_INF, dtype=np.int64)
+    bv = np.zeros((h, w), dtype=pad.dtype)
+    for dx in range(-r, r + 1):
+        s = d1[:, r + dx:r + dx + w]
+        ok = s < _EDT_INF
+        cd = np.where(ok, dx * dx + s, _EDT_INF)
+        cv = v1[:, r + dx:r + dx + w]
+        upd = (cd < bd) | (ok & (cd == bd) & (cv < bv))
+        bd[upd] = cd[upd]
+        bv[upd] = cv[upd]
+    return bd, bv
+
+
 def _fill_assemble(nodata: float, radius: int, z: int):
     import numpy as np
     import pandas as pd
@@ -641,7 +678,6 @@ def _fill_assemble(nodata: float, radius: int, z: int):
     out_cols = ["z", "tx", "ty", "bytes", "w", "h", "c", "dtype",
                 "vmin", "vmax", "vmean", "cell", "xmin", "ymin",
                 "xmax", "ymax"]
-    INF = 1 << 60
 
     def fn(key, pdf):
         ctr = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
@@ -651,28 +687,7 @@ def _fill_assemble(nodata: float, radius: int, z: int):
         h, w, r = int(c["h"]), int(c["w"]), radius
         a, pad, valid, _ = _assemble_pad(c, pdf, r)
         vm = valid & (pad != nodata)
-        # stage 1 per padded column: lexicographic (dy^2, value) min to a
-        # valid pixel within +-r rows
-        d1 = np.full((h, w + 2 * r), INF, dtype=np.int64)
-        v1 = np.zeros((h, w + 2 * r), dtype=pad.dtype)
-        for dy in range(-r, r + 1):
-            ok = vm[r + dy:r + dy + h, :]
-            cd = np.where(ok, dy * dy, INF)
-            cv = pad[r + dy:r + dy + h, :]
-            upd = (cd < d1) | (ok & (cd == d1) & (cv < v1))
-            d1[upd] = cd[upd]
-            v1[upd] = cv[upd]
-        # stage 2: lexicographic min over dx of (dx^2 + stage1, value)
-        bd = np.full((h, w), INF, dtype=np.int64)
-        bv = np.zeros((h, w), dtype=pad.dtype)
-        for dx in range(-r, r + 1):
-            s = d1[:, r + dx:r + dx + w]
-            ok = s < INF
-            cd = np.where(ok, dx * dx + s, INF)
-            cv = v1[:, r + dx:r + dx + w]
-            upd = (cd < bd) | (ok & (cd == bd) & (cv < bv))
-            bd[upd] = cd[upd]
-            bv[upd] = cv[upd]
+        bd, bv = _lex_edt(vm, pad, h, w, r)
         keep = np.isfinite(a) & (a != nodata)
         reach = bd <= r * r
         out = np.where(keep, a,
@@ -1208,6 +1223,96 @@ def raster_histogram(
         (F.lit(lo) + F.col("bin") * F.lit(w)).alias("lo"),
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi"),
         "n",
+    )
+
+
+def raster_crosstab(
+    spark,
+    path_a: str,
+    path_b: str,
+    z_a: int = 0,
+    z_b: int = 0,
+):
+    """Two-raster contingency table (``terra::crosstab`` / the
+    change-detection matrix every land-cover pipeline reports): exact
+    per-(va, vb) pixel counts over two SAME-GRID levels. Pixels where
+    either raster is NaN are excluded (nodata convention); both rasters
+    must be integer-valued with |v| < 2^30 (categorical semantics —
+    raises inside the stage otherwise, mirroring ``raster_histogram``'s
+    exact mode).
+
+    Plan shape: two tile scans equi-joined on (tx, ty) — same-key
+    partitioning, never pixels across the wire beyond the tile payloads
+    themselves — then one Arrow stage per joined batch packs pairs into
+    int64 31-bit lanes ((va+2^30) << 31 | (vb+2^30)) and ``np.unique``-counts them,
+    so the final shuffle carries at most (tiles x occupied pairs) skinny
+    rows into a JVM hash aggregate. Columns ``(va long, vb long,
+    n long)``.
+
+    Reference parity: none — north-rule raster-analysis surface (the
+    two-raster generalization of ``raster_histogram``).
+    """
+    from ..functions.codec import decode_tile
+    from ..sources.catalog import read_level
+
+    a = read_level(spark, path_a, z_a)
+    b = read_level(spark, path_b, z_b)
+    for side, df in (("a", a), ("b", b)):
+        if any(f.name == "t" for f in df.schema.fields):
+            raise ValueError(f"raster_crosstab expects flat levels (side {side})")
+    cols = ["tx", "ty", "bytes", "w", "h", "dtype", "c"]
+    j = (
+        a.select(*[F.col(n).alias(n if n in ("tx", "ty") else f"a_{n}") for n in cols])
+        .join(
+            b.select(*[F.col(n).alias(n if n in ("tx", "ty") else f"b_{n}") for n in cols]),
+            on=["tx", "ty"],
+        )
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            parts = []
+            for row in pdf.itertuples(index=False):
+                va = decode_tile(row.a_bytes, row.a_h, row.a_w, row.a_dtype, row.a_c)
+                vb = decode_tile(row.b_bytes, row.b_h, row.b_w, row.b_dtype, row.b_c)
+                if va.shape != vb.shape:
+                    raise ValueError(
+                        f"tile ({row.tx}, {row.ty}) shape mismatch: "
+                        f"{va.shape} vs {vb.shape} — levels are not same-grid"
+                    )
+                fa = va.astype(np.float64, copy=False)
+                fb = vb.astype(np.float64, copy=False)
+                m = np.isfinite(fa) & np.isfinite(fb)
+                if not m.any():
+                    continue
+                ia = np.rint(fa[m]).astype(np.int64)
+                ib = np.rint(fb[m]).astype(np.int64)
+                if (ia != fa[m]).any() or (ib != fb[m]).any():
+                    raise ValueError(
+                        "raster_crosstab requires integer-valued rasters"
+                    )
+                if (np.abs(ia) >= 1 << 30).any() or (np.abs(ib) >= 1 << 30).any():
+                    raise ValueError("crosstab values must satisfy |v| < 2^30")
+                # 31-bit lanes with a 2^30 bias: max packed value is
+                # < 2^62, safely inside int64
+                packed = ((ia + (1 << 30)) << 31) | (ib + (1 << 30))
+                u, n = np.unique(packed, return_counts=True)
+                parts.append(pd.DataFrame({
+                    "va": (u >> 31) - (1 << 30),
+                    "vb": (u & ((1 << 31) - 1)) - (1 << 30),
+                    "n": n.astype(np.int64),
+                }))
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame({"va": pd.Series(dtype="int64"),
+                                   "vb": pd.Series(dtype="int64"),
+                                   "n": pd.Series(dtype="int64")})
+            )
+
+    partials = j.mapInPandas(gen, "va long, vb long, n long")
+    return partials.groupBy("va", "vb").agg(
+        F.sum("n").cast("long").alias("n")
     )
 
 

@@ -47,6 +47,9 @@ def main() -> int:
         "dem_roughness_stats",     # halo exchange + kernel Arrow stages
         "contour_stats",           # halo + marching-squares Arrow stages
         "fillnodata_hist",         # stored-fill histogram partials Arrow
+        "grid_points_stats",       # grid assemble + stats Arrow stages
+        "grid_points_nearest",     # same, EDT kernel
+        "crosstab_stats",          # pair-count partials Arrow stage
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -56,6 +59,7 @@ def main() -> int:
         "equalize_hist", "cube_trend_stats", "cube_anomaly_stats",
         "region_stats", "dem_roughness_stats",
         "contour_stats", "fillnodata_hist",
+        "grid_points_stats", "grid_points_nearest", "crosstab_stats",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
