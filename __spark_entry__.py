@@ -2015,6 +2015,88 @@ def q_fillnodata_hist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ROLL_ORACLE_DIR = "/dev/shm/psjl_roll_oracle_v1"
+_ROLL_T = 6
+_ROLL_DROPPED = (0, 0, 2)  # (tx, ty, t) frame-tile absent from storage
+
+
+def _ensure_rolling_cube(spark: SparkSession) -> str:
+    """Memoized 256x256 cube (2x2 tiles of 128) over t = 0..5 with the
+    closed-form slice formula v = ((16*(gx+gy) + xor(x, y)) % 256 + 7t)
+    % 256 and one frame-tile dropped from storage (absent plane)."""
+    import numpy as np
+
+    from pyramidscheme_jl_spark.operators.build import PyramidSpec, _tile_row
+    from pyramidscheme_jl_spark.operators.cube import (
+        CUBE_TILE_SCHEMA,
+        write_cube_level,
+    )
+    from pyramidscheme_jl_spark.sources.catalog import write_multiscales
+
+    path = f"{_ROLL_ORACLE_DIR}/cube"
+    done = f"{_ROLL_ORACLE_DIR}/_done"
+    if os.path.exists(done):
+        return path
+    import shutil
+
+    shutil.rmtree(_ROLL_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(_ROLL_ORACLE_DIR, exist_ok=True)
+    spec = PyramidSpec(256, 256, 128)
+    x = np.arange(128)[None, :]
+    y = np.arange(128)[:, None]
+    rows = []
+    for t in range(_ROLL_T):
+        for gy in range(2):
+            for gx in range(2):
+                if (gx, gy, t) == _ROLL_DROPPED:
+                    continue
+                v = (((16 * (gx + gy) + np.bitwise_xor(x, y)) % 256 + 7 * t)
+                     % 256).astype(np.float64)
+                rows.append(dict(_tile_row(spec, 0, gx, gy, v), t=t))
+    df = spark.createDataFrame(rows, CUBE_TILE_SCHEMA)
+    write_cube_level(df, path, 0)
+    write_multiscales(path, spec.nlevels, 128, 256, 256, "mean", "-")
+    open(done, "w").close()
+    return path
+
+
+def q_cube_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling temporal mean (cube_time.cube_rolling, r8 — the xarray
+    ``.rolling(t=3)`` smoothing pass): trailing 3-frame NaN-aware means
+    over the 6-slice cube with one dropped frame-tile, via the
+    chunk+backward-halo grouping (t_chunk=2 — the path that must be
+    bit-identical to the single-gather). Per-(t, tile) stats: integer
+    sums + one exactly-rounded divide -> 2^20-quantized sums are
+    bit-portable. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.cube_time import cube_rolling
+
+    path = _ensure_rolling_cube(spark)
+    res = cube_rolling(spark, path, stat="mean", window=3, t_chunk=2)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+                m = np.isfinite(a)
+                u = np.floor(a[m] * 1048576.0 + 0.5).astype(np.int64)
+                rows.append({
+                    "t": int(r.t), "tx": int(r.tx), "ty": int(r.ty),
+                    "n_valid": int(m.sum()), "sum_u": int(u.sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return res.mapInPandas(
+        gen, "t long, tx long, ty long, n_valid long, sum_u long"
+    )
+
+
 _GRID_SHAPE = (256, 256)
 _GRID_TS = 64
 _GRID_R = 3
@@ -2561,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "cube_rolling_stats": q_cube_rolling_stats,
         "grid_points_stats": q_grid_points_stats,
         "grid_points_nearest": q_grid_points_nearest,
         "crosstab_stats": q_crosstab_stats,
@@ -3809,6 +3892,32 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY 1, 2
+        """,
+        # rolling cube: trailing 3-frame windows replayed as an offset
+        # join over present frames; mean = one exactly-rounded divide
+        "cube_rolling_stats": f"""
+            WITH f AS (
+              SELECT tt.t AS t, gx, gy, x, y,
+                     ((16*(gx+gy) + xor(x, y)) % 256 + 7*tt.t) % 256 AS v
+              FROM generate_series(0, 1) g1(gx), generate_series(0, 1) g2(gy),
+                   generate_series(0, 127) s1(x), generate_series(0, 127) s2(y),
+                   (SELECT UNNEST(range(0, {_ROLL_T})) AS t) tt
+              WHERE NOT (gx = {_ROLL_DROPPED[0]} AND gy = {_ROLL_DROPPED[1]}
+                         AND tt.t = {_ROLL_DROPPED[2]})),
+                 o AS (
+                   SELECT ot.t AS t, f.gx, f.gy, f.x, f.y,
+                          CAST(SUM(f.v) AS BIGINT) AS s,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM (SELECT UNNEST(range(0, {_ROLL_T})) AS t) ot
+                   CROSS JOIN (SELECT UNNEST(range(0, 3)) AS j) jj
+                   JOIN f ON f.t = ot.t - jj.j
+                   GROUP BY 1, 2, 3, 4, 5)
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(gx AS BIGINT) AS tx, CAST(gy AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_valid,
+                   CAST(SUM(CAST(FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                       * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+            FROM o GROUP BY 1, 2, 3
         """,
         # gridding: customer-key points binned to the lattice; disc sums
         # via the bounded offset join; mean = one exactly-rounded divide

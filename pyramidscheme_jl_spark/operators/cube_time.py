@@ -331,6 +331,166 @@ def cube_composite(
     return tiles.groupBy("tx", "ty").applyInPandas(reduce_t, TILE_SCHEMA)
 
 
+CUBE_ROLLING_STATS = ("mean", "sum", "min", "max", "count")
+
+
+def _rolling_stack(
+    stack: np.ndarray, stat: str, window: int, min_periods: int
+) -> np.ndarray:
+    """Trailing frame-window rolling stat along axis 0, NaN-aware.
+
+    Output index i aggregates the OBSERVED values among frames
+    [i-window+1, i] (clipped at 0); below ``min_periods`` observations
+    the output is NaN — including ``count`` (the sparse-cube NaN
+    convention; a 0-count is indistinguishable from absent storage).
+    O(window) vectorized shift passes, the focal/EDT accumulation
+    pattern rotated onto t."""
+    T = stack.shape[0]
+    obs = ~np.isnan(stack)
+    n = np.zeros(stack.shape, dtype=np.int64)
+    if stat in ("mean", "sum", "count"):
+        s = np.zeros(stack.shape, dtype=np.float64)
+        zf = np.where(obs, stack, 0.0)
+        for j in range(min(window, T)):  # j = age of contributing frame
+            s[j:] += zf[: T - j]
+            n[j:] += obs[: T - j]
+        if stat == "count":
+            out = n.astype(np.float64)
+        elif stat == "sum":
+            out = s
+        else:
+            with np.errstate(invalid="ignore"):
+                out = s / np.maximum(n, 1)
+    else:
+        fill = np.inf if stat == "min" else -np.inf
+        ext = np.full(stack.shape, fill, dtype=np.float64)
+        for j in range(min(window, T)):
+            n[j:] += obs[: T - j]
+            seg = np.where(obs[: T - j], stack[: T - j], fill)
+            if stat == "min":
+                np.minimum(ext[j:], seg, out=ext[j:])
+            else:
+                np.maximum(ext[j:], seg, out=ext[j:])
+        out = ext
+    return np.where(n >= max(1, int(min_periods)), out, np.nan)
+
+
+def cube_rolling(
+    spark: SparkSession,
+    path: str,
+    stat: str = "mean",
+    window: int = 3,
+    min_periods: int = 1,
+    z: int = 0,
+    t_domain=None,
+    t_chunk: int | None = None,
+) -> DataFrame:
+    """Rolling temporal aggregate over a stored cube level, per pixel —
+    the smoothing/accumulation pass every datacube stack ships (xarray
+    ``.rolling(t=window)``, earth-engine moving composites): output
+    frame t holds ``stat`` over the observed values among the trailing
+    ``window`` FRAMES (dense t-domain indices, the xarray convention —
+    not t units; resample first if cadence is uneven and units matter).
+
+    NaN-aware: absent/NaN observations are skipped; outputs with fewer
+    than ``min_periods`` observed values are NaN. ``stat`` in
+    ``CUBE_ROLLING_STATS``; mean = exact integer sums + one IEEE divide
+    for integer rasters (engine-portable).
+
+    Returns CUBE_TILE_SCHEMA rows at level ``z`` (float64); all-NaN
+    output frames are dropped (sparse-cube semantics).
+
+    ``t_chunk=C`` bounds per-group memory to C + window - 1 frames via
+    chunk+backward-halo grouping — exact, because a trailing window
+    reads at most ``window - 1`` frames backward; a frame claims its
+    home chunk plus the chunks its forward influence reaches. Shuffle
+    volume <= (1 + (window-1)/C) x level bytes. Bit-identical to the
+    unchunked path (pinned in tests).
+
+    Reference parity: none — PyramidScheme.jl has no temporal ops;
+    north-rule datacube surface alongside ``cube_gap_fill``/
+    ``cube_composite``.
+    """
+    if stat not in CUBE_ROLLING_STATS:
+        raise ValueError(f"stat must be one of {CUBE_ROLLING_STATS}, got {stat!r}")
+    window = int(window)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not (1 <= int(min_periods) <= window):
+        raise ValueError(
+            f"min_periods must be in [1, window], got {min_periods}"
+        )
+    ts = _t_domain(spark, path, z, t_domain)
+    spec = _open_spec(spark, path)
+    tiles = read_cube_level(spark, path, z)
+    zz = int(z)
+    mp = int(min_periods)
+
+    if t_chunk is None:
+        ts_local = ts
+
+        def roll_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _cube_rows_to_pdf([])
+            tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+            stack = _decode_group(pdf, ts_local)
+            out = _rolling_stack(stack, stat, window, mp)
+            rows = []
+            for i, t in enumerate(ts_local):
+                if np.isnan(out[i]).all():
+                    continue
+                rows.append(dict(_tile_row(spec, zz, tx, ty, out[i]), t=int(t)))
+            return _cube_rows_to_pdf(rows)
+
+        return tiles.groupBy("tx", "ty").applyInPandas(
+            roll_all, CUBE_TILE_SCHEMA
+        )
+
+    C = int(t_chunk)
+    if C <= 0:
+        raise ValueError(f"t_chunk must be positive, got {t_chunk}")
+    halo = window - 1
+    nT = int(ts.size)
+
+    tmap = spark.createDataFrame(
+        [(int(t), i) for i, t in enumerate(ts)], "t int, ti int"
+    )
+    # trailing window: frame ti influences outputs [ti, ti + window - 1]
+    claimed = tiles.join(F.broadcast(tmap), "t").withColumn(
+        "ck",
+        F.explode(
+            F.expr(
+                f"sequence(ti DIV {C},"
+                f" LEAST(ti + {halo}, {nT - 1}) DIV {C})"
+            ).cast("array<int>")
+        ),
+    )
+
+    def roll_chunk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, ck = int(key[0]), int(key[1]), int(key[2])
+        lo = max(0, ck * C - halo)
+        hi = min(nT, (ck + 1) * C)
+        ts_win = ts[lo:hi]
+        stack = _decode_group(pdf, ts_win)
+        # indices < halo into the window are warm-up context unless the
+        # window starts at the cube origin (lo == 0, where clipping is
+        # the real semantics)
+        out = _rolling_stack(stack, stat, window, mp)
+        rows = []
+        for i in range(lo, hi):
+            if i < ck * C:
+                continue  # halo frame: its home chunk emits it
+            plane = out[i - lo]
+            if np.isnan(plane).all():
+                continue
+            rows.append(dict(_tile_row(spec, zz, tx, ty, plane), t=int(ts[i])))
+        return _cube_rows_to_pdf(rows)
+
+    return claimed.groupBy("tx", "ty", "ck").applyInPandas(
+        roll_chunk, CUBE_TILE_SCHEMA
+    )
+
+
 def cube_anomaly(
     spark: SparkSession,
     path: str,

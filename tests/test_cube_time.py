@@ -341,3 +341,80 @@ def test_cube_anomaly_matches_replay(spark, cube_path):
     for i in range(len(TS)):
         sm = single & obs[i]
         assert np.all(got[i][sm] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# cube_rolling (r8): trailing frame-window stats, NaN-aware, chunk+halo
+# ---------------------------------------------------------------------------
+
+
+def _collect_rolling(df):
+    got = np.full((len(TS), BASE, BASE), np.nan)
+    for r in df.collect():
+        a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.float64)
+        got[TS.index(r.t), r.ty * TILE : r.ty * TILE + r.h,
+            r.tx * TILE : r.tx * TILE + r.w] = a
+    return got
+
+
+def _ref_rolling(stat, window, min_periods):
+    """Scalar per-pixel replay: trailing FRAME windows over the dense
+    index (uneven TS spacing deliberately ignored — xarray semantics)."""
+    stored = _stored_stack()
+    out = np.full_like(stored, np.nan)
+    for py in range(BASE):
+        for px in range(BASE):
+            series = stored[:, py, px]
+            for i in range(len(TS)):
+                vals = [series[j] for j in range(max(0, i - window + 1), i + 1)
+                        if not np.isnan(series[j])]
+                if len(vals) < min_periods:
+                    continue
+                if stat == "mean":
+                    out[i, py, px] = float(np.sum(vals)) / len(vals)
+                elif stat == "sum":
+                    out[i, py, px] = float(np.sum(vals))
+                elif stat == "min":
+                    out[i, py, px] = min(vals)
+                elif stat == "max":
+                    out[i, py, px] = max(vals)
+                elif stat == "count":
+                    out[i, py, px] = float(len(vals))
+    return out
+
+
+@pytest.mark.parametrize("stat,mp", [("mean", 1), ("min", 2), ("count", 1)])
+def test_cube_rolling_matches_replay(spark, cube_path, stat, mp):
+    from pyramidscheme_jl_spark.operators.cube_time import cube_rolling
+
+    got = _collect_rolling(
+        cube_rolling(spark, cube_path, stat=stat, window=3, min_periods=mp))
+    ref = _ref_rolling(stat, 3, mp)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_array_equal(got[m], ref[m])  # bitwise: same op order
+
+
+def test_cube_rolling_chunked_bit_identical(spark, cube_path):
+    from pyramidscheme_jl_spark.operators.cube_time import cube_rolling
+
+    full = _collect_rolling(
+        cube_rolling(spark, cube_path, stat="mean", window=3))
+    chunked = _collect_rolling(
+        cube_rolling(spark, cube_path, stat="mean", window=3, t_chunk=2))
+    np.testing.assert_array_equal(np.isnan(full), np.isnan(chunked))
+    m = ~np.isnan(full)
+    np.testing.assert_array_equal(full[m], chunked[m])
+
+
+def test_cube_rolling_validation(spark, cube_path):
+    from pyramidscheme_jl_spark.operators.cube_time import cube_rolling
+
+    with pytest.raises(ValueError, match="stat must be"):
+        cube_rolling(spark, cube_path, stat="median")
+    with pytest.raises(ValueError, match="window"):
+        cube_rolling(spark, cube_path, window=0)
+    with pytest.raises(ValueError, match="min_periods"):
+        cube_rolling(spark, cube_path, window=2, min_periods=3)
+    with pytest.raises(ValueError, match="t_chunk"):
+        cube_rolling(spark, cube_path, t_chunk=0)

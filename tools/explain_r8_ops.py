@@ -50,6 +50,7 @@ def main() -> int:
         "grid_points_stats",       # grid assemble + stats Arrow stages
         "grid_points_nearest",     # same, EDT kernel
         "crosstab_stats",          # pair-count partials Arrow stage
+        "cube_rolling_stats",      # chunked rolling + stats Arrow stages
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -60,6 +61,7 @@ def main() -> int:
         "region_stats", "dem_roughness_stats",
         "contour_stats", "fillnodata_hist",
         "grid_points_stats", "grid_points_nearest", "crosstab_stats",
+        "cube_rolling_stats",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
