@@ -993,9 +993,11 @@ def roughness(spark, path: str, z: int = 0):
 
 
 #: one row per contour SEGMENT: the owning 2x2 cell (global top-left
-#: corner pixel position) plus the linearly interpolated endpoints.
+#: corner pixel position), the within-cell segment ordinal ``k`` (0, or
+#: 1 for the second saddle segment — what makes (level, cx, cy, k) a
+#: unique segment key), plus the linearly interpolated endpoints.
 _CONTOUR_SCHEMA = (
-    "level double, cx bigint, cy bigint, "
+    "level double, cx bigint, cy bigint, k int, "
     "x0 double, y0 double, x1 double, y1 double"
 )
 
@@ -1051,7 +1053,7 @@ def _contour_assemble(levels: tuple, ts: int):
     import numpy as np
     import pandas as pd
 
-    out_cols = ["level", "cx", "cy", "x0", "y0", "x1", "y1"]
+    out_cols = ["level", "cx", "cy", "k", "x0", "y0", "x1", "y1"]
     empty = pd.DataFrame(columns=out_cols)
 
     def fn(key, pdf):
@@ -1109,7 +1111,7 @@ def _contour_assemble(levels: tuple, ts: int):
             e2 = 3 - np.argmax(crossed[:, ::-1], axis=1)
             p0 = pts[np.arange(n), e1]
             p1 = pts[np.arange(n), e2]
-            recs = [(L, gx0 + xs[one], gy0 + ys[one],
+            recs = [(L, 0, gx0 + xs[one], gy0 + ys[one],
                      p0[one, 0], p0[one, 1], p1[one, 0], p1[one, 1])]
             # saddles (all four edges crossed): center-mean rule — when
             # the cell center is "above", the above-diagonal corners own
@@ -1128,19 +1130,117 @@ def _contour_assemble(levels: tuple, ts: int):
                 a1 = np.where(with_tl[:, None], pts[si, 1], pts[si, 3])
                 b0 = pts[si, 2]
                 b1 = np.where(with_tl[:, None], pts[si, 3], pts[si, 1])
-                recs.append((L, gx0 + xs[si], gy0 + ys[si],
+                recs.append((L, 0, gx0 + xs[si], gy0 + ys[si],
                              a0[:, 0], a0[:, 1], a1[:, 0], a1[:, 1]))
-                recs.append((L, gx0 + xs[si], gy0 + ys[si],
+                recs.append((L, 1, gx0 + xs[si], gy0 + ys[si],
                              b0[:, 0], b0[:, 1], b1[:, 0], b1[:, 1]))
-            for L_, rcx, rcy, x0, y0, x1, y1 in recs:
+            for L_, k_, rcx, rcy, x0, y0, x1, y1 in recs:
                 if rcx.size:
                     out.append(pd.DataFrame({
                         "level": L_, "cx": rcx.astype(np.int64),
                         "cy": rcy.astype(np.int64),
+                        "k": np.full(rcx.size, k_, dtype=np.int32),
                         "x0": x0, "y0": y0, "x1": x1, "y1": y1}))
         return pd.concat(out, ignore_index=True) if out else empty
 
     return fn
+
+
+def contour_polylines(
+    spark,
+    path: str,
+    levels,
+    z: int = 0,
+    driver_resolve_max_edges: int = 1_000_000,
+):
+    """Stitch ``contour_segments`` output into POLYLINES (the other half
+    of ``gdal_contour``): every segment gets a ``polyline_id`` (the
+    smallest segment id in its chain) and a ``closed`` flag (ring vs
+    open line hitting the raster border / a nodata hole).
+
+    Why this is a pure equi-join problem: when no pixel value EQUALS a
+    contour level, every endpoint lies strictly inside a cell edge, and
+    both cells sharing that edge interpolate the same two corner values
+    with the same IEEE ops — so a shared endpoint is BIT-identical and
+    endpoint degree is at most 2. A level that ties a pixel value puts
+    endpoints ON cell corners (degree up to 8, ambiguous topology) —
+    detected by a degree probe and raised loudly (pinned in tests);
+    nudge the level off the value lattice (GDAL users do the same
+    epsilon shift). Chains are then connected components of the
+    segment graph:
+
+    1. melt each segment to its two (level, ex, ey) endpoint rows;
+    2. one hash aggregate per endpoint: degree + the <= 2 segment ids;
+    3. degree-2 endpoints become edges; ``connected_components``
+       (dedup.py — driver union-find tier below
+       ``driver_resolve_max_edges`` edges, pointer-doubled min-label
+       loop above) labels the chains;
+    4. ``closed`` = the chain has zero degree-1 endpoints.
+
+    Columns: ``(level, polyline_id, closed, cx, cy, k, x0, y0, x1,
+    y1)``. Ordering along the chain is NOT materialized (at 100 TB a
+    single coastline contour is unbounded; ordering is a per-polyline
+    consumer walk over its own segments — dims-sized after this op
+    hands each chain its id).
+
+    Reference parity: none — north-rule raster->vector surface, the
+    consumer of ``contour_segments``.
+    """
+    from ..api import PyramidDataset
+    from ..operators.dedup import connected_components
+    from ..plans.grid import level_shape
+
+    lvls = tuple(float(v) for v in levels)
+    spec = PyramidDataset.open(spark, path).spec
+    lw, lh = level_shape((spec.base_w, spec.base_h), z)
+    segs = contour_segments(spark, path, lvls, z)
+    arr = ", ".join(f"{v!r}D" for v in lvls)  # D: double literals, not DECIMAL
+    segs = segs.withColumn(
+        "sid",
+        (
+            (F.expr(f"array_position(array({arr}), level)") - 1)
+            * F.lit(int(lh)) + F.col("cy")
+        ) * F.lit(int(lw) * 2) + F.col("cx") * 2 + F.col("k"),
+    ).localCheckpoint()  # 3 downstream branches; never recompute the scan
+
+    eps = segs.select(
+        "level", "sid", F.col("x0").alias("ex"), F.col("y0").alias("ey")
+    ).unionByName(
+        segs.select(
+            "level", "sid", F.col("x1").alias("ex"), F.col("y1").alias("ey")
+        )
+    )
+    nodes = eps.groupBy("level", "ex", "ey").agg(
+        F.collect_list("sid").alias("ss")
+    ).select(F.size("ss").alias("deg"), "ss").localCheckpoint()
+    md = nodes.agg(F.max("deg").alias("m")).collect()[0]["m"]
+    if md is not None and md > 2:
+        raise AssertionError(
+            f"contour endpoint with degree {md} — marching-squares "
+            "invariant violated (corrupt level or value == level pixels)"
+        )
+    edges = nodes.where("deg = 2").select(
+        F.array_min("ss").alias("id_a"), F.array_max("ss").alias("id_b")
+    )
+    cc = connected_components(
+        edges, driver_resolve_max_edges=driver_resolve_max_edges
+    ).select(F.col("id").alias("sid"), F.col("component").alias("pid"))
+    opens = nodes.where("deg = 1").select(
+        F.explode("ss").alias("sid")
+    ).groupBy("sid").agg(F.count(F.lit(1)).alias("n_open"))
+
+    labeled = (
+        segs.join(cc, "sid", "left")
+        .withColumn("polyline_id", F.coalesce("pid", "sid"))
+        .join(opens, "sid", "left")
+    )
+    closed_tab = labeled.groupBy("polyline_id").agg(
+        (F.sum(F.coalesce(F.col("n_open"), F.lit(0))) == 0).alias("closed")
+    )
+    return labeled.join(closed_tab, "polyline_id").select(
+        "level", "polyline_id", "closed",
+        "cx", "cy", "k", "x0", "y0", "x1", "y1",
+    )
 
 
 def raster_histogram(

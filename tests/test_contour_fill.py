@@ -126,8 +126,8 @@ def plane_path(spark, plane, tmp_path_factory):
 def test_contour_matches_scalar_replay(spark, plane, plane_path):
     levels = [4.0, 7.5]
     got = sorted(
-        tuple(r) for r in contour_segments(
-            spark, plane_path, levels).collect()
+        tuple(r) for r in contour_segments(spark, plane_path, levels)
+        .select("level", "cx", "cy", "x0", "y0", "x1", "y1").collect()
     )
     want = _brute_contour(plane, levels)
     assert len(got) == len(want)
@@ -161,14 +161,16 @@ def test_contour_saddle_center_rule(spark, tmp_path):
     # L=5: center mean 5 >= 5 sides with the tl diagonal -> wraps
     # (top,right) + (bottom,left) around the two below-corners
     segs = sorted(tuple(r) for r in contour_segments(spark, path, [5.0])
-                  .where("cx = 1 and cy = 1").collect())
+                  .where("cx = 1 and cy = 1")
+                  .select("level", "cx", "cy", "x0", "y0", "x1", "y1").collect())
     want = _brute_contour(plane, [5.0])
     want = [s for s in want if s[1] == 1 and s[2] == 1]
     assert segs == sorted(want)
     assert len(segs) == 2
     # L=6: center mean 5 < 6 -> tl/br isolated: (top,left)+(bottom,right)
     segs6 = sorted(tuple(r) for r in contour_segments(spark, path, [6.0])
-                   .where("cx = 1 and cy = 1").collect())
+                   .where("cx = 1 and cy = 1")
+                   .select("level", "cx", "cy", "x0", "y0", "x1", "y1").collect())
     want6 = [s for s in _brute_contour(plane, [6.0]) if s[1] == 1 and s[2] == 1]
     assert segs6 == sorted(want6)
 
@@ -210,3 +212,95 @@ def test_fill_dtype_preserved_and_unreachable(spark, tmp_path):
 def test_fill_validation(spark, plane_path):
     with pytest.raises(ValueError, match="max_radius"):
         fillnodata(spark, plane_path, 4.0, 0)
+
+
+# ---------------------------------------------------------------------------
+# contour_polylines: stitch segments into chains (CC over exact endpoints)
+# ---------------------------------------------------------------------------
+
+
+def _stitch_brute(segs):
+    """Union-find over exact endpoint sharing; returns (partition, closed)
+    as {frozenset(endpoint-pairs): closed_bool}."""
+    parent = list(range(len(segs)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    eps = {}
+    for i, s in enumerate(segs):
+        for p in ((s[0], s[4], s[5]), (s[0], s[6], s[7])):
+            eps.setdefault(p, []).append(i)
+    for ids in eps.values():
+        assert len(ids) <= 2
+        if len(ids) == 2:
+            a, b = find(ids[0]), find(ids[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    comps = {}
+    for i in range(len(segs)):
+        comps.setdefault(find(i), []).append(i)
+    out = {}
+    for ids in comps.values():
+        open_pts = sum(1 for p, ss in eps.items()
+                       if len(ss) == 1 and find(ss[0]) == find(ids[0]))
+        key = frozenset((segs[i][4], segs[i][5], segs[i][6], segs[i][7])
+                        for i in ids)
+        out[key] = open_pts == 0
+    return out
+
+
+def _poly_rows(spark, path, levels):
+    from pyramidscheme_jl_spark.operators.raster import contour_polylines
+
+    rows = contour_polylines(spark, path, levels).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.polyline_id, []).append(r)
+    out = {}
+    for rs in comps.values():
+        key = frozenset((r.x0, r.y0, r.x1, r.y1) for r in rs)
+        assert len({r.closed for r in rs}) == 1
+        out[key] = rs[0].closed
+    return out
+
+
+def test_polylines_closed_ring(spark, tmp_path):
+    yy, xx = np.mgrid[0:64, 0:64]
+    a = ((xx - 32.0) ** 2 + (yy - 32.0) ** 2).astype(np.float64)
+    path = str(tmp_path / "disk")
+    _write_plane(spark, a, path)
+    got = _poly_rows(spark, path, [300.5])
+    assert len(got) == 1 and all(got.values())  # one CLOSED ring
+
+
+def test_polylines_open_line(spark, tmp_path):
+    a = np.tile(np.arange(64, dtype=np.float64), (64, 1))
+    path = str(tmp_path / "ramp")
+    _write_plane(spark, a, path)
+    got = _poly_rows(spark, path, [10.5])
+    assert len(got) == 1 and not any(got.values())  # one OPEN line
+
+
+def test_polylines_match_brute_partition(spark, plane, plane_path):
+    from pyramidscheme_jl_spark.operators.raster import contour_segments
+
+    got = _poly_rows(spark, plane_path, [7.5, 5.25])
+    segs = [tuple(r) for r in contour_segments(
+        spark, plane_path, [7.5, 5.25]).collect()]
+    want = _stitch_brute(segs)
+    assert got == want
+    assert len(got) > 2  # the NaN hole + two levels force several chains
+
+
+def test_polylines_degenerate_level_raises(spark, plane_path):
+    """A level EQUAL to a pixel value (the 4.0 plateau) puts endpoints on
+    cell corners (degree up to 8) — stitching must refuse loudly, not
+    mis-chain silently."""
+    from pyramidscheme_jl_spark.operators.raster import contour_polylines
+
+    with pytest.raises(AssertionError, match="degree"):
+        contour_polylines(spark, plane_path, [4.0])
