@@ -2516,6 +2516,24 @@ def q_region_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_region_perimeter(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact region perimeters (regions.region_stats perimeter=True, r8
+    — the last polygonize attribute): P = 4*n_px - 2*E_int with the
+    internal-edge count decomposed into run pairs + a runs self-join +
+    the value-filtered strip join, all JVM integers. DuckDB counts the
+    horizontal/vertical same-region neighbor pairs directly over the
+    declared pixel sets. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.regions import region_stats
+
+    path = _ensure_regions_pyramid(spark)
+    return region_stats(spark, path, z=0, perimeter=True).select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("perimeter").cast("long").alias("perimeter"),
+    )
+
+
 def q_embedding_ivfpq_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ top-k served from the PERSISTED index (round 8): the query
     path opens the manifest (trained centroids/codebooks/row count — no
@@ -2643,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry locally each round.
     return {
         # -- new in r8 (never driver-verified) --------------------------------
+        "region_perimeter": q_region_perimeter,
         "cube_rolling_stats": q_cube_rolling_stats,
         "grid_points_stats": q_grid_points_stats,
         "grid_points_nearest": q_grid_points_nearest,
@@ -3397,6 +3416,26 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # the shared rect constants
         "region_label": _region_oracle_sql(),
         # attribute-table twin with exact first-moment sums
+        # perimeter twin: same-region neighbor pairs counted directly
+        # over the declared pixel sets (two equi-joins), P = 4n - 2E
+        "region_perimeter": f"""
+            {_region_hits_cte()},
+                 eh AS (
+                   SELECT h.rk, COUNT(*) AS c FROM hits h JOIN hits g
+                     ON g.rk = h.rk AND g.Y = h.Y AND g.X = h.X + 1
+                   GROUP BY h.rk),
+                 ev AS (
+                   SELECT h.rk, COUNT(*) AS c FROM hits h JOIN hits g
+                     ON g.rk = h.rk AND g.X = h.X AND g.Y = h.Y + 1
+                   GROUP BY h.rk),
+                 r AS (
+                   SELECT rk, MIN(Y * 512 + X) AS rid, COUNT(*) AS n
+                   FROM hits GROUP BY rk)
+            SELECT CAST(rid AS BIGINT) AS region_id,
+                   CAST(n AS BIGINT) AS n_px,
+                   CAST(4*n - 2*(COALESCE(eh.c, 0) + COALESCE(ev.c, 0)) AS BIGINT) AS perimeter
+            FROM r LEFT JOIN eh USING (rk) LEFT JOIN ev USING (rk)
+        """,
         "region_stats": f"""
             {_region_hits_cte()}
             SELECT CAST(MIN(Y * 512 + X) AS BIGINT) AS region_id,

@@ -660,12 +660,44 @@ def region_label_raster(
     return resolved.groupBy("tx", "ty").applyInPandas(assemble, TILE_SCHEMA)
 
 
+def _strip_same_value(scan: DataFrame) -> DataFrame:
+    """Facing 4-adjacent pixel pairs across tile seams with EQUAL values
+    — internal edges of the final merged regions (every such pair also
+    generated a stitch edge, so both sides resolve to the same
+    component; counting either side's label once is exact). Corner
+    pseudo-keys excluded (diagonals are not 4-edges). ``(label, p=1)``
+    rows on provisional labels."""
+    s = (
+        scan.where((F.col("kind") == 1) & ~F.col("ekey").startswith("c"))
+        .select("ekey", "side", F.arrays_zip("pos", "vals", "labels").alias("z"))
+        .select("ekey", "side", F.explode("z").alias("e"))
+        .select(
+            "ekey", "side",
+            F.col("e.pos").alias("pos"),
+            F.col("e.vals").alias("val"),
+            F.col("e.labels").alias("lab"),
+        )
+    )
+    a = s.where(F.col("side") == 0).drop("side")
+    b = (
+        s.where(F.col("side") == 1).drop("side")
+        .withColumnRenamed("val", "val_b")
+        .withColumnRenamed("lab", "lab_b")
+    )
+    return (
+        a.join(b, ["ekey", "pos"])
+        .where(F.col("val") == F.col("val_b"))
+        .select(F.col("lab").alias("label"), F.lit(1).cast("long").alias("p"))
+    )
+
+
 def region_stats(
     spark,
     path: str,
     z: int = 0,
     connectivity: int = 4,
     driver_resolve_max_edges: int = 1_000_000,
+    perimeter: bool = False,
 ) -> DataFrame:
     """The full polygonize ATTRIBUTE TABLE: ``region_label``'s columns
     plus exact first-moment sums and the centroid — ``(region_id, value,
@@ -681,6 +713,19 @@ def region_stats(
     integer expressions, one hash aggregate. ``centroid_* = sum_* /
     n_px`` is ONE IEEE division of exact int64s — engine-portable
     (the focal-mean discipline).
+
+    ``perimeter=True`` adds an exact integer ``perimeter`` column
+    (4-edge boundary length in pixel-side units, raster border counts
+    as boundary — the GDAL/terra polygonize attribute): ``P = 4*n_px -
+    2*E_int`` where the internal-edge count decomposes into three
+    all-JVM terms — horizontal in-run pairs (``len - 1`` per run),
+    vertical in-tile pairs (a runs self-join on (tile, label,
+    consecutive row) summing column overlaps — same-value vertical
+    overlap within a tile is ALWAYS same-label, since the tile pass
+    unions 4-connected equal values), and cross-seam pairs (the strip
+    join with the value-equality filter, ``_strip_same_value``). Edge
+    length is always 4-edge-based regardless of ``connectivity`` (the
+    ``region_adjacency`` contact convention).
     """
     from ..sources.catalog import read_level
 
@@ -693,6 +738,8 @@ def region_stats(
         _runs_gen(ts, lw, eight),
         "tx int, ty int, r int, c0 int, c1 int, label long, v double",
     )
+    if perimeter:
+        runs = runs.localCheckpoint()  # 3 downstream branches decode once
     resolved = runs.join(comp, runs["label"] == comp["id"], "left").select(
         F.coalesce("component", "label").alias("region_id"),
         "v",
@@ -712,10 +759,41 @@ def region_stats(
         F.sum(F.expr("len * gx0 + (len * (len - 1)) DIV 2")).alias("sum_x"),
         F.sum(F.expr("len * gy")).alias("sum_y"),
     )
-    return agg.select(
+    out = agg.select(
         "*",
         (F.col("sum_x").cast("double") / F.col("n_px")).alias("centroid_x"),
         (F.col("sum_y").cast("double") / F.col("n_px")).alias("centroid_y"),
+    )
+    if not perimeter:
+        return out
+
+    h_in = runs.select(
+        "label", F.expr("CAST(c1 - c0 - 1 AS BIGINT)").alias("p")
+    )
+    ra = runs.select(
+        "tx", "ty", "label", "r",
+        F.col("c0").alias("a0"), F.col("c1").alias("a1"),
+    )
+    rb = runs.select(
+        "tx", "ty", "label", (F.col("r") - 1).alias("r"),
+        F.col("c0").alias("b0"), F.col("c1").alias("b1"),
+    )
+    v_in = (
+        ra.join(rb, ["tx", "ty", "label", "r"])
+        .select(
+            "label",
+            (F.least("a1", "b1") - F.greatest("a0", "b0"))
+            .cast("long").alias("p"),
+        )
+        .where(F.col("p") > 0)
+    )
+    internal = h_in.unionByName(v_in).unionByName(_strip_same_value(scan))
+    internal = _resolve_col(internal, comp, "label", "region_id")
+    totals = internal.groupBy("region_id").agg(F.sum("p").alias("e_int"))
+    return out.join(totals, "region_id", "left").select(
+        out["*"],
+        (F.col("n_px") * 4 - F.coalesce(F.col("e_int"), F.lit(0)) * 2)
+        .cast("long").alias("perimeter"),
     )
 
 

@@ -309,3 +309,41 @@ def test_region_stats_consistent_with_region_label(spark, plane_path):
     assert {int(r.region_id): (
         float(r.value), int(r.n_px), int(r.xmin), int(r.ymin),
         int(r.xmax), int(r.ymax)) for r in rows} == lbl
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_region_stats_perimeter_matches_bfs(spark, plane, plane_path, conn):
+    """perimeter = per-pixel (4 - same-region 4-neighbors) summed — the
+    brute counts directly on the labeled plane; engine decomposes into
+    run/self-join/seam terms. 8-conn pins that edge length stays 4-edge
+    while the regions themselves merge diagonally."""
+    from pyramidscheme_jl_spark.operators.regions import region_stats
+
+    rows = region_stats(spark, plane_path, z=0, connectivity=conn,
+                        perimeter=True).collect()
+    got = {int(r.region_id): int(r.perimeter) for r in rows}
+    lab = _brute_plane_labels(plane, conn)
+    want = {}
+    h, w = lab.shape
+    for rid in np.unique(lab[lab >= 0]):
+        m = lab == rid
+        p = 0
+        for dy, dx in ((0, 1), (1, 0)):
+            same = m[max(0, dy):h, max(0, dx):w] & m[0:h - dy, 0:w - dx]
+            p += int(same.sum())
+        want[int(rid)] = 4 * int(m.sum()) - 2 * p
+    assert got == want
+
+
+def test_region_stats_perimeter_singleton(spark, tmp_path):
+    a = np.full((64, 64), np.nan)
+    a[10, 10] = 5.0                       # lone pixel: P = 4
+    a[0:64, 20:22] = 6.0                  # full-height 2-wide bar
+    path = str(tmp_path / "pyr")
+    _write_plane(spark, a, path, ts=32)
+    from pyramidscheme_jl_spark.operators.regions import region_stats
+
+    rows = region_stats(spark, path, z=0, perimeter=True).collect()
+    by_val = {float(r.value): int(r.perimeter) for r in rows}
+    assert by_val[5.0] == 4
+    assert by_val[6.0] == 2 * (64 + 2)  # raster border counts as boundary
