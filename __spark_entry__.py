@@ -2255,6 +2255,88 @@ def q_contour_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_contour_topology(spark: SparkSession, sf: str) -> DataFrame:
+    """Polyline stitching (raster.contour_polylines, r8 — the CC half of
+    gdal_contour): per-level segment count and OPEN-polyline count. The
+    open count is oracle-exact without replaying the iterative CC via
+    the path/cycle identity ``n_open = S - E`` (every component of a
+    max-degree-2 graph is a path or cycle; paths contribute exactly one
+    to S - E, cycles zero), where E = #degree-2 endpoints — and both
+    engines compute bit-identical endpoint doubles, so each side's OWN
+    exact-equality grouping yields the same E. The closed flags
+    themselves are pinned in pytest. Fixed-size by design; ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.operators.raster import contour_polylines
+
+    src = _ensure_zonal_pyramid(spark)
+    pl = contour_polylines(spark, src, _CONTOUR_LEVELS, z=0)
+    return pl.groupBy(
+        F.floor(F.col("level") * F.lit(4.0) + F.lit(0.5))
+        .cast("long").alias("level_q")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.countDistinct(
+            F.when(~F.col("closed"), F.col("polyline_id"))
+        ).cast("long").alias("n_open"),
+    )
+
+
+def _contour_topology_sql() -> str:
+    """Per-level S and S - E over the same closed-form corner field:
+    endpoint rows are one exact double per crossed edge per cell (each
+    crossed edge belongs to exactly one segment), grouped by exact
+    equality; E = endpoints shared by two cells."""
+
+    def val(xe: str, ye: str) -> str:
+        return (
+            f"CAST((16*((({xe})//128)+(({ye})//128))"
+            f" + xor(({xe})%128, ({ye})%128)) % 256 AS DOUBLE)"
+        )
+
+    levels = ", ".join(f"({v!r})" for v in _CONTOUR_LEVELS)
+    return f"""
+        WITH cs AS (SELECT UNNEST(range(0, 511)) AS i),
+             lv AS (SELECT * FROM (VALUES {levels}) t(L)),
+             cell AS (
+               SELECT a.i AS cx, b.i AS cy,
+                      {val('a.i', 'b.i')} AS tl,
+                      {val('a.i + 1', 'b.i')} AS tr,
+                      {val('a.i', 'b.i + 1')} AS bl,
+                      {val('a.i + 1', 'b.i + 1')} AS br
+               FROM cs a CROSS JOIN cs b),
+             cl AS (
+               SELECT cx, cy, L, tl, tr, bl, br,
+                      (tl >= L) <> (tr >= L) AS ct,
+                      (tr >= L) <> (br >= L) AS cr,
+                      (bl >= L) <> (br >= L) AS cb,
+                      (tl >= L) <> (bl >= L) AS ce
+               FROM cell CROSS JOIN lv),
+             eps AS (
+               SELECT L, cx + (L - tl)/(tr - tl) AS x, CAST(cy AS DOUBLE) AS y
+               FROM cl WHERE ct
+               UNION ALL
+               SELECT L, cx + 1.0, cy + (L - tr)/(br - tr) FROM cl WHERE cr
+               UNION ALL
+               SELECT L, cx + (L - bl)/(br - bl), cy + 1.0 FROM cl WHERE cb
+               UNION ALL
+               SELECT L, CAST(cx AS DOUBLE), cy + (L - tl)/(bl - tl) FROM cl WHERE ce),
+             segs AS (
+               SELECT L, CAST(SUM((CASE WHEN ct THEN 1 ELSE 0 END
+                                   + CASE WHEN cr THEN 1 ELSE 0 END
+                                   + CASE WHEN cb THEN 1 ELSE 0 END
+                                   + CASE WHEN ce THEN 1 ELSE 0 END) // 2) AS BIGINT) AS S
+               FROM cl GROUP BY L),
+             deg AS (SELECT L, x, y, COUNT(*) AS c FROM eps GROUP BY 1, 2, 3),
+             e2 AS (SELECT L, CAST(COUNT(*) AS BIGINT) AS E
+                    FROM deg WHERE c = 2 GROUP BY L)
+        SELECT CAST(FLOOR(s.L*4.0 + 0.5) AS BIGINT) AS level_q,
+               s.S AS n_segments,
+               s.S - COALESCE(e2.E, 0) AS n_open
+        FROM segs s LEFT JOIN e2 USING (L)
+    """
+
+
 def _contour_oracle_sql() -> str:
     """DuckDB marching-squares replay over the closed-form mosaic.
 
@@ -2662,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r8 (never driver-verified) --------------------------------
         "region_perimeter": q_region_perimeter,
+        "contour_topology": q_contour_topology,
         "cube_rolling_stats": q_cube_rolling_stats,
         "grid_points_stats": q_grid_points_stats,
         "grid_points_nearest": q_grid_points_nearest,
@@ -4093,6 +4176,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         # pair term uses (sum_x * sum_y - self terms) for 2-crossing
         # cells and the center-mean pairing CASE for saddles
         "contour_stats": _contour_oracle_sql(),
+        # stitching topology: n_open = S - E (path/cycle identity)
+        "contour_topology": _contour_topology_sql(),
         # proximity histogram: per-pixel exact min over the bounded offset
         # set (dd <= r^2 implies Chebyshev <= r, so 121 offsets is the
         # complete candidate set) against the closed-form target predicate

@@ -52,6 +52,7 @@ def main() -> int:
         "crosstab_stats",          # pair-count partials Arrow stage
         "cube_rolling_stats",      # chunked rolling + stats Arrow stages
         "region_perimeter",        # runs/strip scans Arrow by design
+        "contour_topology",        # halo + marching squares Arrow; CC eager
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -62,13 +63,13 @@ def main() -> int:
         "region_stats", "dem_roughness_stats",
         "contour_stats", "fillnodata_hist",
         "grid_points_stats", "grid_points_nearest", "crosstab_stats",
-        "cube_rolling_stats", "region_perimeter",
+        "cube_rolling_stats", "region_perimeter", "contour_topology",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
     # a returned plan without visible arrow stages is legitimate for them
     eager_arrow = {"region_label", "region_sieve", "region_label_hist",
-                   "region_perimeter"}
+                   "region_perimeter", "contour_topology"}
     rc = 0
     for name in names:
         df = qs[name](spark, sf)
