@@ -220,3 +220,22 @@ def test_crosstab_non_integer_raises(spark, xt_paths, tmp_path):
     _write_plane(frac, pf)
     with pytest.raises(Exception, match="integer-valued"):
         raster_crosstab(spark, pa, pf).collect()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_grid_fuzz_small_configs(spark, seed):
+    """Seeded fuzz: random method/radius/points on a 64x64 grid vs the
+    order-matched brute — catches halo-ownership and boundary slips the
+    fixed fixture could miss."""
+    rng = np.random.RandomState(100 + seed)
+    method = GRID_METHODS[int(rng.randint(len(GRID_METHODS)))]
+    r = int(rng.randint(0, 6))
+    n = int(rng.randint(5, 120))
+    x = rng.uniform(-3, W + 3, n)
+    y = rng.uniform(-3, H + 3, n)
+    v = rng.randint(0, 30, n).astype(np.float64)
+    rows = grid_points(spark, _pts_df(spark, x, y, v), (W, H),
+                       method=method, radius=r, tilesize=TS).collect()
+    got = _collect_plane(rows)
+    want = _brute(x, y, v, method, r)
+    np.testing.assert_array_equal(got, want, err_msg=f"{method} r={r} n={n}")
