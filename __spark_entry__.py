@@ -2097,6 +2097,44 @@ def q_cube_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RELIEF_RAMP = ((0.0, (0, 0, 128)), (100.0, (255, 255, 0)), (223.0, (255, 0, 0)))
+
+
+def q_color_relief_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Color relief (raster.color_relief, r8 — gdaldem color-relief
+    analog) over the zonal mosaic: exact counts of packed RGB triples
+    (r*65536 + g*256 + b). Each channel is integer products + ONE
+    exactly-rounded divide + one add, rounded half-up — bit-portable,
+    so the packed histogram is exact. Exercises the c=3 multi-channel
+    TILE_SCHEMA path end-to-end. Fixed-size by design; ``sf`` unused."""
+    _ensure_shipped(spark)
+    import numpy as np
+    import pandas as pd
+
+    from pyramidscheme_jl_spark.functions.codec import decode_tile
+    from pyramidscheme_jl_spark.operators.raster import color_relief
+
+    src = _ensure_zonal_pyramid(spark)
+    df = color_relief(spark, src, _RELIEF_RAMP, z=0)
+
+    def gen(batches):
+        for pdf in batches:
+            parts = []
+            for r in pdf.itertuples(index=False):
+                a = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c).astype(np.int64)
+                packed = a[..., 0] * 65536 + a[..., 1] * 256 + a[..., 2]
+                u, n = np.unique(packed, return_counts=True)
+                parts.append(pd.DataFrame({"rgb": u, "n": n.astype(np.int64)}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return (
+        df.mapInPandas(gen, "rgb long, n long")
+        .groupBy("rgb")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
 _GRID_SHAPE = (256, 256)
 _GRID_TS = 64
 _GRID_R = 3
@@ -2744,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r8 (never driver-verified) --------------------------------
         "region_perimeter": q_region_perimeter,
+        "color_relief_hist": q_color_relief_hist,
         "contour_topology": q_contour_topology,
         "cube_rolling_stats": q_cube_rolling_stats,
         "grid_points_stats": q_grid_points_stats,
@@ -4014,6 +4053,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_px,
                    CAST(CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
             FROM hits GROUP BY 1, 2
+        """,
+        # color relief: per-channel interpolation with the same op order
+        # (int products, one divide, one add, FLOOR half-up), packed RGB
+        "color_relief_hist": """
+            WITH xs AS (SELECT UNNEST(range(0, 512)) AS X),
+                 ys AS (SELECT UNNEST(range(0, 512)) AS Y),
+                 px AS (
+                   SELECT CAST((16*((X//128)+(Y//128)) + xor(X%128, Y%128)) % 256 AS DOUBLE) AS v
+                   FROM xs CROSS JOIN ys),
+                 rgb AS (
+                   SELECT CASE WHEN v < 100 THEN CAST(FLOOR(0 + ((v - 0)*(255 - 0))/(100 - 0) + 0.5) AS BIGINT) ELSE CAST(FLOOR(255 + ((v - 100)*(255 - 255))/(223 - 100) + 0.5) AS BIGINT) END AS r,
+                          CASE WHEN v < 100 THEN CAST(FLOOR(0 + ((v - 0)*(255 - 0))/(100 - 0) + 0.5) AS BIGINT) ELSE CAST(FLOOR(255 + ((v - 100)*(0 - 255))/(223 - 100) + 0.5) AS BIGINT) END AS g,
+                          CASE WHEN v < 100 THEN CAST(FLOOR(128 + ((v - 0)*(0 - 128))/(100 - 0) + 0.5) AS BIGINT) ELSE CAST(FLOOR(0 + ((v - 100)*(0 - 0))/(223 - 100) + 0.5) AS BIGINT) END AS b
+                   FROM px)
+            SELECT CAST(r*65536 + g*256 + b AS BIGINT) AS rgb,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM rgb GROUP BY 1
         """,
         # rolling cube: trailing 3-frame windows replayed as an offset
         # join over present frames; mean = one exactly-rounded divide

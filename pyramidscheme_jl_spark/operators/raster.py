@@ -1146,6 +1146,93 @@ def _contour_assemble(levels: tuple, ts: int):
     return fn
 
 
+def color_relief(
+    spark,
+    path: str,
+    ramp,
+    z: int = 0,
+    nearest: bool = False,
+):
+    """Color relief (GDAL ``gdaldem color-relief`` analog, completing
+    the gdaldem family): map a single-band level through a color ramp
+    to a 3-channel uint8 raster (symbology/export-ready; feeds
+    ``export_xyz`` unchanged since TILE_SCHEMA carries ``c``).
+
+    ``ramp``: iterable of ``(value, (r, g, b))`` breakpoints (any
+    order; sorted by value; duplicate values raise). Default is linear
+    interpolation between bracketing breakpoints with each channel
+    computed as ``c0 + ((v - b0) * (c1 - c0)) / (b1 - b0)`` then
+    rounded half-up — integer products, ONE exactly-rounded divide,
+    one add, so the uint8 output is bit-portable for integer-valued
+    rasters (the engine's oracle discipline). Values outside the ramp
+    clamp to the end colors (GDAL clamping); ``nearest=True`` snaps to
+    the closest breakpoint (ties to the LOWER value — a total order).
+    NaN pixels emit (0, 0, 0) — GDAL's nodata-black convention;
+    all-NaN tiles are still emitted (black), since downstream tile
+    consumers of a c=3 export expect full coverage of stored tiles.
+
+    Plan: one tile scan -> one Arrow map stage (vectorized LUT per
+    tile) -> TILE_SCHEMA rows, no shuffle at all.
+    """
+    from ..api import PyramidDataset
+    from ..sources.catalog import TILE_SCHEMA, read_level
+
+    pts = sorted((float(v), tuple(int(x) for x in rgb)) for v, rgb in ramp)
+    if len(pts) < 2:
+        raise ValueError("ramp needs at least 2 breakpoints")
+    if len({v for v, _ in pts}) != len(pts):
+        raise ValueError("ramp has duplicate breakpoint values")
+    for _, rgb in pts:
+        if len(rgb) != 3 or any(not (0 <= x <= 255) for x in rgb):
+            raise ValueError(f"ramp colors must be (r, g, b) in 0..255: {rgb}")
+    bvals = np.array([v for v, _ in pts], dtype=np.float64)
+    bcols = np.array([c for _, c in pts], dtype=np.int64)  # (n, 3)
+
+    spec = PyramidDataset.open(spark, path).spec
+    tiles = read_level(spark, path, z)
+    if any(f.name == "t" for f in tiles.schema.fields):
+        raise ValueError("color_relief expects a flat (x, y) level")
+    zz = int(z)
+    snap = bool(nearest)
+
+    def gen(batches):
+        from ..functions.codec import decode_tile
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+                if a.ndim == 3:
+                    raise ValueError("color_relief expects single-band levels")
+                a = a.astype(np.float64, copy=False)
+                valid = np.isfinite(a)
+                v = np.clip(np.where(valid, a, bvals[0]), bvals[0], bvals[-1])
+                rgb = np.zeros((a.shape[0], a.shape[1], 3), dtype=np.uint8)
+                if snap:
+                    i = np.clip(
+                        np.searchsorted(bvals, v, side="right") - 1,
+                        0, len(bvals) - 2,
+                    )
+                    lo_d = v - bvals[i]
+                    hi_d = bvals[i + 1] - v
+                    pick = np.where(lo_d <= hi_d, i, i + 1)  # tie -> lower
+                    col = bcols[pick]
+                else:
+                    i = np.clip(
+                        np.searchsorted(bvals, v, side="right") - 1,
+                        0, len(bvals) - 2,
+                    )
+                    b0, b1 = bvals[i], bvals[i + 1]
+                    c0, c1 = bcols[i], bcols[i + 1]
+                    frac = ((v - b0)[..., None] * (c1 - c0)) / (b1 - b0)[..., None]
+                    col = np.floor(c0 + frac + 0.5).astype(np.int64)
+                rgb[valid] = col[valid].astype(np.uint8)
+                out.append(_tile_row(spec, zz, int(row.tx), int(row.ty), rgb))
+            yield _rows_to_pdf(out)
+
+    return tiles.mapInPandas(gen, TILE_SCHEMA)
+
+
 def contour_polylines(
     spark,
     path: str,

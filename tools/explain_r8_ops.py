@@ -53,6 +53,7 @@ def main() -> int:
         "cube_rolling_stats",      # chunked rolling + stats Arrow stages
         "region_perimeter",        # runs/strip scans Arrow by design
         "contour_topology",        # halo + marching squares Arrow; CC eager
+        "color_relief_hist",       # LUT map + pack-count Arrow stages
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -64,6 +65,7 @@ def main() -> int:
         "contour_stats", "fillnodata_hist",
         "grid_points_stats", "grid_points_nearest", "crosstab_stats",
         "cube_rolling_stats", "region_perimeter", "contour_topology",
+        "color_relief_hist",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
