@@ -103,3 +103,28 @@ def test_export_xyz_ragged_edges_zero_padded(spark, tmp_path):
     assert img.shape == (ts, ts)
     np.testing.assert_array_equal(img[:16, :32], a[64:80, 64:96])
     assert (img[16:, :] == 0).all() and (img[:, 32:] == 0).all()
+
+
+def test_export_xyz_rgb_color_relief_roundtrip(spark, pyr_path, tmp_path):
+    """The colored web-map composition: color_relief (c=3 uint8) ->
+    write_level -> export_xyz -> decode one PNG back, pixel-exact. RGB
+    tiles need no display stretch (already uint8)."""
+    from pyramidscheme_jl_spark.operators.raster import color_relief
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    ramp = [(0.0, (0, 0, 128)), (128.0, (0, 255, 0)), (255.0, (255, 0, 0))]
+    relief = str(tmp_path / "relief")
+    write_level(color_relief(spark, pyr_path, ramp, z=0), relief, 0)
+    write_multiscales(relief, 0, SIZE, G * SIZE, G * SIZE, "relief", "-")
+    out = str(tmp_path / "tiles")
+    res = export_xyz(spark, relief, out)
+    assert res["tiles"] == G * G
+    png = decode_png(open(os.path.join(out, "0", "1", "2.png"), "rb").read())
+    assert png.shape == (SIZE, SIZE, 3)
+    row = [r for r in read_level(spark, relief, 0).collect()
+           if r.tx == 1 and r.ty == 2][0]
+    want = decode_tile(row.bytes, row.h, row.w, row.dtype, row.c)
+    np.testing.assert_array_equal(png, want)
