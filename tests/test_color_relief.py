@@ -98,3 +98,26 @@ def test_color_relief_validation(spark, plane_path):
         color_relief(spark, plane_path, [(1.0, (0, 0, 0)), (1.0, (1, 1, 1))])
     with pytest.raises(ValueError, match="0..255"):
         color_relief(spark, plane_path, [(0.0, (0, 0, 300)), (1.0, (0, 0, 0))])
+
+
+def test_color_relief_warp_identity_rgb(spark, plane, plane_path, tmp_path):
+    """Serving the colored raster: identity-scale warp_affine over the
+    c=3 relief level reproduces every RGB pixel exactly (the warp gather
+    is channel-aware)."""
+    from pyramidscheme_jl_spark.operators.raster import warp_affine
+    from pyramidscheme_jl_spark.sources.catalog import (
+        write_level,
+        write_multiscales,
+    )
+
+    relief = str(tmp_path / "relief")
+    write_level(color_relief(spark, plane_path, RAMP), relief, 0)
+    write_multiscales(relief, 0, TS, 64, 64, "relief", "-")
+    rows = warp_affine(spark, relief, (64, 64), (1, 1), z=0,
+                       tilesize=TS).collect()
+    got = np.zeros((64, 64, 3), dtype=np.uint8)
+    for r in rows:
+        assert r.c == 3
+        got[r.ty*TS:r.ty*TS+r.h, r.tx*TS:r.tx*TS+r.w] = decode_tile(
+            r.bytes, r.h, r.w, r.dtype, r.c)
+    np.testing.assert_array_equal(got, _brute(plane, RAMP, False))
