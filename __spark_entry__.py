@@ -2097,6 +2097,65 @@ def q_cube_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_GRIDSTREAM_DIR = "/dev/shm/psjl_gridstream_oracle_v1"
+_GRIDSTREAM_N = 40000
+
+
+def _ensure_streamed_grid(spark: SparkSession) -> str:
+    """Memoized point-stream fixture: 40k closed-form lattice points
+    split into 3 source files, ingested via streaming.points (one
+    micro-batch per file), then compacted once — so the oracle crosses
+    the append AND the fold paths."""
+    from pyramidscheme_jl_spark.streaming.points import (
+        compact_grid_state,
+        ingest_points,
+    )
+
+    state = f"{_GRIDSTREAM_DIR}/state"
+    done = f"{_GRIDSTREAM_DIR}/_done"
+    if os.path.exists(done):
+        return state
+    import shutil
+
+    shutil.rmtree(_GRIDSTREAM_DIR, ignore_errors=True)
+    os.makedirs(_GRIDSTREAM_DIR, exist_ok=True)
+    src = f"{_GRIDSTREAM_DIR}/src"
+    pts = spark.range(_GRIDSTREAM_N).select(
+        (((F.col("id") * 13) % 2560) / 10.0).alias("x"),
+        (((F.col("id") * 29) % 2560) / 10.0).alias("y"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        (F.col("id") % 3).alias("b"),
+    )
+    for b in range(3):
+        pts.where(F.col("b") == b).drop("b").coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    ingest_points(
+        spark, f"{src}/*", state, _GRID_SHAPE, max_files_per_trigger=1
+    ).awaitTermination(300)
+    compact_grid_state(spark, state)
+    open(done, "w").close()
+    return state
+
+
+def q_streamed_grid_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed point gridding (streaming.points, r8 — the live-heatmap
+    shape): 3 micro-batches append additive binned partials, one
+    compaction folds them, and ``grid_from_state`` serves the same disc
+    means the batch ``grid_points`` would compute over the union —
+    batching-independent by construction, so DuckDB replays the grid
+    closed-form from the full point set. Fixed-size by design; ``sf``
+    unused."""
+    _ensure_shipped(spark)
+    from pyramidscheme_jl_spark.streaming.points import grid_from_state
+
+    state = _ensure_streamed_grid(spark)
+    res = grid_from_state(
+        spark, state, method="mean", radius=_GRID_R, tilesize=_GRID_TS
+    )
+    return _grid_tile_stats(res, quantize=True)
+
+
 _RELIEF_RAMP = ((0.0, (0, 0, 128)), (100.0, (255, 255, 0)), (223.0, (255, 0, 0)))
 
 
@@ -2783,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r8 (never driver-verified) --------------------------------
         "region_perimeter": q_region_perimeter,
         "color_relief_hist": q_color_relief_hist,
+        "streamed_grid_stats": q_streamed_grid_stats,
         "contour_topology": q_contour_topology,
         "cube_rolling_stats": q_cube_rolling_stats,
         "grid_points_stats": q_grid_points_stats,
@@ -4096,6 +4156,42 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                                        * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
             FROM o GROUP BY 1, 2, 3
+        """,
+        # streamed gridding: batching-independent additive state => the
+        # SAME closed-form replay as the batch grid, points from range()
+        "streamed_grid_stats": f"""
+            WITH pts AS (
+              SELECT CAST(FLOOR(((i * 13) % 2560) / 10.0) AS BIGINT) AS px,
+                     CAST(FLOOR(((i * 29) % 2560) / 10.0) AS BIGINT) AS py,
+                     i % 97 AS v
+              FROM (SELECT UNNEST(range(0, {_GRIDSTREAM_N})) AS i)),
+                 b AS (
+                   SELECT px, py, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS s
+                   FROM pts
+                   WHERE px BETWEEN 0 AND {_GRID_SHAPE[0] - 1}
+                     AND py BETWEEN 0 AND {_GRID_SHAPE[1] - 1}
+                   GROUP BY 1, 2),
+                 os AS (SELECT UNNEST(range(-{_GRID_R}, {_GRID_R + 1})) AS o),
+                 off AS (
+                   SELECT a.o AS dx, b.o AS dy
+                   FROM os a CROSS JOIN os b
+                   WHERE a.o*a.o + b.o*b.o <= {_GRID_R * _GRID_R}),
+                 d AS (
+                   SELECT g.px, g.py,
+                          CAST(SUM(b.cnt) AS BIGINT) AS dc,
+                          CAST(SUM(b.s) AS BIGINT) AS ds
+                   FROM (SELECT x.X AS px, y.Y AS py
+                         FROM (SELECT UNNEST(range(0, {_GRID_SHAPE[0]})) AS X) x
+                         CROSS JOIN (SELECT UNNEST(range(0, {_GRID_SHAPE[1]})) AS Y) y) g
+                   CROSS JOIN off
+                   JOIN b ON b.px = g.px + off.dx AND b.py = g.py + off.dy
+                   GROUP BY 1, 2)
+            SELECT CAST(px // {_GRID_TS} AS BIGINT) AS tx,
+                   CAST(py // {_GRID_TS} AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM(CAST(FLOOR((CAST(ds AS DOUBLE) / CAST(dc AS DOUBLE))
+                                       * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+            FROM d GROUP BY 1, 2
         """,
         # gridding: customer-key points binned to the lattice; disc sums
         # via the bounded offset join; mean = one exactly-rounded divide

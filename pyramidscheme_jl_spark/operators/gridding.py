@@ -72,22 +72,24 @@ def grid_points(
     """Grid ``points`` (columns ``x_col``, ``y_col``, ``value_col``)
     onto a ``shape = (width, height)`` raster; returns TILE_SCHEMA rows
     (z=0, float64). See the module docstring for semantics and plan."""
-    if method not in GRID_METHODS:
-        raise ValueError(f"method must be one of {GRID_METHODS}, got {method!r}")
-    if radius < 0:
-        # radius 0 is well-defined for every method (pixel-bin only)
-        raise ValueError(f"radius must be >= 0, got {radius}")
-    w, h = int(shape[0]), int(shape[1])
-    ts = int(tilesize)
-    if radius > ts:
-        raise ValueError(
-            f"radius {radius} exceeds tilesize {ts}: one-strip halo "
-            "ownership no longer covers the window — grid coarser or "
-            "raise tilesize"
-        )
-    r = int(radius)
+    binned = bin_points(points, shape, x_col, y_col, value_col)
+    return grid_from_binned(binned, shape, method, radius, tilesize)
 
-    binned = (
+
+def bin_points(
+    points: DataFrame,
+    shape: tuple[int, int],
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lattice binning front half: points -> one row per occupied pixel
+    ``(px, py, cnt, s, mn, mx)`` via a single JVM hash aggregate.
+    Exposed because the per-pixel aggregates are ADDITIVE (cnt/s sum,
+    mn/mx fold), which is what makes the streaming state in
+    ``streaming.points`` a plain append + re-aggregate."""
+    w, h = int(shape[0]), int(shape[1])
+    return (
         points.select(
             F.floor(F.col(x_col)).cast("long").alias("px"),
             F.floor(F.col(y_col)).cast("long").alias("py"),
@@ -106,6 +108,44 @@ def grid_points(
             F.max("v").alias("mx"),
         )
     )
+
+
+def merge_binned(binned: DataFrame) -> DataFrame:
+    """Fold multiple binned partials (e.g. appended micro-batch state)
+    back to one row per pixel — the additive merge."""
+    return binned.groupBy("px", "py").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def grid_from_binned(
+    binned: DataFrame,
+    shape: tuple[int, int],
+    method: str = "mean",
+    radius: int = 3,
+    tilesize: int = 256,
+) -> DataFrame:
+    """Kernel tail: binned pixel rows -> TILE_SCHEMA tiles (the halo
+    ownership explode + per-tile disc/EDT kernel). ``binned`` must be
+    one row per pixel (``bin_points`` output or ``merge_binned`` of
+    appended partials)."""
+    if method not in GRID_METHODS:
+        raise ValueError(f"method must be one of {GRID_METHODS}, got {method!r}")
+    if radius < 0:
+        # radius 0 is well-defined for every method (pixel-bin only)
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    w, h = int(shape[0]), int(shape[1])
+    ts = int(tilesize)
+    if radius > ts:
+        raise ValueError(
+            f"radius {radius} exceeds tilesize {ts}: one-strip halo "
+            "ownership no longer covers the window — grid coarser or "
+            "raise tilesize"
+        )
+    r = int(radius)
 
     owned = binned.select(
         "px", "py", "cnt", "s", "mn", "mx",

@@ -1,0 +1,105 @@
+"""streaming.points: point-feed ingest -> additive binned state ->
+grid_from_state, pinned bit-identical to the batch grid_points over the
+union of all ingested points (batching-independence is the contract),
+plus the crash-safe compaction manifest protocol."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyramidscheme_jl_spark.functions.codec import decode_tile
+from pyramidscheme_jl_spark.operators.gridding import grid_points
+from pyramidscheme_jl_spark.streaming.points import (
+    POINTS_DDL,
+    compact_grid_state,
+    grid_from_state,
+    ingest_points,
+    read_grid_state,
+)
+
+W = H = 64
+TS = 32
+R = 2
+
+
+def _pts(seed, n=120):
+    rng = np.random.RandomState(seed)
+    return [
+        (float(x), float(y), float(v))
+        for x, y, v in zip(
+            rng.uniform(-2, W + 2, n),
+            rng.uniform(-2, H + 2, n),
+            rng.randint(0, 40, n).astype(float),
+        )
+    ]
+
+
+def _plane(rows):
+    got = np.full((H, W), np.nan)
+    for r in rows:
+        t = decode_tile(r.bytes, r.h, r.w, r.dtype, r.c)
+        got[r.ty * TS:r.ty * TS + r.h, r.tx * TS:r.tx * TS + r.w] = t
+    return got
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("gridstream")
+    src = str(root / "src")
+    state = str(root / "state")
+    os.makedirs(src)
+    batches = [_pts(1), _pts(2), _pts(3)]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, POINTS_DDL).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    q = ingest_points(spark, f"{src}/*", state, (W, H),
+                      max_files_per_trigger=1)
+    q.awaitTermination(300)
+    all_pts = [p for b in batches for p in b]
+    return src, state, all_pts
+
+
+def test_streamed_grid_matches_batch(spark, streamed):
+    _, state, all_pts = streamed
+    bins = os.path.join(state, "bins")
+    assert len([d for d in os.listdir(bins) if d.startswith("batch=")]) >= 2
+    got = _plane(grid_from_state(spark, state, method="mean", radius=R,
+                                 tilesize=TS).collect())
+    want = _plane(grid_points(
+        spark, spark.createDataFrame(all_pts, POINTS_DDL), (W, H),
+        method="mean", radius=R, tilesize=TS).collect())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compaction_preserves_state_and_counts(spark, streamed):
+    _, state, all_pts = streamed
+    before = {(r.px, r.py): (r.cnt, r.s, r.mn, r.mx)
+              for r in read_grid_state(spark, state).collect()}
+    folded = compact_grid_state(spark, state)
+    assert folded >= 2
+    after = {(r.px, r.py): (r.cnt, r.s, r.mn, r.mx)
+             for r in read_grid_state(spark, state).collect()}
+    assert before == after
+    assert compact_grid_state(spark, state) == 0  # single rollup left
+    # ingest more -> new partial lands NEXT to the rollup; fold again
+    # (exercises the max+1 rollup naming against pruned manifests)
+    src, _, _ = streamed
+    extra = _pts(9)
+    spark.createDataFrame(extra, POINTS_DDL).coalesce(1).write.parquet(
+        f"{src}/b9")
+    q = ingest_points(spark, f"{src}/*", state, (W, H))
+    q.awaitTermination(300)
+    assert compact_grid_state(spark, state) == 2
+    got = _plane(grid_from_state(spark, state, method="count", radius=0,
+                                 tilesize=TS).collect())
+    want = _plane(grid_points(
+        spark, spark.createDataFrame(all_pts + extra, POINTS_DDL), (W, H),
+        method="count", radius=0, tilesize=TS).collect())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_read_empty_state_raises(spark, tmp_path):
+    with pytest.raises(Exception):
+        read_grid_state(spark, str(tmp_path / "nostate"))

@@ -54,6 +54,7 @@ def main() -> int:
         "region_perimeter",        # runs/strip scans Arrow by design
         "contour_topology",        # halo + marching squares Arrow; CC eager
         "color_relief_hist",       # LUT map + pack-count Arrow stages
+        "streamed_grid_stats",     # state merge + grid/stats Arrow stages
     ]
     arrow_ok = {
         "warp_affine_stats", "region_label", "raster_value_histogram",
@@ -65,7 +66,7 @@ def main() -> int:
         "contour_stats", "fillnodata_hist",
         "grid_points_stats", "grid_points_nearest", "crosstab_stats",
         "cube_rolling_stats", "region_perimeter", "contour_topology",
-        "color_relief_hist",
+        "color_relief_hist", "streamed_grid_stats",
     }
     # region_label & co run part of their Arrow work EAGERLY inside the
     # call (the scan is localCheckpointed and the resolve executes there);
