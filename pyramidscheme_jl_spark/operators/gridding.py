@@ -99,6 +99,7 @@ def bin_points(
             (F.col("px") >= 0) & (F.col("px") < w)
             & (F.col("py") >= 0) & (F.col("py") < h)
             & F.col("v").isNotNull()
+            & ~F.isnan("v")  # NaN is nodata engine-wide, and NaN != NULL
         )
         .groupBy("px", "py")
         .agg(

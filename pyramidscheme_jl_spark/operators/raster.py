@@ -1039,6 +1039,11 @@ def contour_segments(spark, path: str, levels, z: int = 0):
     lvls = tuple(float(v) for v in levels)
     if not lvls:
         raise ValueError("levels must be non-empty")
+    if len(set(lvls)) != len(lvls):
+        raise ValueError(
+            f"levels has duplicates: {lvls} — each level would emit its "
+            "segments twice (and collide polyline segment keys)"
+        )
     ts = PyramidDataset.open(spark, path).spec.tilesize
     tiles = read_level(spark, path, z)
     if any(f.name == "t" for f in tiles.schema.fields):

@@ -301,6 +301,27 @@ def _scan_gen(ts: int, W: int, eight: bool, contacts: bool = False):
     return gen
 
 
+def _strip_melt(scan: DataFrame, with_vals: bool, corners: bool) -> DataFrame:
+    """Skinny (ekey, side, pos[, val], lab) rows melted from the kind-1
+    strip rows — the shared front of the three strip consumers
+    (``_strip_edges`` stitch join, ``_strip_contacts`` RAG pairs,
+    ``_strip_same_value`` perimeter pairs). ``corners=False`` drops the
+    8-conn corner pseudo-keys (diagonals are not 4-edges)."""
+    src = scan.where(F.col("kind") == 1)
+    if not corners:
+        src = src.where(~F.col("ekey").startswith("c"))
+    zcols = ("pos", "vals", "labels") if with_vals else ("pos", "labels")
+    melted = (
+        src.select("ekey", "side", F.arrays_zip(*zcols).alias("z"))
+        .select("ekey", "side", F.explode("z").alias("e"))
+    )
+    cols = ["ekey", "side", F.col("e.pos").alias("pos")]
+    if with_vals:
+        cols.append(F.col("e.vals").alias("val"))
+    cols.append(F.col("e.labels").alias("lab"))
+    return melted.select(*cols)
+
+
 def _strip_edges(scan: DataFrame, eight: bool) -> DataFrame:
     """Label-equivalence edges from the strip rows, entirely JVM-side:
     strips explode to skinny (ekey, pos, val, lab) rows (the volume stays
@@ -310,18 +331,7 @@ def _strip_edges(scan: DataFrame, eight: bool) -> DataFrame:
     whole match is codegen'd. 8-connectivity probes pos -1/0/+1 on the
     side-0 arm (diagonals across a strip); corner diagonals arrive as
     their own pseudo keys with pos=0 and ride the same join."""
-    s = (
-        scan.where(F.col("kind") == 1)
-        .select("ekey", "side", F.arrays_zip("pos", "vals", "labels").alias("z"))
-        .select("ekey", "side", F.explode("z").alias("e"))
-        .select(
-            "ekey",
-            "side",
-            F.col("e.pos").alias("pos"),
-            F.col("e.vals").alias("val"),
-            F.col("e.labels").alias("lab"),
-        )
-    )
+    s = _strip_melt(scan, with_vals=True, corners=True)
     a = s.where(F.col("side") == 0).drop("side")
     if eight:
         # corner pseudo-keys must NOT probe +-1 (their pos is a constant 0,
@@ -359,15 +369,7 @@ def _strip_contacts(scan: DataFrame) -> DataFrame:
     filter — different-value neighbors are exactly the contacts), one row
     per pair on PROVISIONAL labels: ``(la, lb, w=1)``. Corner pseudo-keys
     are excluded (diagonal pairs are not 4-contacts)."""
-    s = (
-        scan.where((F.col("kind") == 1) & ~F.col("ekey").startswith("c"))
-        .select("ekey", "side", F.arrays_zip("pos", "labels").alias("z"))
-        .select("ekey", "side", F.explode("z").alias("e"))
-        .select(
-            "ekey", "side",
-            F.col("e.pos").alias("pos"), F.col("e.labels").alias("lab"),
-        )
-    )
+    s = _strip_melt(scan, with_vals=False, corners=False)
     a = s.where(F.col("side") == 0).drop("side")
     b = (
         s.where(F.col("side") == 1).drop("side")
@@ -667,17 +669,7 @@ def _strip_same_value(scan: DataFrame) -> DataFrame:
     component; counting either side's label once is exact). Corner
     pseudo-keys excluded (diagonals are not 4-edges). ``(label, p=1)``
     rows on provisional labels."""
-    s = (
-        scan.where((F.col("kind") == 1) & ~F.col("ekey").startswith("c"))
-        .select("ekey", "side", F.arrays_zip("pos", "vals", "labels").alias("z"))
-        .select("ekey", "side", F.explode("z").alias("e"))
-        .select(
-            "ekey", "side",
-            F.col("e.pos").alias("pos"),
-            F.col("e.vals").alias("val"),
-            F.col("e.labels").alias("lab"),
-        )
-    )
+    s = _strip_melt(scan, with_vals=True, corners=False)
     a = s.where(F.col("side") == 0).drop("side")
     b = (
         s.where(F.col("side") == 1).drop("side")

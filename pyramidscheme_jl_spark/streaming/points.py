@@ -90,7 +90,10 @@ def ingest_points(
     if w <= 0 or h <= 0:
         raise ValueError(f"shape must be positive, got {shape}")
     bins_dir = os.path.join(state_dir, "bins")
-    state: dict = {"meta_done": False}
+    # shape is known before the stream starts — commit the meta doc NOW,
+    # so a crash inside the first batch can never leave partials without
+    # a readable shape (review r8-s3 #7)
+    _commit_meta(state_dir, (w, h), fs)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         binned = bin_points(batch_df, (w, h))
@@ -101,9 +104,6 @@ def ingest_points(
             .write.mode("overwrite")
             .parquet(os.path.join(bins_dir, f"batch={int(batch_id)}"))
         )
-        if not state["meta_done"]:
-            _commit_meta(state_dir, (w, h), fs)
-            state["meta_done"] = True
 
     reader = spark.readStream.schema(POINTS_DDL)
     if max_files_per_trigger:
@@ -137,6 +137,11 @@ def _active_bin_dirs(bins_dir: str) -> list[str]:
     live = [
         d for d in sorted(os.listdir(bins_dir))
         if d.startswith("batch=") and d not in folded
+        # _SUCCESS gates visibility: an IN-FLIGHT batch dir (created
+        # before its job commits) must be neither read (it would look
+        # empty) nor folded (folding would permanently exclude the
+        # batch id once the write lands) — review r8-s3 #1
+        and os.path.exists(os.path.join(bins_dir, d, "_SUCCESS"))
     ]
     comp = [d for d in m["compacted"] if os.path.isdir(os.path.join(bins_dir, d))]
     return [os.path.join(bins_dir, d) for d in comp + live]
@@ -168,7 +173,10 @@ def grid_from_state(
 
 
 def compact_grid_state(
-    spark: SparkSession, state_dir: str, fs: LocalFS = DEFAULT_FS
+    spark: SparkSession,
+    state_dir: str,
+    fs: LocalFS = DEFAULT_FS,
+    cleanup: bool = True,
 ) -> int:
     """Fold the active partials into one ``compacted-N`` rollup.
     Returns the number of partials folded (0 = nothing to do).
@@ -181,7 +189,14 @@ def compact_grid_state(
     removed best-effort (idempotent; an interrupted cleanup leaves
     excluded-and-harmless dirs for the next round). Safe between
     micro-batches: an in-flight batch appends a NEW partial that is
-    simply not folded this round."""
+    simply not folded this round (its dir has no ``_SUCCESS`` yet).
+
+    Caveat for LIVE readers: a query PLANNED against the pre-fold dir
+    list can still be executing when cleanup deletes those dirs —
+    pass ``cleanup=False`` when serving concurrent traffic (folded
+    dirs stay on disk, excluded by the manifest; a later call with
+    ``cleanup=True`` — or any subsequent fold — garbage-collects
+    them once in-flight reads have drained)."""
     import shutil
 
     bins_dir = os.path.join(state_dir, "bins")
@@ -196,6 +211,10 @@ def compact_grid_state(
     tmp = os.path.join(bins_dir, "_compact_tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # a crash between a previous rename and its manifest publish leaves
+    # an UNREGISTERED (hence invisible) rollup under this name — safe to
+    # clobber, and required: POSIX rename cannot replace a non-empty dir
+    shutil.rmtree(os.path.join(bins_dir, new_name), ignore_errors=True)
     os.rename(tmp, os.path.join(bins_dir, new_name))
     names = [os.path.basename(d) for d in active]
     new_m = {
@@ -208,6 +227,10 @@ def compact_grid_state(
         bins_dir, "_state.json",
         lambda p: open(p, "w").write(json.dumps(new_m, sort_keys=True)),
     )
-    for d in active:
-        shutil.rmtree(d, ignore_errors=True)
+    if cleanup:
+        for d in active:
+            shutil.rmtree(d, ignore_errors=True)
+        # also GC dirs folded in earlier cleanup=False rounds
+        for d in new_m["folded"]:
+            shutil.rmtree(os.path.join(bins_dir, d), ignore_errors=True)
     return len(active)

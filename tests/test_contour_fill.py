@@ -304,3 +304,8 @@ def test_polylines_degenerate_level_raises(spark, plane_path):
 
     with pytest.raises(AssertionError, match="degree"):
         contour_polylines(spark, plane_path, [4.0])
+
+
+def test_contour_duplicate_levels_rejected(spark, plane_path):
+    with pytest.raises(ValueError, match="duplicates"):
+        contour_segments(spark, plane_path, [7.5, 7.5])

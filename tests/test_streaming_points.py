@@ -103,3 +103,28 @@ def test_compaction_preserves_state_and_counts(spark, streamed):
 def test_read_empty_state_raises(spark, tmp_path):
     with pytest.raises(Exception):
         read_grid_state(spark, str(tmp_path / "nostate"))
+
+
+def test_inflight_batch_dir_invisible_until_success(spark, streamed):
+    """A batch dir without _SUCCESS (job not yet committed) must be
+    neither read nor folded — folding it would permanently exclude the
+    batch id before its data lands (review r8-s3 #1)."""
+    from pyramidscheme_jl_spark.streaming.points import _active_bin_dirs
+
+    _, state, _ = streamed
+    bins = os.path.join(state, "bins")
+    inflight = os.path.join(bins, "batch=999")
+    os.makedirs(inflight, exist_ok=True)
+    try:
+        assert inflight not in _active_bin_dirs(bins)
+    finally:
+        os.rmdir(inflight)
+
+
+def test_nan_points_are_nodata(spark):
+    from pyramidscheme_jl_spark.operators.gridding import bin_points
+
+    df = spark.createDataFrame(
+        [(1.5, 1.5, 7.0), (1.5, 1.5, float("nan"))], POINTS_DDL)
+    rows = bin_points(df, (8, 8)).collect()
+    assert len(rows) == 1 and rows[0].cnt == 1 and rows[0].s == 7.0
