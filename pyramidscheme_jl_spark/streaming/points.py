@@ -76,6 +76,7 @@ def ingest_points(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    files_per_batch: int | None = None,
     fs: LocalFS = DEFAULT_FS,
 ):
     """Start the point-grid ingest stream; returns the StreamingQuery.
@@ -97,10 +98,17 @@ def ingest_points(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         binned = bin_points(batch_df, (w, h))
-        # one file per batch: partial count stays == batch count, and a
-        # checkpoint-replayed batch rewrites the same path (idempotent)
+        # one DIR per batch (mode=overwrite => a checkpoint-replayed
+        # batch replaces the whole dir — idempotence is dir-grained),
+        # MULTIPLE files inside: the binned partial can be occupied-
+        # pixel-sized (a dense batch barely reduces), so a single-file
+        # write is a serial stage — measured on the saturated-grid
+        # fixture: 8-core wall 31.3 s -> 18.9 s from parallelizing it
+        # (BENCH/INGEST_SCALING.md r8 points section). repartition, not
+        # coalesce: coalesce back-propagates into the aggregate.
+        k = files_per_batch or max(2, spark.sparkContext.defaultParallelism)
         (
-            binned.coalesce(1)
+            binned.repartition(k)
             .write.mode("overwrite")
             .parquet(os.path.join(bins_dir, f"batch={int(batch_id)}"))
         )
@@ -177,6 +185,7 @@ def compact_grid_state(
     state_dir: str,
     fs: LocalFS = DEFAULT_FS,
     cleanup: bool = True,
+    files: int = 8,
 ) -> int:
     """Fold the active partials into one ``compacted-N`` rollup.
     Returns the number of partials folded (0 = nothing to do).
@@ -210,7 +219,9 @@ def compact_grid_state(
     new_name = f"compacted-{n}"
     tmp = os.path.join(bins_dir, "_compact_tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition (parallel encode; coalesce would collapse the merge
+    # aggregate to the writer count — the ingest lesson)
+    merged.repartition(max(1, int(files))).write.mode("overwrite").parquet(tmp)
     # a crash between a previous rename and its manifest publish leaves
     # an UNREGISTERED (hence invisible) rollup under this name — safe to
     # clobber, and required: POSIX rename cannot replace a non-empty dir
