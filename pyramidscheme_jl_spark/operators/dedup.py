@@ -43,25 +43,56 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _gram_array(n: int, toks_col: str = "toks"):
+    """Word n-gram array expression over a MATERIALIZED token-array column.
+
+    The token array must live in its own projection (referenced >= 2 times
+    so CollapseProject keeps it): inlining ``split(text)`` into the
+    transform lambda re-splits the whole document PER GRAM — measured 3x
+    slower at sf1.0 (16 -> 5.3 s for the 2-gram explode) because the
+    lambda body is evaluated per element with no subexpression reuse.
+
+    The empty case must be an explicit branch: Spark's ``sequence(1, 0)``
+    DESCENDS (auto step -1), so a ``greatest(..., 0)`` guard emitted i=0
+    and slice() rejects a 0 start — any document shorter than n tokens
+    crashed the job (latent until ngram_contamination fed unfiltered
+    corpora).
+    """
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < {n} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {n}))) END"
+    )
+
+
 def token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """(id, token) distinct pairs; n>1 emits word n-grams (shingles)."""
-    toks = F.split(F.col(text_col), " ")
-    if n > 1:
-        # the empty case must be an explicit branch: Spark's
-        # sequence(1, 0) DESCENDS (auto step -1), so the old
-        # greatest(..., 0) guard emitted i=0 and slice() rejects a
-        # 0 start — any document shorter than n tokens crashed the job
-        # (latent until ngram_contamination fed unfiltered corpora)
-        grams = F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) < {n} "
-            f"THEN CAST(array() AS array<string>) "
-            f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) END"
-        )
-        ex = F.explode(grams)
-    else:
-        ex = F.explode(toks)
-    return df.select(F.col(id_col).alias("id"), ex.alias("tok")).distinct()
+    """(id, token) distinct pairs; n>1 emits word n-grams (shingles).
+
+    Per-row ``array_distinct`` runs BEFORE the explode so the global
+    ``distinct()`` shuffle carries only already-deduped rows (for the
+    common one-row-per-document input the shuffle is then a no-op
+    pass-through of the minimal row set; duplicate-id inputs still merge
+    correctly in the global distinct).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    arr = F.col("toks") if n == 1 else _gram_array(n)
+    return base.select("id", F.explode(F.array_distinct(arr)).alias("tok")).distinct()
+
+
+def _doc_token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
+    """(id, token) distinct pairs for ONE-ROW-PER-DOCUMENT inputs: per-row
+    ``array_distinct`` + explode, NO global distinct shuffle. Exactly
+    ``token_sets`` when ``id_col`` is unique per row (the documented
+    contract of every per-document operator below); callers that cannot
+    guarantee uniqueness must use ``token_sets``."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    arr = F.col("toks") if n == 1 else _gram_array(n)
+    return base.select("id", F.explode(F.array_distinct(arr)).alias("tok"))
 
 
 def jaccard_pairs(
@@ -131,9 +162,13 @@ def minhash_signatures(
     Permutation constants derive from the hash index deterministically; all
     arithmetic is JVM-side over the exploded (id, token-hash) pairs, one
     aggregate produces all ``num_hashes`` minima (no per-hash pass).
+
+    Input contract (r9): one row per document (``id_col`` unique) — the
+    per-row ``array_distinct`` replaces the corpus-wide (id, token)
+    distinct shuffle outright. Pre-aggregate duplicate-id inputs first.
     """
     P = (1 << 61) - 1  # Mersenne prime
-    ts = token_sets(df, text_col, id_col).withColumn("h", _tok_hash28(F.col("tok")))
+    ts = _doc_token_sets(df, text_col, id_col).withColumn("h", _tok_hash28(F.col("tok")))
     aggs = []
     for i in range(num_hashes):
         a = 2 * i + 1  # odd multipliers (deterministic, reference-free)
@@ -150,68 +185,134 @@ def minhash_lsh_pairs(
     band_size: int = 2,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: band the signature, equi-join on
-    (band_index, band_hash) buckets — the classic shingle->minhash->band->
+    (band_index, band_values) buckets — the classic shingle->minhash->band->
     bucket-join pipeline. Returns distinct candidate pairs (id_a < id_b)
-    with the number of agreeing bands."""
+    with the number of agreeing bands.
+
+    Join shape (r9): each qualifying pair emits EXACTLY ONCE, at its
+    FIRST agreeing band (the same pigeonhole dedup hamming_near_dup
+    uses), and ``bands_hit`` is computed directly from the two full
+    signatures carried through the join — the old plan's
+    4x-signature-recompute union AND its candidate-set
+    ``groupBy(id_a, id_b)`` shuffle (~160M rows at sf1.0) are gone
+    (97 -> ~8 s at sf1.0, identical rows). Band equality compares the
+    raw minhash values as a struct join key; the previous formulation
+    compared md5 digests of the same values, identical modulo md5
+    collisions. All predicates are long comparisons in whole-stage
+    codegen — no arrays, no string hashing in the pair loop.
+    """
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
     nbands = num_hashes // band_size
-    bands = []
-    for bnd in range(nbands):
-        cols = [F.col(f"mh{bnd * band_size + j}").cast("string") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                "id", F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+    mh = [f"mh{i}" for i in range(num_hashes)]
+    bstructs = F.array(
+        *[
+            F.struct(
+                *[
+                    F.col(mh[bnd * band_size + j]).alias(f"v{j}")
+                    for j in range(band_size)
+                ]
             )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
-    a = allb.alias("a")
-    b = allb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("bands_hit"))
+            for bnd in range(nbands)
+        ]
+    )
+    keyed = sig.select("id", *mh, F.posexplode(bstructs).alias("band", "bkey"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    # per-band agreement as plain long equality over the signature columns
+    band_eq = []
+    for bnd in range(nbands):
+        e = None
+        for j in range(band_size):
+            c = F.col(f"a.{mh[bnd * band_size + j]}") == F.col(
+                f"b.{mh[bnd * band_size + j]}"
+            )
+            e = c if e is None else (e & c)
+        band_eq.append(e)
+    # first-matching-band rule: every earlier band must DISAGREE
+    first_band = F.when(F.col("b.band") == 0, F.lit(True))
+    acc = None
+    for bnd in range(nbands - 1):
+        c = ~band_eq[bnd]
+        acc = c if acc is None else (acc & c)
+        first_band = first_band.when(F.col("b.band") == bnd + 1, acc)
+    first_band = first_band.otherwise(F.lit(False))
+    bands_hit = None
+    for bnd in range(nbands):
+        t = F.when(band_eq[bnd], F.lit(1)).otherwise(F.lit(0))
+        bands_hit = t if bands_hit is None else (bands_hit + t)
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id"))
+        & first_band,
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        bands_hit.cast("long").alias("bands_hit"),
     )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over 60-bit token hashes.
 
-    Formulated as (id, token-hash) x bit-position explode + conditional sum
-    — all JVM expressions, exactly reproducible in the SQL oracle. ``bits``
-    defaults to 32 to keep the explode fan modest; the fingerprint packs
-    into a BIGINT.
+    Packed-counter formulation (r9): per (id, token) row, the token hash's
+    bits are packed as four 16-bit counters per BIGINT (``ceil(bits/4)``
+    packed columns); ONE ``groupBy(id)`` sums them map-side, and the
+    fingerprint unpacks as ``bit b set iff 2*cnt_b > ntok`` — exactly the
+    old per-bit vote ``sum(+-1) > 0`` since ``vote_b = 2*cnt_b - ntok``.
+    This replaces the previous (id, token-hash) x bit-position explode
+    (a ``bits``-fold row fan-out: 163M aggregated rows at sf1.0/60 bits)
+    with ~16 sum buffers over the raw token rows — measured 6.1 -> 3.0 s
+    at sf1.0/60 bits, bit-identical output. (The r6 A/B that rejected
+    per-bit conditional sums used 60 separate buffers; 4x16-bit packing
+    keeps the buffer count at 16 and stays in whole-stage codegen.)
+
+    Input contract (r9): one row per document (``id_col`` unique per row;
+    pre-aggregate duplicate-id inputs). Packed counters bound documents at
+    65,535 DISTINCT tokens (a >400 KB single document); beyond that the
+    fingerprint job fails loudly via ``raise_error`` rather than wrapping.
     """
-    # formulation A/B (round 6, tools-free: 3 reps each at 60 bits/sf0.1,
-    # local[32], value-identical outputs): this bits-x row explode reads
-    # 0.70-0.89 s; the "obvious" optimization — one conditional SUM per
-    # bit, no fan-out — reads 1.48-1.97 s: sixty aggregate buffers fall
-    # out of whole-stage codegen, while the explode keeps a compact
-    # two-level hash agg with map-side partials. Keep the explode.
-    ts = token_sets(df, text_col, id_col).withColumn("h", _tok_hash(F.col("tok")))
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = (
-        ts.select("id", "h", bitpos)
-        .groupBy("id", "b")
+    ts = _doc_token_sets(df, text_col, id_col).withColumn("h", _tok_hash(F.col("tok")))
+    npack = (bits + 3) // 4
+    packs = []
+    for j in range(npack):
+        e = None
+        for k in range(4):
+            b = 4 * j + k
+            if b >= bits:
+                break
+            t = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long"))
+            t = t * F.lit(1 << (16 * k)).cast("long")
+            e = t if e is None else (e + t)
+        packs.append(e.alias(f"p{j}"))
+    agg = (
+        ts.select("id", *packs)
+        .groupBy("id")
         .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias("vote")
+            F.count("*").alias("ntok"),
+            *[F.sum(f"p{j}").alias(f"p{j}") for j in range(npack)],
         )
     )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.expr(
-                "case when vote > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end"
-            )
-        ).alias("simhash")
+    fp = None
+    for b in range(bits):
+        cnt = F.shiftright(F.col(f"p{b // 4}"), 16 * (b % 4)).bitwiseAND(
+            F.lit(0xFFFF).cast("long")
+        )
+        # b == 63: 1<<63 overflows a long literal; the sign bit's weight in
+        # two's complement is -(1<<63), and the sum wraps identically to the
+        # old shiftleft(1L, 63) formulation
+        w = -(1 << 63) if b == 63 else (1 << b)
+        t = F.when(cnt * 2 > F.col("ntok"), F.lit(w).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = t if fp is None else (fp + t)
+    guarded = F.when(F.col("ntok") <= 65535, fp).otherwise(
+        F.expr(
+            "CAST(raise_error('simhash: document exceeds 65535 distinct tokens "
+            "(packed-counter width); split or pre-hash the document') AS BIGINT)"
+        )
     )
+    return agg.select("id", guarded.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -327,20 +428,31 @@ def hamming_near_dup(
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(fp_col).cast("long").alias("fp"),
-        segs.alias("segs"),
         F.posexplode(segs).alias("band", "seg"),
     )
     a, bb = keyed.alias("a"), keyed.alias("b")
     # first-matching-band rule: a pair agreeing on several bands qualifies
     # only at its FIRST shared band, so every pair emits exactly once and
     # the dropDuplicates shuffle of the whole candidate set disappears
-    # (measured 2.6 -> 1.6 s at sf0.1/60-bit, identical output). The
-    # zip_with/slice predicate compares the bands BEFORE the join band —
-    # all must differ — and stays in whole-stage codegen.
-    first_band = ~F.expr(
-        "exists(zip_with(slice(a.segs, 1, a.band), slice(b.segs, 1, b.band),"
-        " (x, y) -> x = y), z -> z)"
-    )
+    # (measured 2.6 -> 1.6 s at sf0.1/60-bit, identical output).
+    # r9: "every earlier band differs" is evaluated on the XOR of the two
+    # fingerprints with per-band masks — plain bitwise longs in whole-stage
+    # codegen. The previous exists(zip_with(slice, slice)) predicate
+    # allocated two array slices per CANDIDATE row in interpreted eval,
+    # which dominated the join at sf1.0 (27.4M output pairs): the band
+    # join read 35 s; the mask form reads 8 s, identical rows. It also
+    # drops the materialized segs array from both join sides.
+    x = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    band_masks = [((1 << w) - 1) << lo if w < 64 else (1 << 64) - 1 for lo, w in zip(los, widths)]
+    # wrap to signed 64-bit: a top-band mask at bits=64 has the sign bit set
+    band_masks = [m - (1 << 64) if m >= (1 << 63) else m for m in band_masks]
+    first_band = F.when(F.col("b.band") == 0, F.lit(True))
+    acc = None
+    for j in range(b - 1):
+        differs = x.bitwiseAND(F.lit(band_masks[j]).cast("long")) != 0
+        acc = differs if acc is None else (acc & differs)
+        first_band = first_band.when(F.col("b.band") == j + 1, acc)
+    first_band = first_band.otherwise(F.lit(False))
     pairs = a.join(
         bb,
         (F.col("a.band") == F.col("b.band"))
@@ -389,7 +501,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
-    driver_resolve_max_edges: int = 1_000_000,
+    driver_resolve_max_edges: int = 50_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: ``(id, component)``
     where ``component`` is the smallest node id reachable — the decision
@@ -399,11 +511,17 @@ def connected_components(
     Two-tier (r8, the engine's gated driver-tail pattern): the edge list
     is already the DECISION-sized object (near-dup pairs, orders of
     magnitude below corpus rows), so up to ``driver_resolve_max_edges``
-    it is collected behind a ``limit()`` guard (bounded: ~16 B/edge) and
-    union-found on the driver — the distributed loop costs ~8 s of fixed
-    per-round Spark-job constants that dominate any wall below millions
-    of edges. Past the bound (or with ``driver_resolve_max_edges=0``)
-    the distributed path runs:
+    it is collected behind a ``limit()`` guard and resolved on the
+    driver — the distributed loop costs ~8 s of fixed per-round
+    Spark-job constants that dominate any wall below tens of millions
+    of edges. r9: the driver tier collects via Arrow (``toPandas``) and
+    resolves with VECTORIZED numpy min-label propagation + pointer
+    doubling (C-speed scatter-min, O(log d) passes) instead of a
+    per-edge Python union-find loop, which raises the practical bound:
+    the default 50M edges is ~800 MB of Arrow longs (int64 ids) against
+    the session's 24g driver / 8g maxResultSize — still decision-sized
+    next to the corpus that generated the pairs. Past the bound (or
+    with ``driver_resolve_max_edges=0``) the distributed path runs:
 
     Min-label propagation with pointer doubling and a driver-side
     convergence loop (the same shape as knn_join's ring loop): each round
@@ -419,38 +537,127 @@ def connected_components(
     Singletons carry no dedup decision and would double the output for
     nothing at corpus scale — they appear in neither tier's output.
     """
+    ck_ids: set = set()
+    src = edges
     if driver_resolve_max_edges > 0:
+        import numpy as np
+
         spark = edges.sparkSession
-        rows = edges.select(
-            F.col(a_col).alias("a"), F.col(b_col).alias("b")
-        ).limit(driver_resolve_max_edges + 1).collect()
-        if len(rows) <= driver_resolve_max_edges:
-            parent: dict = {}
-
-            def find(x):
-                while parent.setdefault(x, x) != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for r in rows:
-                ra, rb = find(r.a), find(r.b)
-                if ra != rb:
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-            items = [(k, find(k)) for k in parent]
+        sel = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        # materialize the edge list ONCE (executor storage): the count that
+        # gates the driver tier and the Arrow collect (or the distributed
+        # loop) then both read the checkpoint instead of re-running the
+        # pair generator. A limit()-guarded collect was tried instead and
+        # its CollectLimit funnel alone cost 9 s at 27.4M edges (11.0 s vs
+        # 2.2 s for the straight Arrow collect of the same rows).
+        ck, ck_ids = _ckpt_tracked(sel)
+        n_edges = ck.count()
+        if n_edges <= driver_resolve_max_edges:
             a_t = edges.schema[a_col].dataType.simpleString()
-            out = spark.createDataFrame(
-                items or [(None, None)], f"id {a_t}, component {a_t}"
-            ).where(F.col("id").isNotNull())
-            return F.broadcast(out)  # bounded by the guard: always small
+            if n_edges == 0:
+                _release_ckpts(spark.sparkContext, ck_ids)
+                return spark.createDataFrame([], f"id {a_t}, component {a_t}")
+            tb = ck.toArrow()
+            _release_ckpts(spark.sparkContext, ck_ids)
+            a_vals = tb.column("a").to_numpy(zero_copy_only=False)
+            b_vals = tb.column("b").to_numpy(zero_copy_only=False)
+            # Index mapping. Fast path for dense integer ids (document /
+            # region ids): work directly in shifted-id space — the
+            # 2E-element sort of np.unique(return_inverse) (~9 s at 27.4M
+            # edges) disappears and identity labels ARE the ids. Falls
+            # back to np.unique for sparse/hashed/string ids. In both
+            # paths index order == id order (numeric or lexicographic),
+            # so min INDEX == min id and index-space propagation
+            # preserves the min-label semantics exactly.
+            dense = False
+            if np.issubdtype(a_vals.dtype, np.integer):
+                minv = int(min(a_vals.min(), b_vals.min()))
+                rng = int(max(a_vals.max(), b_vals.max())) - minv + 1
+                # bounded label-array memory: 64M slots = 512 MB of int64
+                dense = rng <= max(4 * n_edges, 1 << 20) and rng <= (1 << 26)
+            if dense:
+                n_nodes = rng
+                ia = (a_vals.astype(np.int64) - minv)
+                ib = (b_vals.astype(np.int64) - minv)
+                present = np.zeros(n_nodes, dtype=bool)
+                present[ia] = True
+                present[ib] = True
+                nodes = None
+            else:
+                nodes, inv = np.unique(
+                    np.concatenate([a_vals, b_vals]), return_inverse=True
+                )
+                n_nodes = len(nodes)
+                ia, ib = inv[:n_edges], inv[n_edges:]
+            label = np.arange(n_nodes, dtype=np.int64)
+
+            def _scatter_min(lab: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
+                # grouped min via ONE in-place sort of idx*n + val encoded
+                # longs (n_nodes^2 < 2^63 by the 50M-edge bound): the first
+                # element of each idx group is the group min. np.minimum.at
+                # is an unbuffered ufunc loop (~3M updates/s — 18 s/round
+                # at 27.4M edges); argsort+reduceat measured ~2x slower
+                # than this encoded form (two gathers + index sort).
+                if len(idx) == 0:
+                    return
+                enc = idx * np.int64(n_nodes) + vals
+                enc.sort()
+                dec = enc // n_nodes
+                starts = np.flatnonzero(np.r_[True, dec[1:] != dec[:-1]])
+                uidx = dec[starts]
+                lab[uidx] = np.minimum(lab[uidx], enc[starts] % n_nodes)
+
+            while True:
+                prev = label
+                m = np.minimum(label[ia], label[ib])
+                label = label.copy()
+                _scatter_min(label, ia, m)
+                _scatter_min(label, ib, m)
+                # pointer doubling to a fixed point: full path compression
+                while True:
+                    nl = label[label]
+                    if np.array_equal(nl, label):
+                        break
+                    label = nl
+                if np.array_equal(label, prev):
+                    break
+                # contract: every surviving edge is rewritten to connect the
+                # two current label ROOTS (updates then reach non-roots via
+                # pointer doubling — dropping an edge whose endpoints merely
+                # SHARE a label, without re-targeting roots, is unsound on
+                # chain graphs); dedup shrinks the edge set geometrically,
+                # so only round 1 runs at full edge count
+                ea, eb = label[ia], label[ib]
+                live = ea != eb
+                lo = np.minimum(ea[live], eb[live])
+                hi = np.maximum(ea[live], eb[live])
+                key = np.unique(lo * np.int64(n_nodes) + hi)
+                ia, ib = key // n_nodes, key % n_nodes
+                if len(ia) == 0:
+                    break  # no inter-component edges left: converged
+            import pandas as pd
+
+            if dense:
+                idx_present = np.flatnonzero(present)
+                out_pdf = pd.DataFrame(
+                    {"id": idx_present + minv, "component": label[idx_present] + minv}
+                )
+            else:
+                out_pdf = pd.DataFrame({"id": nodes, "component": nodes[label]})
+            out = spark.createDataFrame(out_pdf, f"id {a_t}, component {a_t}")
+            # bounded by the guard, but only hint broadcast when the node
+            # table is actually broadcast-sized
+            return F.broadcast(out) if len(out_pdf) <= 4_000_000 else out
+        # over the bound: fall through to the distributed tier, feeding it
+        # the checkpointed edge list (no pair-generator re-run)
+        src = ck.select(F.col("a").alias(a_col), F.col("b").alias(b_col))
     sc = edges.sparkSession.sparkContext
-    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = src.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     # fixed topology: rounds re-scan this, not the generator
     e, e_ids = _ckpt_tracked(e)
+    if ck_ids:
+        _release_ckpts(sc, ck_ids)  # the symmetrized ckpt supersedes it
     labels = e.select("src").distinct().withColumn("comp", F.col("src"))
     labels, label_ids = _ckpt_tracked(labels)
     for _ in range(max_iter):
@@ -533,12 +740,34 @@ def ngram_contamination(
     ``broadcast_benchmark=False`` for corpus-sized "benchmarks"
     (cross-corpus overlap audits): both sides then shuffle on the gram
     key, the same split every blocking join here offers.
+
+    r9 plan shape: the per-document distinct-gram count comes straight
+    from ``size(array_distinct(grams))`` in the scan projection (no
+    corpus-wide (id, gram) distinct shuffle, no aggregate for ``tot``
+    at all), and the hit count explodes the per-row-distinct gram array
+    into the broadcast semi-join — the only exchange left is the
+    map-side-partial per-doc hit count. Requires one row per document
+    (``id_col`` unique), the operator's documented contract.
     """
-    cg = token_sets(corpus, text_col, id_col, n)
-    bg = token_sets(benchmark, text_col, id_col, n).select("tok").distinct()
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    arr = F.array_distinct(F.col("toks") if n == 1 else _gram_array(n))
+    # "has >= 1 gram" is filtered as the CHEAP equivalent size(toks) >= n
+    # BEFORE the gram projection: a post-hoc where(n_grams > 0) gets pushed
+    # below the toks projection, re-inlining split(text) into the per-gram
+    # lambda (the O(grams x tokens) re-split pathology — measured 3.3 ->
+    # 18 s for this branch at sf1.0)
+    tot = (
+        base.where(F.size("toks") >= n)
+        .select("id", F.size(arr).alias("n_grams"))
+    )
+    cg = base.select("id", F.explode(arr).alias("tok"))
+    bb = benchmark.select(F.split(F.col(text_col), " ").alias("toks"))
+    barr = F.array_distinct(F.col("toks") if n == 1 else _gram_array(n))
+    bg = bb.select(F.explode(barr).alias("tok")).distinct()
     if broadcast_benchmark:
         bg = F.broadcast(bg)
-    tot = cg.groupBy("id").agg(F.count("*").alias("n_grams"))
     hits = cg.join(bg, "tok").groupBy("id").agg(
         F.count("*").alias("contaminated")
     )

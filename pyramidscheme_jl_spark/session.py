@@ -97,6 +97,10 @@ def get_spark(
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # decision-sized driver collects (connected_components driver tier,
+        # bounded at 50M edges = ~800 MB of Arrow longs) need more than the
+        # 1g default; 8g stays well inside the 24g driver heap
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
