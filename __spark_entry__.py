@@ -397,9 +397,16 @@ def q_hamming_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     pigeonhole band join (dedup.hamming_near_dup) — the operator that
     consumes a 64-bit image phash (BASELINE input_hint) or any BIGINT
     fingerprint. 60 bits = the full usable width of the portable token
-    hash; dist <= 3 is selective (2.9k pairs of 125k possible at sf0.01)."""
+    hash; dist <= 3 is selective (2.9k pairs of 125k possible at sf0.01).
+
+    r9: the fingerprint table (one 16-byte row per doc) is lazily
+    localCheckpointed so the self-join's two sides share ONE simhash
+    computation instead of re-deriving the whole tokenize+vote pipeline
+    per side (~3 s/side at sf1.0)."""
     docs = _t(spark, sf, "documents")
-    s = D.simhash(docs, bits=60).withColumnRenamed("simhash", "fp")
+    s = D.simhash(docs, bits=60).withColumnRenamed("simhash", "fp").localCheckpoint(
+        eager=False
+    )
     return D.hamming_near_dup(s, fp_col="fp", id_col="id", r=3, bits=60)
 
 
@@ -407,13 +414,16 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the hamming<=3 near-dup pairs
     (dedup.connected_components): the dedup GROUP decision — component =
     min reachable doc id. Oracle: DuckDB recursive CTE transitive closure
-    over the identical quadratic pair set."""
+    over the identical quadratic pair set. r9: computed via
+    dedup.fingerprint_components — identical rows, but the band join and
+    resolve run over one representative per DISTINCT fingerprint (32.6k
+    reps / 222k edges instead of 50k docs / 27.4M edges at sf1.0) and the
+    quadratic pair set never materializes."""
     docs = _t(spark, sf, "documents")
-    s = D.simhash(docs, bits=60).withColumnRenamed("simhash", "fp")
-    pairs = D.hamming_near_dup(s, fp_col="fp", id_col="id", r=3, bits=60).select(
-        "id_a", "id_b"
+    s = D.simhash(docs, bits=60).withColumnRenamed("simhash", "fp").localCheckpoint(
+        eager=False
     )
-    return D.connected_components(pairs).select(
+    return D.fingerprint_components(s, fp_col="fp", id_col="id", r=3, bits=60).select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),
     )

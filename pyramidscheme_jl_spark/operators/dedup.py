@@ -66,6 +66,23 @@ def _gram_array(n: int, toks_col: str = "toks"):
     )
 
 
+def _gram_hash_array(n: int, toks_col: str = "toks"):
+    """Word n-grams as xxhash64 longs over a MATERIALIZED token-array
+    column — the allocation-free twin of ``_gram_array`` for pipelines
+    that only count/match grams (repetition, contamination): no per-gram
+    string is ever built. Two DIFFERENT grams only interact if they
+    collide in 64 bits."""
+    if n == 1:
+        return F.expr(f"transform({toks_col}, t -> xxhash64(t))")
+    args = ", ".join(f"element_at({toks_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < {n} "
+        f"THEN CAST(array() AS array<bigint>) "
+        f"ELSE transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> xxhash64({args})) END"
+    )
+
+
 def token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     """(id, token) distinct pairs; n>1 emits word n-grams (shingles).
 
@@ -537,28 +554,43 @@ def connected_components(
     Singletons carry no dedup decision and would double the output for
     nothing at corpus scale — they appear in neither tier's output.
     """
-    ck_ids: set = set()
+    spill_dir: str | None = None
     src = edges
     if driver_resolve_max_edges > 0:
+        import shutil
+        import tempfile
+
         import numpy as np
 
         spark = edges.sparkSession
         sel = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        # materialize the edge list ONCE (executor storage): the count that
-        # gates the driver tier and the Arrow collect (or the distributed
-        # loop) then both read the checkpoint instead of re-running the
-        # pair generator. A limit()-guarded collect was tried instead and
-        # its CollectLimit funnel alone cost 9 s at 27.4M edges (11.0 s vs
-        # 2.2 s for the straight Arrow collect of the same rows).
-        ck, ck_ids = _ckpt_tracked(sel)
-        n_edges = ck.count()
+        # materialize the edge list ONCE as a compressed parquet spill: the
+        # count that gates the driver tier (read from the footers) and the
+        # Arrow collect (or the distributed loop) then both read the spill
+        # instead of re-running the pair generator. Two alternatives were
+        # measured at 27.4M edges and rejected: a limit()-guarded collect
+        # (its CollectLimit funnel alone cost 9 s: 11.0 s vs 2.2 s for the
+        # straight Arrow collect of the same rows) and a localCheckpoint
+        # (~2 GB of deserialized JVM row objects per call whose
+        # non-blocking release left growing GC debt across repeated calls:
+        # 46 -> 54 -> 79 s over three bench reps). The spill is ~16 B/edge
+        # columnar before zstd, per-invocation, and removed before return.
+        spill_dir = tempfile.mkdtemp(prefix="psjl_cc_edges_")
+        try:
+            sel.write.mode("overwrite").parquet(spill_dir)
+            ck = spark.read.parquet(spill_dir)
+            n_edges = ck.count()
+        except BaseException:
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            raise
         if n_edges <= driver_resolve_max_edges:
             a_t = edges.schema[a_col].dataType.simpleString()
-            if n_edges == 0:
-                _release_ckpts(spark.sparkContext, ck_ids)
-                return spark.createDataFrame([], f"id {a_t}, component {a_t}")
-            tb = ck.toArrow()
-            _release_ckpts(spark.sparkContext, ck_ids)
+            try:
+                if n_edges == 0:
+                    return spark.createDataFrame([], f"id {a_t}, component {a_t}")
+                tb = ck.toArrow()
+            finally:
+                shutil.rmtree(spill_dir, ignore_errors=True)
             a_vals = tb.column("a").to_numpy(zero_copy_only=False)
             b_vals = tb.column("b").to_numpy(zero_copy_only=False)
             # Index mapping. Fast path for dense integer ids (document /
@@ -649,15 +681,20 @@ def connected_components(
             # table is actually broadcast-sized
             return F.broadcast(out) if len(out_pdf) <= 4_000_000 else out
         # over the bound: fall through to the distributed tier, feeding it
-        # the checkpointed edge list (no pair-generator re-run)
+        # the spilled edge list (no pair-generator re-run)
         src = ck.select(F.col("a").alias(a_col), F.col("b").alias(b_col))
     sc = edges.sparkSession.sparkContext
-    e = src.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    # fixed topology: rounds re-scan this, not the generator
-    e, e_ids = _ckpt_tracked(e)
-    if ck_ids:
-        _release_ckpts(sc, ck_ids)  # the symmetrized ckpt supersedes it
+    try:
+        e = src.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+        # fixed topology: rounds re-scan this, not the generator
+        e, e_ids = _ckpt_tracked(e)
+    finally:
+        if spill_dir is not None:
+            import shutil
+
+            # the symmetrized checkpoint supersedes the spill
+            shutil.rmtree(spill_dir, ignore_errors=True)
     labels = e.select("src").distinct().withColumn("comp", F.col("src"))
     labels, label_ids = _ckpt_tracked(labels)
     for _ in range(max_iter):
@@ -713,6 +750,71 @@ def connected_components(
     )
 
 
+def fingerprint_components(
+    df: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "id",
+    r: int = 3,
+    bits: int = 64,
+    bands: int | None = None,
+    max_iter: int = 50,
+    driver_resolve_max_edges: int = 50_000_000,
+) -> DataFrame:
+    """Connected components of the hamming<=``r`` near-dup pair graph
+    WITHOUT materializing the quadratic pair set — row-for-row identical
+    to ``connected_components(hamming_near_dup(df))``.
+
+    Key fact: nodes with an IDENTICAL fingerprint are pairwise connected
+    (dist 0 <= r), so the whole duplicate-fingerprint group can ride on
+    one representative (its min id). The pigeonhole band join and the
+    component resolve then run over one row per DISTINCT fingerprint,
+    and per-node labels come back via one fingerprint-keyed join:
+
+    - a duplicate group's internal component is its rep id (= min id);
+    - a connected fingerprint-component's label is the min rep id of its
+      groups, which IS the min node id of all their members;
+    - a node emits a row iff it has >= 1 near-dup pair: its group has
+      size >= 2, or its fingerprint has a distinct-fp neighbor within r
+      (exactly the nodes ``hamming_near_dup`` pairs mention).
+
+    At sf1.0 the raw pair graph is 27.4M edges from 50k docs but only
+    222k edges over 32.6k distinct fingerprints — the 123x edge-volume
+    drop is what makes the grouping decision cheap at any duplication
+    rate (heavily duplicated corpora collapse the hardest). The distinct-
+    fingerprint table is lazily localCheckpointed: it feeds both band-join
+    sides and the final expansion join, and is the algorithm's working
+    set by construction.
+    """
+    sig = df.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
+    grp = (
+        sig.groupBy("fp")
+        .agg(F.min("id").alias("rep_id"), F.count("*").alias("gsize"))
+        .localCheckpoint(eager=False)
+    )
+    reps = grp.select(F.col("rep_id").alias("id"), "fp")
+    rp = hamming_near_dup(
+        reps, fp_col="fp", id_col="id", r=r, bits=bits, bands=bands
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        rp,
+        max_iter=max_iter,
+        driver_resolve_max_edges=driver_resolve_max_edges,
+    )
+    lab = grp.join(
+        cc.select(F.col("id").alias("rep_id"), "component"), "rep_id", "left"
+    ).select(
+        "fp",
+        "gsize",
+        F.coalesce("component", F.col("rep_id")).alias("component"),
+        F.col("component").isNotNull().alias("connected"),
+    )
+    return (
+        sig.join(lab, "fp")
+        .where((F.col("gsize") >= 2) | F.col("connected"))
+        .select("id", "component")
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -752,7 +854,14 @@ def ngram_contamination(
     base = corpus.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
     )
-    arr = F.array_distinct(F.col("toks") if n == 1 else _gram_array(n))
+    # grams are represented by xxhash64 over the n token columns — no
+    # per-gram string concatenation, long-keyed distinct/join everywhere
+    # (the same trade repetition_stats documents: two different grams
+    # would have to collide in 64 bits to perturb a count; with corpus
+    # and benchmark gram sets of ~10^7 that is ~1e-5 cumulative across
+    # the whole corpus, zero observed at every tested SF). 10 -> 6 s at
+    # sf1.0 on top of the distinct-shuffle removal below.
+    arr = F.array_distinct(_gram_hash_array(n))
     # "has >= 1 gram" is filtered as the CHEAP equivalent size(toks) >= n
     # BEFORE the gram projection: a post-hoc where(n_grams > 0) gets pushed
     # below the toks projection, re-inlining split(text) into the per-gram
@@ -764,8 +873,7 @@ def ngram_contamination(
     )
     cg = base.select("id", F.explode(arr).alias("tok"))
     bb = benchmark.select(F.split(F.col(text_col), " ").alias("toks"))
-    barr = F.array_distinct(F.col("toks") if n == 1 else _gram_array(n))
-    bg = bb.select(F.explode(barr).alias("tok")).distinct()
+    bg = bb.select(F.explode(F.array_distinct(_gram_hash_array(n))).alias("tok")).distinct()
     if broadcast_benchmark:
         bg = F.broadcast(bg)
     hits = cg.join(bg, "tok").groupBy("id").agg(

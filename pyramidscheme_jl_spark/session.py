@@ -42,12 +42,41 @@ def package_zip() -> str:
     return out
 
 
+_DRIVER_MALLOC_TUNED = False
+
+
+def _tune_driver_malloc() -> None:
+    """glibc malloc tuning for the DRIVER python process — the same fix the
+    executorEnv MALLOC_*_THRESHOLD_ vars apply to workers, via mallopt()
+    because the driver's env is already baked by the time we run. Driver-
+    side numpy/Arrow paths (connected_components' 27M-edge resolve,
+    toArrow collects, createDataFrame conversions) allocate and free
+    multi-hundred-MB buffers; with default thresholds each one is a fresh
+    mmap whose first-touch page faults and munmap TLB shootdowns dominate
+    (measured on this class of host: 27.4M-element gather 4.4 -> 0.1 s,
+    np.unique 9.3 -> 0.7 s from the second allocation on once large
+    blocks are served from the reusable brk heap)."""
+    global _DRIVER_MALLOC_TUNED
+    if _DRIVER_MALLOC_TUNED:
+        return
+    _DRIVER_MALLOC_TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: defaults stand
+
+
 def get_spark(
     app: str = "pyramidscheme-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _tune_driver_malloc()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # make the package importable by the python *daemon* (pre-JVM-launch env)
     # so daemon_preload can warm numpy/pandas/our kernels before forking

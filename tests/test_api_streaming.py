@@ -583,6 +583,53 @@ def test_connected_components(spark):
     assert {r["component"] for r in connected_components(path).collect()} == {0}
 
 
+def test_fingerprint_components_equivalence(spark):
+    """r9: fingerprint_components (distinct-fp representative fusion) must
+    emit row-for-row what connected_components(hamming_near_dup(df))
+    emits — on a fixture that exercises every case: duplicate-fp groups
+    (internal pairs only), duplicate groups connected to other fps,
+    singleton fps with neighbors, and isolated fps (no row at all)."""
+    from pyramidscheme_jl_spark.operators.dedup import (
+        connected_components,
+        fingerprint_components,
+        hamming_near_dup,
+    )
+
+    rows = [
+        # dup group, isolated from everything (dist to others > 3)
+        (1, 0b111000111000111),
+        (2, 0b111000111000111),
+        # dup group connected to a singleton fp one bit away
+        (10, 0b000000000001111),
+        (11, 0b000000000001111),
+        (12, 0b000000000000111),
+        # chain of singleton fps, pairwise within r=3
+        (20, 0b101010101010101),
+        (21, 0b101010101010100),
+        (22, 0b101010101010000),
+        # isolated singleton: must appear in NEITHER output
+        (30, 0b010101010000000),
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            hamming_near_dup(df, fp_col="fp", id_col="id", r=3, bits=15).select(
+                "id_a", "id_b"
+            )
+        ).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in fingerprint_components(
+            df, fp_col="fp", id_col="id", r=3, bits=15
+        ).collect()
+    }
+    assert got == want
+    assert 30 not in {i for i, _ in got}
+    assert (1, 1) in got and (2, 1) in got  # isolated dup group keeps min id
+
+
 def test_connected_components_storage_flat(spark):
     """VERDICT r6 #3: superseded per-round localCheckpoints must be
     released — storage memory stays flat across rounds instead of
