@@ -295,13 +295,51 @@ def lsh_topk(
         )
     if broadcast_queries:
         joined = d.join(F.broadcast(q), "bucket")
-    else:
-        # explicit shuffle-hash hint: keeps AQE from flipping a "small
-        # in the test harness" query side back into a broadcast, so the
-        # plan under test is the plan that runs at scale
-        joined = d.hint("shuffle_hash").join(q, "bucket")
-    scored = joined.where(F.col("n_id") != F.col("query_id")).withColumn(
-        "ip", _dot(F.col("q_qvec"), F.col("n_qvec"))
+        scored = joined.where(F.col("n_id") != F.col("query_id")).withColumn(
+            "ip", _dot(F.col("q_qvec"), F.col("n_qvec"))
+        )
+        return topk_per_query(scored, k)
+    # Large-Q path (r9, guide §4.2): both sides shuffle on the bucket key
+    # ANYWAY, so the candidate scoring runs as ONE exact int64 Gram matmul
+    # per bucket in an Arrow cogroup stage instead of an interpreted
+    # 64-element dot fold per candidate pair (~6.2M candidates at
+    # sf1.0/bits=6: 12-15 -> ~3 s, identical rows). Each bucket emits only
+    # its per-query local top-k (deterministic (-ip, n_id) order, self
+    # excluded) — the exact survivor set the old plan's partition-partial
+    # phase kept — and the unchanged global window reranks. numpy int64
+    # wraps on overflow exactly like the JVM long arithmetic it replaces.
+    import pandas as pd
+
+    id_t = data.schema[id_col].dataType.simpleString()
+
+    def _bucket_topk(key, dpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(dpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"query_id": qpdf["query_id"][:0],
+                                 "n_id": dpdf["n_id"][:0],
+                                 "ip": np.array([], dtype=np.int64)})
+        D = np.array(dpdf["n_qvec"].tolist(), dtype=np.int64)
+        Q = np.array(qpdf["q_qvec"].tolist(), dtype=np.int64)
+        G = Q @ D.T
+        n_ids = dpdf["n_id"].to_numpy()
+        q_ids = qpdf["query_id"].to_numpy()
+        out_q, out_n, out_ip = [], [], []
+        for i in range(len(q_ids)):
+            ips = G[i]
+            sel = np.flatnonzero(n_ids != q_ids[i])
+            if len(sel) == 0:
+                continue
+            # primary -ip desc, secondary n_id asc (lexsort: last key primary)
+            o = np.lexsort((n_ids[sel], -ips[sel]))[:k]
+            take = sel[o]
+            out_q.extend([q_ids[i]] * len(take))
+            out_n.extend(n_ids[take])
+            out_ip.extend(ips[take])
+        return pd.DataFrame({"query_id": out_q, "n_id": out_n, "ip": out_ip})
+
+    scored = (
+        d.groupBy("bucket")
+        .cogroup(q.groupBy("bucket"))
+        .applyInPandas(_bucket_topk, f"query_id {id_t}, n_id {id_t}, ip long")
     )
     return topk_per_query(scored, k)
 

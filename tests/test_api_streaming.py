@@ -715,10 +715,12 @@ def test_lsh_topk_all_shuffled_join(spark):
     assert got_bc == got_sh and len(got_sh) > 100
 
     plan = sh._jdf.queryExecution().executedPlan().toString()
-    # the bucket equi-join itself must not broadcast either side (the
+    # the bucket meeting must not broadcast either side. r9: the large-Q
+    # path scores via a bucket-cogrouped Arrow matmul stage — both sides
+    # hash-shuffle on bucket into FlatMapCoGroupsInPandas (the same
+    # no-broadcast property the old ShuffledHashJoin pin protected; the
     # two-phase topk_per_query may still broadcast its tiny survivor set)
-    join_part = plan.split("ShuffledHashJoin")
-    assert len(join_part) >= 2, f"no shuffled hash join in plan:\n{plan[:2000]}"
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
     assert "BroadcastHashJoin [bucket" not in plan
 
 

@@ -163,11 +163,24 @@ def test_raster_extract_level1_and_pushdown(spark, pyr_path):
     lvl1 = base.reshape(base.shape[0] // 2, 2, base.shape[1] // 2, 2).mean(axis=(1, 3))
     pts = [("a", 10.0, 10.0), ("b", 130.0, 70.0), ("c", 255.0, 255.0)]
     df = spark.createDataFrame(pts, "point_id string, x double, y double")
+    # r9 default path for a sparse probe: tiles ride a python broadcast —
+    # the returned plan must be a single point-scan + MapInPandas with NO
+    # tile scan (tile pruning happened in the driver-side collect)
     res = raster_extract(spark, pyr_path, df, z=1)
     got = {r["point_id"]: r["value"] for r in res.collect()}
     for pid, x, y in pts:
         assert got[pid] == lvl1[int(y // 2), int(x // 2)], pid
     plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "MapInPandas" in plan
+    tile_scans = [b for b in plan.split("\n\n") if "Scan parquet" in b and "bytes" in b]
+    assert not tile_scans, "broadcast-tiles path must not re-scan tiles"
+    # legacy join path (probe above broadcast_tiles_max): touched cells
+    # push into the tile scan as an IN filter
+    res_join = raster_extract(spark, pyr_path, df, z=1, broadcast_tiles_max=0)
+    assert {r["point_id"]: r["value"] for r in res_join.collect()} == got
+    plan = res_join._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     tile_scans = [b for b in plan.split("\n\n") if "Scan parquet" in b and "bytes" in b]
