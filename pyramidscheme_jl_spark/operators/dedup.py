@@ -218,7 +218,7 @@ def minhash_lsh_pairs(
     collisions. All predicates are long comparisons in whole-stage
     codegen — no arrays, no string hashing in the pair loop.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    sig = _ensure_min_parallelism(minhash_signatures(df, text_col, id_col, num_hashes))
     nbands = num_hashes // band_size
     mh = [f"mh{i}" for i in range(num_hashes)]
     bstructs = F.array(
@@ -267,6 +267,28 @@ def minhash_lsh_pairs(
         F.col("b.id").alias("id_b"),
         bands_hit.cast("long").alias("bands_hit"),
     )
+
+
+def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism when the plan's
+    partition count is below it — the guard in front of every band-join
+    pair emitter here. AQE sizes post-shuffle partitions by SHUFFLE bytes
+    (a 50k-doc fingerprint table is <1 MB -> coalesced to a handful of
+    partitions), but the downstream pair join fans out to tens of
+    millions of emitted rows per partition, invisible to AQE — at sf1.0
+    the hamming join emitted 27.4M pairs on 4 cores (13.1 s) vs 32
+    (2.0 s). The repartition shuffles only the narrow fingerprint rows,
+    and as both self-join sides derive from it, the exchange is REUSED —
+    the signature pipeline runs once instead of once per side. Inputs
+    that already plan enough partitions (any at-scale corpus) pass
+    through untouched."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(p) if n < p else df
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
@@ -442,7 +464,7 @@ def hamming_near_dup(
             for lo, w in zip(los, widths)
         ]
     )
-    keyed = df.select(
+    keyed = _ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(fp_col).cast("long").alias("fp"),
         F.posexplode(segs).alias("band", "seg"),
