@@ -772,7 +772,7 @@ def q_interval_overlap_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.to_date("l_shipdate").alias("l_ship_d"),
         F.date_add(F.to_date("l_shipdate"),
                    (F.col("l_partkey") % 20).cast("int")).alias("l_end_d"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)  # r9: see tiered row
     od = _t(spark, sf, "orders").where(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey", F.to_date("o_orderdate").alias("o_date_d"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("o_end"),

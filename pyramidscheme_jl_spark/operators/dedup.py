@@ -92,7 +92,7 @@ def token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFra
     pass-through of the minimal row set; duplicate-id inputs still merge
     correctly in the global distinct).
     """
-    base = df.select(
+    base = _ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
     )
     arr = F.col("toks") if n == 1 else _gram_array(n)
@@ -105,7 +105,7 @@ def _doc_token_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> Da
     ``token_sets`` when ``id_col`` is unique per row (the documented
     contract of every per-document operator below); callers that cannot
     guarantee uniqueness must use ``token_sets``."""
-    base = df.select(
+    base = _ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
     )
     arr = F.col("toks") if n == 1 else _gram_array(n)
@@ -269,26 +269,9 @@ def minhash_lsh_pairs(
     )
 
 
-def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism when the plan's
-    partition count is below it — the guard in front of every band-join
-    pair emitter here. AQE sizes post-shuffle partitions by SHUFFLE bytes
-    (a 50k-doc fingerprint table is <1 MB -> coalesced to a handful of
-    partitions), but the downstream pair join fans out to tens of
-    millions of emitted rows per partition, invisible to AQE — at sf1.0
-    the hamming join emitted 27.4M pairs on 4 cores (13.1 s) vs 32
-    (2.0 s). The repartition shuffles only the narrow fingerprint rows,
-    and as both self-join sides derive from it, the exchange is REUSED —
-    the signature pipeline runs once instead of once per side. Inputs
-    that already plan enough partitions (any at-scale corpus) pass
-    through untouched."""
-    spark = df.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    return df.repartition(p) if n < p else df
+# the guard in front of every band-join pair emitter here (rationale and
+# at-scale no-op property: operators/parallelism.py)
+from .parallelism import ensure_min_parallelism as _ensure_min_parallelism
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
@@ -873,7 +856,7 @@ def ngram_contamination(
     map-side-partial per-doc hit count. Requires one row per document
     (``id_col`` unique), the operator's documented contract.
     """
-    base = corpus.select(
+    base = _ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
     )
     # grams are represented by xxhash64 over the n token columns — no

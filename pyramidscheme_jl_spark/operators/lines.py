@@ -104,8 +104,13 @@ def points_near_lines(
         .dropDuplicates(["__sid", "__cell"])
     )
 
-    # -- point side: one key, no probe ring
-    pts = points.select(
+    # -- point side: one key, no probe ring. The point scan is the STREAM
+    # side of the broadcast candidate join — a single-row-group points
+    # file otherwise runs the whole ~45M-candidate refine on one core
+    # (operators/parallelism.py; at-scale inputs pass through untouched)
+    from .parallelism import ensure_min_parallelism
+
+    pts = ensure_min_parallelism(points).select(
         F.col(point_id_col).alias("__pid"),
         F.col("x").cast("double").alias("__px"),
         F.col("y").cast("double").alias("__py"),

@@ -89,7 +89,9 @@ def brute_force_topk(
     narrow pass per query batch — the right baseline plan when Q is dims-
     sized. Ties break on neighbor id for determinism.
     """
-    d = quantized(data, vec_col).select(
+    from .parallelism import ensure_min_parallelism
+
+    d = quantized(ensure_min_parallelism(data), vec_col).select(
         F.col(id_col).alias("n_id"), F.col("qvec").alias("n_qvec")
     )
     q = quantized(queries, vec_col).select(

@@ -10,6 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import ensure_min_parallelism as _par
+
+
 #: tiny deterministic stopword profiles for the n-gram/stopword language
 #: heuristic (language-ID at pipeline scale is a lookup-scored UDF-free scan)
 STOPWORDS = {
@@ -25,7 +28,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     and a BPE-ish subword count (4-char chunks of each token, rounded up —
     a deterministic stand-in for byte-pair merges)."""
     toks = F.split(F.col(text_col), " ")
-    return df.select(
+    return _par(df).select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -54,7 +57,7 @@ def regex_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     sub-projection (inlining the regexp_extract_all into each of the six
     output expressions re-runs the extraction per column — measured ~4x
     slower after projection collapse)."""
-    base = df.select(
+    base = _par(df).select(
         F.col(id_col).alias("id"),
         F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)").alias("toks"),
     )
@@ -110,7 +113,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         for name, words in STOPWORDS.items()
     }
     cols = [F.col(id_col).alias("id")] + [s.alias(f"score_{n}") for n, s in scores.items()]
-    scored = df.select(*cols)
+    scored = _par(df).select(*cols)
     names = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"score_{n}") for n in names])
     pred = F.coalesce(
@@ -139,7 +142,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k
             acc * 1000003 + F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
         ) % P,
     )
-    return df.select(
+    return _par(df).select(
         F.col(id_col).alias("id"),
         prefix_fp.alias("prefix_fp"),
         rolling.alias("rolling_fp"),
@@ -180,7 +183,7 @@ def repetition_stats(
     """
     from pyspark.sql import functions as F
 
-    base = df.select(
+    base = _par(df).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
     )
     gram_hashes = F.expr(

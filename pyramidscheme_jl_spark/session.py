@@ -103,6 +103,16 @@ def get_spark(
         # (measured 60-87% system time at 32 workers)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+        # scan split size, env-parameterised. Local default 16m: the bench
+        # host pairs 32 cores with 100MB-class single-file tables, and the
+        # stock 128m leaves e.g. a 126 MB lineitem scan (6 row groups) as
+        # ONE task feeding every aggregation/join stage built on it. At
+        # cluster scale override toward 128m-1g (guide: large sequential
+        # scans want fewer, larger map tasks feeding any shuffle).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
