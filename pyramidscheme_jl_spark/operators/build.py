@@ -411,6 +411,146 @@ def build_level1_from_images(
     return quarters.groupBy("ptx", "pty").applyInPandas(_assemble_parent(spec, 1), TILE_SCHEMA)
 
 
+def _assemble_levels(spec: PyramidSpec, z_start: int, k: int, reducer, level_dtype: str | None):
+    """Grouped stage of the FUSED multi-level build (reference A4 windowed
+    execution, VERDICT r8 #2): one group = the footprint of a single
+    level-``z_start+k-1`` tile, holding up to ``4^k`` child quarters.
+    Assembles the level-``z_start`` mosaic once and derives all ``k``
+    levels from it in-memory — bit-identical to the per-level pipeline
+    because the reduction chain is the same ``block_reduce`` +
+    ``_cast_level`` at every level boundary (tiles are even-sized, so
+    reducing the group plane equals reducing each tile; clipped ragged
+    edges keep ceil semantics; missing quarters are NaN for floats
+    exactly as ``_assemble_parent`` fills them)."""
+    T_ = spec.tilesize
+    half = T_ // 2
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        c = int(pdf["c"].iloc[0])
+        dt = pdf["dtype"].iloc[0]
+        W = int((pdf["qx"] * half + pdf["w"]).max())
+        H = int((pdf["qy"] * half + pdf["h"]).max())
+        shape = (H, W, c) if c > 1 else (H, W)
+        kind = np.dtype(dt).kind
+        plane = np.full(shape, np.nan if kind == "f" else 0, dtype=np.dtype(dt))
+        for qx, qy, buf, w, h in zip(pdf["qx"], pdf["qy"], pdf["bytes"], pdf["w"], pdf["h"]):
+            q = decode_tile(buf, int(h), int(w), dt, c)
+            x0, y0 = int(qx) * half, int(qy) * half
+            plane[y0 : y0 + int(h), x0 : x0 + int(w)] = q
+        rows = []
+        for j in range(k):
+            span = 1 << (k - 1 - j)  # group tiles per axis at this level
+            nty_l = -(-plane.shape[0] // T_)
+            ntx_l = -(-plane.shape[1] // T_)
+            for ty in range(nty_l):
+                for tx in range(ntx_l):
+                    blk = plane[ty * T_ : (ty + 1) * T_, tx * T_ : (tx + 1) * T_]
+                    rows.append(
+                        _tile_row(spec, z_start + j, ptx * span + tx, pty * span + ty, blk)
+                    )
+            if j < k - 1:
+                plane = _cast_level(block_reduce(plane, reducer), level_dtype)
+        return _rows_to_pdf(rows)
+
+    return assemble
+
+
+def build_levels_fused(
+    prev: DataFrame, z_start: int, k: int, spec: PyramidSpec, reducer,
+    level_dtype: str | None = None,
+) -> DataFrame:
+    """Levels ``z_start .. z_start+k-1`` from level ``z_start-1`` in ONE
+    shuffle: the narrow quarter stage keys each child by its level-
+    ``z_start+k-1`` ancestor, and the grouped stage emits every level of
+    the block (``_assemble_levels``). Shuffle volume is identical to the
+    plain ``build_level`` step for ``z_start`` alone — the k-1 further
+    levels ride for free (no reread, no extra exchange, no extra job)."""
+    kk = k
+
+    def gen(batches):
+        for pdf in batches:
+            out = {c: [] for c in ("ptx", "pty", "qx", "qy", "bytes", "w", "h", "c", "dtype")}
+            for tx, ty, buf, w, h, c, dt in zip(
+                pdf["tx"], pdf["ty"], pdf["bytes"], pdf["w"], pdf["h"], pdf["c"], pdf["dtype"]
+            ):
+                arr = decode_tile(buf, int(h), int(w), dt, int(c))
+                red = _cast_level(block_reduce(arr, reducer), level_dtype)
+                out["ptx"].append(int(tx) >> kk)
+                out["pty"].append(int(ty) >> kk)
+                out["qx"].append(int(tx) & ((1 << kk) - 1))
+                out["qy"].append(int(ty) & ((1 << kk) - 1))
+                out["bytes"].append(encode_tile(red))
+                out["w"].append(red.shape[1])
+                out["h"].append(red.shape[0])
+                out["c"].append(int(c))
+                out["dtype"].append(str(red.dtype.name))
+            pdf_out = pd.DataFrame(out)
+            for col in ("ptx", "pty", "qx", "qy", "w", "h", "c"):
+                pdf_out[col] = pdf_out[col].astype("int32")
+            yield pdf_out
+
+    quarters = prev.mapInPandas(gen, QUARTER_SCHEMA)
+    return quarters.groupBy("ptx", "pty").applyInPandas(
+        _assemble_levels(spec, z_start, k, reducer, level_dtype), TILE_SCHEMA
+    )
+
+
+def build_levels1_fused_from_images(
+    images: DataFrame, G, k: int, spec: PyramidSpec, reducer,
+    level_dtype: str | None = None,
+) -> DataFrame:
+    """Fused-levels twin of ``build_level1_from_images``: decode + first
+    2x2 reduce in one python stage (same single-worker-per-task rationale),
+    then the multi-level assemble — levels ``1..k`` from the images table
+    with one shuffle."""
+    idx = F.regexp_extract("image_id", r"^img-(\d{8})$", 1).cast("long")
+    src = (
+        images.where(F.col("fmt").isin(*SUPPORTED_IMAGE_FMTS))
+        .where(idx.isNotNull())
+        .select(
+            (idx % _grid_dims(G)[0]).cast("int").alias("tx"),
+            (idx / _grid_dims(G)[0]).cast("int").alias("ty"),
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+        )
+        .where(F.col("tx").isNotNull())
+    )
+    kk = k
+
+    def gen(batches):
+        for pdf in batches:
+            out = {c: [] for c in ("ptx", "pty", "qx", "qy", "bytes", "w", "h", "c", "dtype")}
+            for tx, ty, iid, buf, w, h, fmt in zip(
+                pdf["tx"], pdf["ty"], pdf["image_id"], pdf["bytes"],
+                pdf["w"], pdf["h"], pdf["fmt"],
+            ):
+                arr = _decode_payload(buf, w, h, fmt, iid)
+                c = int(arr.shape[2]) if arr.ndim == 3 else 1
+                red = _cast_level(block_reduce(arr, reducer), level_dtype)
+                out["ptx"].append(int(tx) >> kk)
+                out["pty"].append(int(ty) >> kk)
+                out["qx"].append(int(tx) & ((1 << kk) - 1))
+                out["qy"].append(int(ty) & ((1 << kk) - 1))
+                out["bytes"].append(encode_tile(red))
+                out["w"].append(red.shape[1])
+                out["h"].append(red.shape[0])
+                out["c"].append(c)
+                out["dtype"].append(str(red.dtype.name))
+            pdf_out = pd.DataFrame(out)
+            for col in ("ptx", "pty", "qx", "qy", "w", "h", "c"):
+                pdf_out[col] = pdf_out[col].astype("int32")
+            yield pdf_out
+
+    quarters = src.mapInPandas(gen, QUARTER_SCHEMA)
+    return quarters.groupBy("ptx", "pty").applyInPandas(
+        _assemble_levels(spec, 1, k, reducer, level_dtype), TILE_SCHEMA
+    )
+
+
 def build_tail_driver(
     prev_rows: list, z_start: int, spec: PyramidSpec, reducer, level_dtype: str | None = None
 ) -> dict[int, list[dict]]:
@@ -601,8 +741,23 @@ def build_pyramid(
     chain_in_memory: bool = False,
     level_dtype: str | None = None,
     strict_formats: bool = False,
+    fused_levels: int = 3,
 ) -> PyramidSpec:
-    """Full build: base ingest + one checkpointed Spark job per level.
+    """Full build: base ingest + one checkpointed Spark job per FUSED
+    level block.
+
+    ``fused_levels`` (r9, the reference's A4 windowed execution /
+    VERDICT r8 #2): decomposable-reducer builds emit up to this many
+    levels per distributed pass — one ``groupBy(tx >> k, ty >> k)``
+    job assembles the block's finest-level mosaic in memory and derives
+    the coarser levels from it, so k levels cost one shuffle (the same
+    bytes the first level alone used to shuffle), zero level rereads,
+    and one commit job instead of k. The block size adapts down when
+    the group count would drop below the session parallelism, and to
+    whatever ``resume`` still needs; ``fused_levels=1`` restores the
+    strict per-level pipeline (bit-identical results either way — the
+    reduction chain is the same block_reduce/cast at every level
+    boundary).
 
     ``level_dtype`` optionally narrows the stored level dtype (e.g.
     ``'float32'`` for mean levels — halves every level's shuffle and
@@ -755,6 +910,48 @@ def build_pyramid(
                 )
             break
         if recursive:
+            # fused block size: as many levels as (a) exist, (b) resume
+            # still needs, (c) keep the group count at or above the session
+            # parallelism (guide §2: scale-adaptive, not a constant)
+            par = max(1, spark.sparkContext.defaultParallelism)
+            k = 1
+            for kk in range(2, max(1, int(fused_levels)) + 1):
+                if z + kk - 1 > spec.nlevels:
+                    break
+                if any((z + j) in done for j in range(kk)):
+                    break
+                groups = -(-ntx // (1 << kk)) * (-(-nty // (1 << kk)))
+                if groups < par:
+                    break
+                k = kk
+            if k > 1:
+                t0 = time.perf_counter()
+                if z == 1 and not materialize_base:
+                    built = build_levels1_fused_from_images(
+                        images, G, k, spec, reducer, level_dtype
+                    )
+                else:
+                    built = build_levels_fused(
+                        prev_level(z - 1), z, k, spec, reducer, level_dtype
+                    )
+                from ..sources.catalog import write_levels_fused
+
+                write_levels_fused(built, path)
+                for zz in range(z, z + k):
+                    append_manifest(
+                        spark, path,
+                        manifest_lineage(path, zz, run_id, rname, rhash, ordinal),
+                    )
+                    ordinal += 1
+                if verbose:
+                    print(
+                        f"[build] levels {z}..{z + k - 1} fused-committed in "
+                        f"{time.perf_counter() - t0:.2f}s",
+                        flush=True,
+                    )
+                set_cached(None)  # next block reads the checkpoint
+                z += k
+                continue
             if z == 1 and not materialize_base:
                 built = build_level1_from_images(images, G, spec, reducer, level_dtype)
             else:

@@ -142,6 +142,23 @@ def write_level(
     out.write.mode("overwrite").parquet(level_path(path, z))
 
 
+def write_levels_fused(df: DataFrame, path: str) -> None:
+    """Checkpoint SEVERAL pyramid levels from one fused build job in one
+    write: partitioned by ``z`` into the same ``tiles/z=N`` dirs
+    ``write_level`` produces (z is a directory column, dropped from the
+    files, exactly like ``TILE_DATA_COLS``), dynamic partition overwrite
+    so only the levels present in ``df`` are replaced, and rows sorted
+    ``(z, cell)`` within each task so every per-level file keeps the
+    Morton row-group contract."""
+    out = df.select("z", *TILE_DATA_COLS).sortWithinPartitions("z", "cell")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("z")
+        .parquet(f"{path}/tiles")
+    )
+
+
 def _delta_level_names(path: str, z: int) -> list[str]:
     """Delta files in a level dir ([] for bulk/filewise/missing levels) —
     one driver-side metadata listing through the fs seam."""

@@ -184,6 +184,41 @@ def test_ragged_grid_g3(spark, tmp_path):
     assert widths[(1, 1)] == (128, 128)  # ragged corner tile
 
 
+def test_fused_levels_match_per_level(spark, tmp_path):
+    """r9 fused multi-level build (VERDICT r8 #2): the default fused block
+    must be BYTE-identical to the strict per-level pipeline — including
+    the bench configuration (materialize_base=False, float32 levels) and
+    a distributed fused block that actually runs (G=16 -> 256 base tiles,
+    above the driver-tail threshold; local[4] keeps k=3 groups >= cores)."""
+    images = spark.createDataFrame(synth_images(G=16), IMAGES_DDL)
+    p_fused = str(tmp_path / "fused")
+    p_plain = str(tmp_path / "plain")
+    kw = dict(
+        G=16, reducer="mean", materialize_base=False, level_dtype="float32",
+    )
+    spec = build_pyramid(spark, images, p_fused, run_id="f", **kw)
+    spec2 = build_pyramid(
+        spark, images, p_plain, run_id="p", fused_levels=1, **kw
+    )
+    assert spec.nlevels == spec2.nlevels == 4
+    for z in range(1, spec.nlevels + 1):
+        a = {
+            (r["tx"], r["ty"]): (r["bytes"], r["w"], r["h"], r["dtype"],
+                                 r["vmin"], r["vmax"], r["vmean"], r["cell"])
+            for r in read_level(spark, p_fused, z).collect()
+        }
+        b = {
+            (r["tx"], r["ty"]): (r["bytes"], r["w"], r["h"], r["dtype"],
+                                 r["vmin"], r["vmax"], r["vmean"], r["cell"])
+            for r in read_level(spark, p_plain, z).collect()
+        }
+        assert a == b, f"level {z} diverges between fused and per-level"
+    # every level committed (manifest rows exist for the fused block too)
+    from pyramidscheme_jl_spark.sources.catalog import committed_levels
+
+    assert set(committed_levels(spark, p_fused, "f")) >= {1, 2, 3, 4}
+
+
 def test_manifest_lineage_and_resume(spark, images_g4, tmp_path):
     path = str(tmp_path / "pyr-resume")
     spec = build_pyramid(spark, images_g4, path, G=4, reducer="mean", run_id="r1")
