@@ -2849,14 +2849,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the FIRST
-    # ~50 entries of this dict (r7 checked exactly registry[:50]).  Rows never
-    # yet driver-verified — plus rows new this round — are listed FIRST so
-    # every operator family lands inside the checked window at least once;
-    # rows with multiple prior driver-green records (CORRECTNESS_r0{4..7})
-    # rotate to the tail.  tools/check_oracle.py still validates the full
-    # registry locally each round.
+    # ~50 entries of this dict (r7 checked exactly registry[:50]).
     return {
-        # -- new in r8 (never driver-verified) --------------------------------
+        # -- r9 ordering (VERDICT r8 #1: changed-rows-first) -----------------
+        # (a) operators whose implementation changed in r9 — the driver's
+        #     ~50-row correctness window must re-verify every one of them;
+        # (b) rows last driver-verified in r7 or earlier (stalest first);
+        # (c) rows verified by the r8 driver window (freshest) at the tail.
+        # tools/check_oracle.py still validates the full registry locally.
+        # -- (a) r9-changed implementations ---------------------------------
+        "dedup_components": q_dedup_components,
+        "minhash_lsh": q_minhash_lsh,
+        "hamming_near_dup": q_hamming_near_dup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "docs_contamination": q_docs_contamination,
+        "docs_repetition": q_docs_repetition,
+        "cosine_near_dup": q_cosine_near_dup,
+        "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
+        "embedding_topk": q_embedding_topk,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
+        "lines_near_pairs": q_lines_near_pairs,
+        "lines_snap_nearest": q_lines_snap_nearest,
+        "raster_extract": q_raster_extract,
+        "focal_mean_extract": q_focal_mean_extract,
+        "interval_join_tiered": q_interval_join_tiered,
+        "interval_overlap_orders": q_interval_overlap_orders,
+        # -- (b) stalest: outside the r8-verified window ---------------------
+        "events_asof_next_click": q_events_asof_next_click,
+        "events_asof_nearest": q_events_asof_nearest,
+        "events_sessionize": q_events_sessionize,
+        "events_session_agg": q_events_session_agg,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_hash_split": q_docs_hash_split,
+        "events_time_rollup": q_events_time_rollup,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "union_cat": q_union_cat,
+        "events_topk": q_events_topk,
+        "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+        "block_agg_mean": q_block_agg_mean,
+        "block_agg_mean_t": q_block_agg_mean_t,
+        "block_agg_minmax": q_block_agg_minmax,
+        "block_agg_mode": q_block_agg_mode,
+        "block_agg_median": q_block_agg_median,
+        "recursive_mean_consistency": q_recursive_mean_consistency,
+        "rollup_multilevel": q_rollup_multilevel,
+        "selectlevel_window": q_selectlevel_window,
+        "bbox_join": q_bbox_join,
+        "bbox_join_cells": q_bbox_join_cells,
+        "zonal_agg": q_zonal_agg,
+        "knn": q_knn,
+        "pip_join": q_pip_join,
+        "pip_zonal": q_pip_zonal,
+        "dedup_exact": q_dedup_exact,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "events_asof_click": q_events_asof_click,
+        # -- (c) freshest: r8-driver-verified, unchanged in r9 ---------------
         "region_perimeter": q_region_perimeter,
         "color_relief_hist": q_color_relief_hist,
         "streamed_grid_stats": q_streamed_grid_stats,
@@ -2890,69 +2943,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_indexed": q_embedding_ivfpq_indexed,
         "prebuilt_extend_window": q_prebuilt_extend_window,
         "raster_value_histogram": q_raster_value_histogram,
-        # -- in registry r7 but absent from CORRECTNESS_r07.json --------------
         "pip_join_mp": q_pip_join_mp,
         "zonal_raster_mp": q_zonal_raster_mp,
         "rasterize_mp": q_rasterize_mp,
         "zonal_raster": q_zonal_raster,
-        "raster_extract": q_raster_extract,
         "rasterize_stats": q_rasterize_stats,
         "zonal_cube_stats": q_zonal_cube_stats,
         "streamed_pyramid_stats": q_streamed_pyramid_stats,
         "streamed_cube_stats": q_streamed_cube_stats,
-        "cosine_near_dup": q_cosine_near_dup,
-        # -- driver-verified once (r7 only) -----------------------------------
-        "focal_mean_extract": q_focal_mean_extract,
         "geo_radius_join": q_geo_radius_join,
-        "lines_near_pairs": q_lines_near_pairs,
-        "lines_snap_nearest": q_lines_snap_nearest,
         "interval_join_ship": q_interval_join_ship,
-        "interval_join_tiered": q_interval_join_tiered,
-        "interval_overlap_orders": q_interval_overlap_orders,
-        "events_asof_next_click": q_events_asof_next_click,
-        "events_asof_nearest": q_events_asof_nearest,
-        "events_sessionize": q_events_sessionize,
-        "events_session_agg": q_events_session_agg,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_hash_split": q_docs_hash_split,
-        "docs_contamination": q_docs_contamination,
-        "docs_repetition": q_docs_repetition,
-        "events_time_rollup": q_events_time_rollup,
-        "embedding_lsh_buckets": q_embedding_lsh_buckets,
-        "embedding_lsh_topk_all": q_embedding_lsh_topk_all,
-        "union_cat": q_union_cat,
-        "events_topk": q_events_topk,
-        "bpe_tokens": q_bpe_tokens,
-        "embedding_pq_topk": q_embedding_pq_topk,
-        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
-        # -- driver-verified in 2+ rounds (rotate into the tail) ---------------
-        "block_agg_mean": q_block_agg_mean,
-        "block_agg_mean_t": q_block_agg_mean_t,
-        "block_agg_minmax": q_block_agg_minmax,
-        "block_agg_mode": q_block_agg_mode,
-        "block_agg_median": q_block_agg_median,
-        "recursive_mean_consistency": q_recursive_mean_consistency,
-        "rollup_multilevel": q_rollup_multilevel,
-        "selectlevel_window": q_selectlevel_window,
-        "bbox_join": q_bbox_join,
-        "bbox_join_cells": q_bbox_join_cells,
-        "zonal_agg": q_zonal_agg,
-        "knn": q_knn,
-        "pip_join": q_pip_join,
-        "pip_zonal": q_pip_zonal,
-        "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "hamming_near_dup": q_hamming_near_dup,
-        "dedup_components": q_dedup_components,
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "embedding_topk": q_embedding_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "events_asof_click": q_events_asof_click,
     }
 
 
