@@ -135,10 +135,13 @@ def points_near_lines(
     pairs = (
         j.withColumn("__d2", d2)
         .where(F.col("__d2") <= F.lit(s * s))
-        # a pair can meet in several cells; the distance is identical in
-        # each, so min collapses duplicates without a tie hazard
-        .groupBy("__pid", "__sid")
-        .agg(F.min("__d2").alias("__d2"))
+        # exactly-once by construction (r9): a point carries ONE cell key
+        # and the cover side is deduped on (sid, cell), so each (point,
+        # segment) pair meets in at most one cell — the old
+        # groupBy(pid, sid).min dedup was a pass-through that shuffled
+        # every surviving pair (15.3M rows at sf1.0) for nothing; the
+        # oracle's exact pair COUNTS pin the property
+        .select("__pid", "__sid", "__d2")
     )
     if nearest_only:
         pairs = pairs.groupBy("__pid").agg(
