@@ -597,7 +597,11 @@ def fillnodata(
     valid mode): every pixel equal to ``nodata`` takes the VALUE of its
     nearest valid pixel within ``max_radius`` (exact squared-Euclidean
     metric); out-of-reach pixels keep ``nodata``; valid pixels pass
-    through untouched. Ties (two valid pixels at the same distance)
+    through untouched. NaN pixels are fill TARGETS too (the engine's
+    NaN-is-missing convention: a "valid" pixel is finite AND !=
+    ``nodata``), and NaN pixels are never fill SOURCES — pinned by
+    ``test_fillnodata_nan_pixels_are_targets`` (ADVICE r8).
+    Ties (two valid pixels at the same distance)
     break to the SMALLER value — a total, engine-portable order, which
     is what makes this oracle-exact where GDAL's inverse-distance
     smoothing variant could never be (IDW needs a float divide per

@@ -204,8 +204,15 @@ def compact_grid_state(
     list can still be executing when cleanup deletes those dirs —
     pass ``cleanup=False`` when serving concurrent traffic (folded
     dirs stay on disk, excluded by the manifest; a later call with
-    ``cleanup=True`` — or any subsequent fold — garbage-collects
-    them once in-flight reads have drained)."""
+    ``cleanup=True`` garbage-collects them — batch partials AND
+    superseded rollups, via the manifest's ``stale`` list — once
+    in-flight reads have drained).
+
+    Compaction is SINGLE-WRITER (ADVICE r8): two concurrent calls can
+    compute the same ``compacted-N`` name, clobber each other's rename
+    and last-write-wins the manifest, dropping or double-folding
+    partials. Serialize compaction (it is a maintenance pass, typically
+    the ingest driver's own loop); concurrent READERS are safe."""
     import shutil
 
     bins_dir = os.path.join(state_dir, "bins")
@@ -228,11 +235,23 @@ def compact_grid_state(
     shutil.rmtree(os.path.join(bins_dir, new_name), ignore_errors=True)
     os.rename(tmp, os.path.join(bins_dir, new_name))
     names = [os.path.basename(d) for d in active]
+    # superseded rollups must be TRACKED, not just delisted (ADVICE r8):
+    # a compacted-K folded during a cleanup=False round appears in no
+    # list ("folded" holds batch=* names only, for the read-side batch
+    # filter) and earlier code never deleted it afterwards — a disk
+    # leak. "stale" records them until some cleanup pass removes the
+    # dir; entries self-prune once their dir is gone.
+    stale = sorted(
+        s
+        for s in set(m.get("stale") or []) | {x for x in names if not x.startswith("batch=")}
+        if os.path.isdir(os.path.join(bins_dir, s))
+    )
     new_m = {
         # prune rollups this fold subsumes; keep only the new one plus
         # any rollup that (unexpectedly) was not active
         "compacted": [c for c in m["compacted"] if c not in names] + [new_name],
         "folded": sorted(set(m["folded"]) | {x for x in names if x.startswith("batch=")}),
+        "stale": stale,
     }
     fs.publish_file(  # atomic rename = the commit point
         bins_dir, "_state.json",
@@ -241,7 +260,8 @@ def compact_grid_state(
     if cleanup:
         for d in active:
             shutil.rmtree(d, ignore_errors=True)
-        # also GC dirs folded in earlier cleanup=False rounds
-        for d in new_m["folded"]:
+        # also GC dirs folded in earlier cleanup=False rounds — batch
+        # partials AND superseded rollups
+        for d in new_m["folded"] + new_m["stale"]:
             shutil.rmtree(os.path.join(bins_dir, d), ignore_errors=True)
     return len(active)

@@ -209,6 +209,31 @@ def test_fill_dtype_preserved_and_unreachable(spark, tmp_path):
     assert (got[0, 0], got[63, 63]) == (200.0, 200.0)
 
 
+def test_fillnodata_nan_pixels_are_targets(spark, tmp_path):
+    """ADVICE r8: NaN pixels follow the engine's NaN-is-missing
+    convention — they are fill TARGETS exactly like the explicit nodata
+    value, and never fill SOURCES. Pins the documented contract."""
+    a = np.full((64, 64), 50.0, dtype=np.float64)
+    a[5, 5] = np.nan          # NaN target, valid neighbors at d^2 = 1
+    a[40, 40] = 7.0           # explicit-nodata target
+    a[40, 41] = np.nan        # NaN beside it must NOT act as a source
+    a[40, 42] = 9.0           # nearest VALID source for both targets
+    path = str(tmp_path / "pyr")
+    _write_plane(spark, a, path)
+    rows = fillnodata(spark, path, 7.0, 3).collect()
+    got = np.zeros((64, 64))
+    for row in rows:
+        got[row.ty*TS:row.ty*TS+row.h,
+            row.tx*TS:row.tx*TS+row.w] = decode_tile(
+                row.bytes, row.h, row.w, row.dtype, row.c)
+    assert got[5, 5] == 50.0                 # NaN filled from valid ring
+    assert got[40, 41] == 9.0                # NaN target filled, d^2 = 1
+    # explicit nodata target: nearest valid is (40,42) at d^2=4 but
+    # (39,41)/(41,41) at d^2 = 2 are valid 50.0 pixels -> fills to 50
+    assert got[40, 40] == 50.0
+    assert not np.isnan(got).any()
+
+
 def test_fill_validation(spark, plane_path):
     with pytest.raises(ValueError, match="max_radius"):
         fillnodata(spark, plane_path, 4.0, 0)

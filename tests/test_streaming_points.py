@@ -100,6 +100,47 @@ def test_compaction_preserves_state_and_counts(spark, streamed):
     np.testing.assert_array_equal(got, want)
 
 
+def test_compaction_gc_superseded_rollups(spark, tmp_path):
+    """ADVICE r8: a rollup folded during a cleanup=False round must be
+    garbage-collected by a LATER cleanup=True pass (tracked via the
+    manifest's 'stale' list) — previously it leaked forever. Values stay
+    identical throughout."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    for b, pts in enumerate([_pts(1), _pts(2), _pts(3), _pts(4)]):
+        spark.createDataFrame(pts, POINTS_DDL).coalesce(1).write.parquet(
+            f"{src}/b{b}")
+    q = ingest_points(spark, f"{src}/*", state, (W, H),
+                      max_files_per_trigger=1)
+    q.awaitTermination(300)
+    bins = os.path.join(state, "bins")
+    before = {(r.px, r.py): (r.cnt, r.s) for r in read_grid_state(spark, state).collect()}
+    assert compact_grid_state(spark, state, cleanup=False) >= 2
+    # second no-cleanup fold: folds compacted-0 + any remaining partials
+    spark.createDataFrame(_pts(5), POINTS_DDL).coalesce(1).write.parquet(f"{src}/b9")
+    q = ingest_points(spark, f"{src}/*", state, (W, H))
+    q.awaitTermination(300)
+    assert compact_grid_state(spark, state, cleanup=False) >= 2
+    m = _json.load(open(os.path.join(bins, "_state.json")))
+    assert "compacted-0" in m.get("stale", []), m
+    assert os.path.isdir(os.path.join(bins, "compacted-0"))  # still on disk
+    # a cleanup round (after one more partial lands so there is work)
+    spark.createDataFrame(_pts(6), POINTS_DDL).coalesce(1).write.parquet(f"{src}/b10")
+    q = ingest_points(spark, f"{src}/*", state, (W, H))
+    q.awaitTermination(300)
+    assert compact_grid_state(spark, state, cleanup=True) >= 2
+    assert not os.path.isdir(os.path.join(bins, "compacted-0"))  # GC'd
+    # stale entries whose dirs are gone self-prune on the NEXT fold (the
+    # manifest publish is the commit point and precedes cleanup)
+    after = {(r.px, r.py): (r.cnt, r.s) for r in read_grid_state(spark, state).collect()}
+    for k, (cnt, s_) in before.items():
+        a = after[k]
+        assert a[0] >= cnt and (a[0] > cnt or a == (cnt, s_))
+
+
 def test_read_empty_state_raises(spark, tmp_path):
     with pytest.raises(Exception):
         read_grid_state(spark, str(tmp_path / "nostate"))
